@@ -1,0 +1,25 @@
+from .json_validator import validate_json_column, validate_json_rows
+from .kernels import ColumnCompiler, ExpressionFallback, VIOLATION_ARRAY, VIOLATION_STRUCT
+from .validator import (
+    PARTITION_COL,
+    VALID_COL,
+    VIOLATIONS_COL,
+    ValidationResult,
+    strict_first_error,
+    validate_dataframe,
+)
+
+__all__ = [
+    "ColumnCompiler",
+    "ExpressionFallback",
+    "PARTITION_COL",
+    "VALID_COL",
+    "VIOLATIONS_COL",
+    "VIOLATION_ARRAY",
+    "VIOLATION_STRUCT",
+    "ValidationResult",
+    "strict_first_error",
+    "validate_dataframe",
+    "validate_json_column",
+    "validate_json_rows",
+]

@@ -1,0 +1,120 @@
+"""Arrow-batched JSON validation kernels (the general path).
+
+For payloads whose structure is dynamic — a JSON-string column like
+``events.props``, or schema constructs not expressible as Column algebra —
+we ship the compiled trie to executors ONCE (Spark broadcasts task closures)
+and evaluate per document inside ``mapInPandas`` Arrow batches: the batch is
+the chunk, mirroring the reference's StreamParser block writes
+(parse.js:318-326) at record-batch granularity. No per-row Python UDF calls —
+one Python invocation per Arrow batch (input_hint: "no per-row Python").
+
+Malformed JSON does not fail the job: it yields a violation row with
+keyword='syntax' (FIXTURES.md §F7), matching parseInfo's never-throw-on-
+invalid contract (test/parseInfo.test.js:33-37) while still *reporting*
+syntax errors.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator, Optional, Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schema.compiler import CompiledSchema, compile_rules
+from ..schema.evaluate import Evaluator
+from .kernels import VIOLATION_ARRAY
+from .validator import VALID_COL, VIOLATIONS_COL, ValidationResult
+
+
+def _out_schema(df: DataFrame, key_cols: Sequence[str]) -> T.StructType:
+    fields = [df.schema[c] for c in key_cols]
+    fields.append(T.StructField(VALID_COL, T.BooleanType(), False))
+    fields.append(T.StructField(VIOLATIONS_COL, VIOLATION_ARRAY, False))
+    return T.StructType(fields)
+
+
+def _records(errors) -> list[dict]:
+    return [e.as_row() for e in errors]
+
+
+def validate_json_column(
+    df: DataFrame,
+    json_col: str,
+    rules,
+    key_cols: Optional[Sequence[str]] = None,
+    extensions: bool = False,
+) -> ValidationResult:
+    """Validate a JSON-string column against rules, Arrow batch at a time.
+
+    Returns key cols + _jsp_valid + _jsp_violations. extensions=False gives
+    strict reference parity (contains/propertyNames/uniqueItems vacuous).
+    """
+    cs = rules if isinstance(rules, CompiledSchema) else compile_rules(rules)
+    if key_cols is None:
+        key_cols = [df.columns[0]]
+    key_cols = list(key_cols)
+    out_schema = _out_schema(df, key_cols)
+    narrowed = df.select(*key_cols, json_col)
+    evaluator = Evaluator(extensions=extensions)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # cs/evaluator arrive via the pickled task closure — one deserialize
+        # per task, shared across all its Arrow batches.
+        for pdf in batches:
+            valids: list[bool] = []
+            viols: list[list[dict]] = []
+            for doc in pdf[json_col]:
+                if doc is None:
+                    valids.append(True)
+                    viols.append([])
+                    continue
+                try:
+                    value = json.loads(doc)
+                except (ValueError, TypeError) as e:
+                    valids.append(False)
+                    viols.append(
+                        [
+                            {
+                                "constraint_id": cs.id,
+                                "path": "",
+                                "keyword": "syntax",
+                                "expected": None,
+                                "actual": None,
+                                "message": f"Syntax error: {e}",
+                            }
+                        ]
+                    )
+                    continue
+                errors, _ = evaluator.validate(cs, value)
+                valids.append(not errors)
+                viols.append(_records(errors))
+            out = pdf[key_cols].copy()
+            out[VALID_COL] = valids
+            out[VIOLATIONS_COL] = viols
+            yield out
+
+    annotated = narrowed.mapInPandas(run, schema=out_schema)
+    return ValidationResult(annotated=annotated, key_cols=key_cols)
+
+
+def validate_json_rows(
+    df: DataFrame,
+    rules,
+    key_cols: Optional[Sequence[str]] = None,
+    extensions: bool = False,
+) -> ValidationResult:
+    """Whole-row fallback: serialize each row to a JSON object (JVM-side
+    to_json — cheap, columnar) and validate with the Python evaluator.
+    Used when ColumnCompiler raises ExpressionFallback."""
+    if key_cols is None:
+        key_cols = [df.columns[0]]
+    key_cols = list(key_cols)
+    with_doc = df.select(
+        *key_cols, F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("_jsp_doc")
+    )
+    return validate_json_column(with_doc, "_jsp_doc", rules, key_cols=key_cols, extensions=extensions)

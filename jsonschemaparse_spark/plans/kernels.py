@@ -1,0 +1,505 @@
+"""Column-expression kernels: CompiledSchema -> Catalyst Column pairs.
+
+The fast path of the engine. Each schema node compiles to
+``(valid: Column<boolean>, violations: Column<array<struct>>)`` evaluated in
+ONE projection over the table — the columnar re-expression of the reference's
+"all validators watch one event stream" design (ValidateLayer fan-out,
+/root/reference/lib/schema.js:1023-1131). Branch predicates for
+anyOf/oneOf/not/if-then-else are all evaluated speculatively in the same pass
+and reduced with boolean algebra, mirroring ValidateLayer.finish
+(schema.js:1342-1417) — no extra scan, no shuffle.
+
+Everything here stays inside whole-stage codegen (built-in functions only).
+Subtrees that cannot be expressed as Columns (ECMAScript-only regexes,
+map-typed dynamic objects with complex subschemas, ...) raise
+``ExpressionFallback``; plans/validator.py routes those through the
+Arrow-batched evaluator kernel instead — still within the same projection.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..errors import expected_type
+from ..schema.compiler import CompiledSchema
+
+VIOLATION_FIELDS = ["constraint_id", "path", "keyword", "expected", "actual", "message"]
+VIOLATION_STRUCT = T.StructType([T.StructField(f, T.StringType(), True) for f in VIOLATION_FIELDS])
+VIOLATION_ARRAY = T.ArrayType(VIOLATION_STRUCT, True)
+
+_MAX_DEPTH = 16
+
+
+class ExpressionFallback(Exception):
+    """Raised when a schema subtree is not expressible as Column algebra;
+    the caller falls back to the Arrow-batched evaluator for that column."""
+
+
+def empty_violations() -> Column:
+    return F.array().cast(VIOLATION_ARRAY)
+
+
+def make_violation(
+    constraint_id: str,
+    path: Column,
+    keyword: str,
+    expected: Optional[str],
+    actual: Column,
+    message: Column,
+) -> Column:
+    return F.struct(
+        F.lit(constraint_id).alias("constraint_id"),
+        path.cast("string").alias("path"),
+        F.lit(keyword).alias("keyword"),
+        (F.lit(expected) if expected is not None else F.lit(None)).cast("string").alias("expected"),
+        actual.cast("string").alias("actual"),
+        message.cast("string").alias("message"),
+    )
+
+
+def _concat(pieces: list[Column]) -> Column:
+    pieces = [p for p in pieces if p is not None]
+    if not pieces:
+        return empty_violations()
+    if len(pieces) == 1:
+        return pieces[0]
+    return F.concat(*pieces)
+
+
+def spark_json_type(dtype: T.DataType) -> Optional[str]:
+    """Map a Spark column type onto the six JSON types (SURVEY.md §1.2)."""
+    if isinstance(dtype, T.StringType):
+        return "string"
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "integer"
+    if isinstance(dtype, (T.FloatType, T.DoubleType, T.DecimalType)):
+        return "number"
+    if isinstance(dtype, T.BooleanType):
+        return "boolean"
+    if isinstance(dtype, (T.StructType, T.MapType)):
+        return "object"
+    if isinstance(dtype, T.ArrayType):
+        return "array"
+    if isinstance(dtype, (T.TimestampType, T.DateType)):
+        return "string"  # ISO-8601 view for constraint purposes
+    return None  # binary & friends: opaque, only presence is checked
+
+
+# regex constructs whose semantics differ between ECMAScript (reference,
+# schema.js:367,477 — 'u' flag) and Java (rlike). Conservative deny-list;
+# anything hit routes to the Python `re` Arrow kernel (SURVEY.md §4.3-1).
+_UNSAFE_REGEX = ("\\p", "\\P", "\\u{", "(?<", "\\c", "\\x{", "\\0", "\\A", "\\z", "\\Z")
+
+
+def rlike_safe(pattern: str) -> bool:
+    return not any(tok in pattern for tok in _UNSAFE_REGEX)
+
+
+class ColumnCompiler:
+    """Compile a CompiledSchema against a concrete Spark value (column +
+    dtype). Produces (valid, violations) Column pairs."""
+
+    def __init__(self, extensions: bool = True):
+        self.extensions = extensions
+
+    # ------------------------------------------------------------------
+    def compile_value(
+        self,
+        cs: CompiledSchema,
+        col: Column,
+        dtype: T.DataType,
+        path: Column,
+        depth: int = 0,
+    ) -> Tuple[Column, Column]:
+        """(valid, violations) for `col` of static type `dtype` under `cs`.
+
+        NULL values validate vacuously (absent property semantics); presence
+        is enforced by the parent's `required` handling.
+        """
+        if depth > _MAX_DEPTH:
+            raise ExpressionFallback(f"schema recursion deeper than {_MAX_DEPTH} at <{cs.id}>")
+
+        jtype = spark_json_type(dtype)
+        pieces: list[Column] = []
+        valids: list[Column] = []
+        sid = cs.id
+
+        def leaf(cond_bad: Column, keyword: str, expected, actual: Column, message) -> None:
+            msg = message if isinstance(message, Column) else F.lit(message)
+            v = make_violation(sid, path, keyword, None if expected is None else str(expected), actual, msg)
+            pieces.append(F.when(cond_bad, F.array(v)).otherwise(empty_violations()))
+            valids.append(~cond_bad)
+
+        # ---- type / const-type start checks --------------------------------
+        if jtype is not None:
+            base = "number" if jtype == "integer" else jtype
+            allowed = getattr(cs, "allow_" + ("number" if base == "number" else base))
+            if not allowed:
+                leaf(
+                    F.lit(True), "type", cs.allowed_types,
+                    F.lit(base), expected_type(base, cs.allowed_types),
+                )
+            if cs.const_type is not None and cs.const_type != base and not (
+                cs.const_type == "number" and base == "number"
+            ):
+                leaf(
+                    F.lit(True), "const", cs.const_type,
+                    F.lit(base), expected_type(base, [cs.const_type]),
+                )
+            # integer keyword on a fractional column
+            if base == "number" and jtype == "number" and cs.allow_number and not cs.allow_fraction:
+                frac = (col.cast("double") % F.lit(1.0)) != F.lit(0.0)
+                leaf(frac, "type", cs.allowed_types, col, "Expected an integer")
+
+        # ---- per-type keyword kernels --------------------------------------
+        if jtype in ("integer", "number"):
+            self._number_kernels(cs, col, path, leaf)
+        elif jtype == "string":
+            scol = col.cast("string") if not isinstance(dtype, T.StringType) else col
+            self._string_kernels(cs, scol, path, leaf)
+        elif jtype == "boolean":
+            self._boolean_kernels(cs, col, path, leaf)
+        elif jtype == "array":
+            v2, p2 = self._array_kernels(cs, col, dtype, path, depth)
+            valids.append(v2)
+            pieces.append(p2)
+        elif jtype == "object":
+            v2, p2 = self._object_kernels(cs, col, dtype, path, depth)
+            valids.append(v2)
+            pieces.append(p2)
+
+        # ---- combinators -----------------------------------------------------
+        for sub in cs.all_of:
+            v2, p2 = self.compile_value(sub, col, dtype, path, depth + 1)
+            valids.append(v2)
+            pieces.append(p2)
+
+        if cs.ref is not None:
+            v2, p2 = self.compile_value(cs.resolve_ref(), col, dtype, path, depth + 1)
+            valids.append(v2)
+            pieces.append(p2)
+
+        if cs.any_of:
+            branch_valids = [
+                self.compile_value(s, col, dtype, path, depth + 1)[0] for s in cs.any_of
+            ]
+            any_ok = branch_valids[0]
+            for b in branch_valids[1:]:
+                any_ok = any_ok | b
+            leaf(~any_ok, "anyOf", 1, F.lit(0),
+                 'Expected "anyOf" to have at least one matching schema')
+
+        if cs.one_of:
+            branch_valids = [
+                self.compile_value(s, col, dtype, path, depth + 1)[0] for s in cs.one_of
+            ]
+            count = branch_valids[0].cast("int")
+            for b in branch_valids[1:]:
+                count = count + b.cast("int")
+            leaf(count != F.lit(1), "oneOf", 1, count,
+                 'Expected "oneOf" to have exactly one matching schema')
+
+        if cs.not_ is not None:
+            nv, _ = self.compile_value(cs.not_, col, dtype, path, depth + 1)
+            leaf(nv, "not", None, F.lit(None), 'Expected "not" to fail')
+
+        if cs.if_ is not None and (cs.then_ is not None or cs.else_ is not None):
+            iv, _ = self.compile_value(cs.if_, col, dtype, path, depth + 1)
+            tv, tp = (
+                self.compile_value(cs.then_, col, dtype, path, depth + 1)
+                if cs.then_ is not None
+                else (F.lit(True), empty_violations())
+            )
+            ev, ep = (
+                self.compile_value(cs.else_, col, dtype, path, depth + 1)
+                if cs.else_ is not None
+                else (F.lit(True), empty_violations())
+            )
+            valids.append(F.when(iv, tv).otherwise(ev))
+            pieces.append(F.when(iv, tp).otherwise(ep))
+
+        # ---- enum / const ----------------------------------------------------
+        self._enum_const_kernels(cs, col, dtype, jtype, path, leaf, depth)
+
+        viols = _concat(pieces)
+        valid = valids[0] if valids else F.lit(True)
+        for v in valids[1:]:
+            valid = valid & v
+        # NULL value => vacuous pass (parent handles presence)
+        valid = F.when(col.isNull(), F.lit(True)).otherwise(valid)
+        viols = F.when(col.isNull(), empty_violations()).otherwise(viols)
+        return valid, viols
+
+    # ------------------------------------------------------------------
+    def _number_kernels(self, cs: CompiledSchema, col: Column, path, leaf) -> None:
+        d = col.cast("double")
+        if cs.exclusive_minimum is not None:
+            leaf(d <= F.lit(float(cs.exclusive_minimum)), "exclusiveMinimum",
+                 cs.exclusive_minimum, col, "Number under minimum")
+        if cs.minimum is not None:
+            leaf(d < F.lit(float(cs.minimum)), "minimum", cs.minimum, col,
+                 "Number under/equal to minimum")
+        if cs.exclusive_maximum is not None:
+            leaf(d >= F.lit(float(cs.exclusive_maximum)), "exclusiveMaximum",
+                 cs.exclusive_maximum, col, "Number under maximum")
+        if cs.maximum is not None:
+            leaf(d > F.lit(float(cs.maximum)), "maximum", cs.maximum, col,
+                 "Number under/equal to maximum")
+        if cs.multiple_of is not None:
+            # JS `n / k % 1` float semantics (schema.js:937); Spark % on
+            # doubles is fmod — bit-identical to the reference
+            bad = (d / F.lit(float(cs.multiple_of))) % F.lit(1.0) != F.lit(0.0)
+            leaf(bad, "multipleOf", cs.multiple_of, col, "Number not multiple of")
+
+    def _string_kernels(self, cs: CompiledSchema, col: Column, path, leaf) -> None:
+        # F.length counts code points — matches reference surrogate handling
+        # (parse.js:1232-1233,1256; SURVEY.md §4.3-2)
+        if cs.min_length is not None:
+            leaf(F.length(col) < F.lit(int(cs.min_length)), "minLength",
+                 cs.min_length, F.length(col), "String too short")
+        if cs.max_length is not None:
+            leaf(F.length(col) > F.lit(int(cs.max_length)), "maxLength",
+                 cs.max_length, F.length(col), "String too long")
+        if cs.pattern is not None:
+            if not rlike_safe(cs.pattern):
+                raise ExpressionFallback(f"ECMAScript-only regex {cs.pattern!r}")
+            # search semantics: Java find() == RegExp.test (schema.js:884)
+            leaf(~col.rlike(cs.pattern), "pattern", cs.pattern, col,
+                 "String does not match /" + cs.pattern + "/")
+
+    def _boolean_kernels(self, cs: CompiledSchema, col: Column, path, leaf) -> None:
+        if cs.const_type == "boolean":
+            leaf(col != F.lit(bool(cs.const_value)), "const", cs.const_value,
+                 col, "const mismatch")
+
+    # ------------------------------------------------------------------
+    def _enum_const_kernels(self, cs, col, dtype, jtype, path, leaf, depth) -> None:
+        if cs.enum_literals is not None and jtype in ("string", "integer", "number", "boolean"):
+            if jtype in ("integer", "number"):
+                lits = [v for (k, v) in ((x[0], x[1]) for x in cs.enum_literals if len(x) > 1) if k == "n"]
+                msg = "Number does not match one of the enumerated values"
+                test_col = col.cast("double")
+                lits = [float(v) for v in lits]
+            elif jtype == "string":
+                lits = [v for (k, v) in ((x[0], x[1]) for x in cs.enum_literals if len(x) > 1) if k == "s"]
+                msg = "String does not match one of the enumerated values"
+                test_col = col.cast("string") if not isinstance(dtype, T.StringType) else col
+            else:
+                lits = [v for (k, v) in ((x[0], x[1]) for x in cs.enum_literals if len(x) > 1) if k == "b"]
+                msg = "Boolean does not match one of the enumerated values"
+                test_col = col
+            if lits:
+                # Catalyst OptimizeIn turns this into an InSet hash probe
+                leaf(~test_col.isin(lits), "enum", cs.enum_values, col, msg)
+            else:
+                leaf(F.lit(True), "enum", getattr(cs, "enum_values", None), col, msg)
+
+        if cs.const_type is not None:
+            if cs.const_type == "string" and jtype == "string":
+                leaf(col != F.lit(cs.const_value), "const", cs.const_value, col,
+                     "String does not match constant")
+            elif cs.const_type == "number" and jtype in ("integer", "number"):
+                leaf(col.cast("double") != F.lit(float(cs.const_value)), "const",
+                     cs.const_value, col, "const number mismatch")
+            # boolean handled in _boolean_kernels; object/array via
+            # const_length + const_properties/const_items in container kernels
+
+    # ------------------------------------------------------------------
+    def _array_kernels(self, cs, col: Column, dtype: T.ArrayType, path, depth):
+        pieces: list[Column] = []
+        valids: list[Column] = []
+        sid = cs.id
+
+        def leaf(cond_bad, keyword, expected, actual, message):
+            v = make_violation(sid, path, keyword, None if expected is None else str(expected),
+                               actual, F.lit(message))
+            pieces.append(F.when(cond_bad, F.array(v)).otherwise(empty_violations()))
+            valids.append(~cond_bad)
+
+        n = F.size(col)
+        if cs.min_items is not None:
+            leaf(n < F.lit(int(cs.min_items)), "minItems", cs.min_items, n, "Too few items")
+        if cs.max_items is not None:
+            leaf(n > F.lit(int(cs.max_items)), "maxItems", cs.max_items, n, "Too many items")
+        if cs.const_type == "array" and cs.const_length is not None:
+            leaf(n != F.lit(int(cs.const_length)), "const", cs.const_length, n,
+                 "Incorrect number of items")
+
+        elem_type = dtype.elementType
+
+        def item_pair(sub: CompiledSchema, x: Column, i: Column):
+            ipath = F.concat(path.cast("string"), F.lit("/"), i.cast("string"))
+            return self.compile_value(sub, x, elem_type, ipath, depth + 1)
+
+        if cs.items_all is not None:
+            sub = cs.items_all
+            per_elem = F.transform(col, lambda x, i: F.struct(
+                item_pair(sub, x, i)[0].alias("ok"),
+                item_pair(sub, x, i)[1].alias("v"),
+            ))
+            valids.append(F.forall(per_elem, lambda s: s["ok"]))
+            pieces.append(F.flatten(F.transform(per_elem, lambda s: s["v"])))
+        elif cs.items_tuple is not None:
+            for idx, sub in enumerate(cs.items_tuple):
+                ipath = F.concat(path.cast("string"), F.lit(f"/{idx}"))
+                item = F.when(n > idx, F.element_at(col, idx + 1))
+                v2, p2 = self.compile_value(sub, item, elem_type, ipath, depth + 1)
+                valids.append(v2)
+                pieces.append(p2)
+            if cs.additional_items is not None:
+                sub = cs.additional_items
+                start = len(cs.items_tuple)
+                rest = F.slice(col, start + 1, F.greatest(n - start, F.lit(0)))
+                per_elem = F.transform(
+                    rest,
+                    lambda x, i: F.struct(
+                        self.compile_value(
+                            sub, x, elem_type,
+                            F.concat(path.cast("string"), F.lit("/"), (i + start).cast("string")),
+                            depth + 1,
+                        )[0].alias("ok"),
+                        self.compile_value(
+                            sub, x, elem_type,
+                            F.concat(path.cast("string"), F.lit("/"), (i + start).cast("string")),
+                            depth + 1,
+                        )[1].alias("v"),
+                    ),
+                )
+                valids.append(F.forall(per_elem, lambda s: s["ok"]))
+                pieces.append(F.flatten(F.transform(per_elem, lambda s: s["v"])))
+
+        if self.extensions and cs.contains is not None:
+            sub = cs.contains
+            hits = F.size(F.filter(col, lambda x: self.compile_value(
+                sub, x, elem_type, path, depth + 1)[0]))
+            lo = int(cs.min_contains) if cs.min_contains is not None else 1
+            leaf(hits < F.lit(lo), "contains", lo, hits,
+                 'Expected "contains" to match at least one item')
+            if cs.max_contains is not None:
+                leaf(hits > F.lit(int(cs.max_contains)), "maxContains",
+                     cs.max_contains, hits,
+                     'Expected "contains" to match at most maxContains items')
+
+        if self.extensions and cs.unique_items:
+            leaf(F.size(F.array_distinct(col)) != n, "uniqueItems", True, n,
+                 "Array items are not unique")
+
+        viols = _concat(pieces)
+        valid = valids[0] if valids else F.lit(True)
+        for v in valids[1:]:
+            valid = valid & v
+        return valid, viols
+
+    # ------------------------------------------------------------------
+    def _object_kernels(self, cs, col: Column, dtype: T.DataType, path, depth):
+        """Struct columns: static key routing (properties -> fields).
+        Map columns: dynamic keys via map HOFs (scalar subschemas only)."""
+        pieces: list[Column] = []
+        valids: list[Column] = []
+        sid = cs.id
+
+        def leaf(cond_bad, keyword, expected, actual, message):
+            v = make_violation(sid, path, keyword, None if expected is None else str(expected),
+                               actual, F.lit(message))
+            pieces.append(F.when(cond_bad, F.array(v)).otherwise(empty_violations()))
+            valids.append(~cond_bad)
+
+        if isinstance(dtype, T.StructType):
+            names = [f.name for f in dtype.fields]
+            types = {f.name: f.dataType for f in dtype.fields}
+            present = [F.when(col.getField(nm).isNotNull(), 1).otherwise(0) for nm in names]
+            n_present = sum(present[1:], present[0]) if present else F.lit(0)
+            if cs.min_properties is not None:
+                leaf(n_present < F.lit(int(cs.min_properties)), "minProperties",
+                     cs.min_properties, n_present, "Too few properties")
+            if cs.max_properties is not None:
+                leaf(n_present > F.lit(int(cs.max_properties)), "maxProperties",
+                     cs.max_properties, n_present, "Too many properties")
+            if cs.required is not None:
+                for k in sorted(cs.required):
+                    if k in types:
+                        leaf(col.getField(k).isNull(), "required", 0, F.lit(1),
+                             "Required property missing")
+                    else:
+                        leaf(F.lit(True), "required", 0, F.lit(1), "Required property missing")
+            # route fields (projection analog of initProperty, schema.js:1195-1224)
+            for nm in names:
+                fpath = F.concat(path.cast("string"), F.lit("/" + nm))
+                routed_subs = []
+                if nm in cs.properties:
+                    routed_subs.append(cs.properties[nm])
+                for _, rx, psub in cs.pattern_properties:
+                    if rx.search(nm):
+                        routed_subs.append(psub)
+                if not routed_subs and cs.additional_properties is not None:
+                    routed_subs.append(cs.additional_properties)
+                if cs.const_properties is not None and nm in cs.const_properties:
+                    routed_subs.append(cs.const_properties[nm])
+                for sub in routed_subs:
+                    v2, p2 = self.compile_value(sub, col.getField(nm), types[nm], fpath, depth + 1)
+                    valids.append(v2)
+                    pieces.append(p2)
+        elif isinstance(dtype, T.MapType):
+            if not isinstance(dtype.keyType, T.StringType):
+                raise ExpressionFallback("map keys must be strings for object semantics")
+            keys = F.map_keys(col)
+            n = F.size(keys)
+            if cs.min_properties is not None:
+                leaf(n < F.lit(int(cs.min_properties)), "minProperties",
+                     cs.min_properties, n, "Too few properties")
+            if cs.max_properties is not None:
+                leaf(n > F.lit(int(cs.max_properties)), "maxProperties",
+                     cs.max_properties, n, "Too many properties")
+            if cs.required is not None:
+                for k in sorted(cs.required):
+                    leaf(~F.array_contains(keys, k), "required", 0, F.lit(1),
+                         "Required property missing")
+            vtype = dtype.valueType
+            for key, sub in cs.properties.items():
+                fpath = F.concat(path.cast("string"), F.lit("/" + key))
+                v2, p2 = self.compile_value(
+                    sub, F.element_at(col, F.lit(key)), vtype, fpath, depth + 1)
+                valids.append(v2)
+                pieces.append(p2)
+            for pat, rx, psub in cs.pattern_properties:
+                if not rlike_safe(pat):
+                    raise ExpressionFallback(f"ECMAScript-only key regex {pat!r}")
+                matched_vals = F.map_values(
+                    F.map_filter(col, lambda k, v: k.rlike(pat)))
+                per_elem = F.transform(matched_vals, lambda x: self.compile_value(
+                    psub, x, vtype, path, depth + 1)[0])
+                leaf(~F.forall(per_elem, lambda ok: ok), "patternProperties",
+                     pat, F.lit(None), "patternProperties mismatch")
+            if cs.additional_properties is not None:
+                known = list(cs.properties.keys())
+                apsub = cs.additional_properties
+
+                def is_additional(k: Column) -> Column:
+                    cond = ~k.isin(known) if known else F.lit(True)
+                    for pat, _, _ in cs.pattern_properties:
+                        cond = cond & ~k.rlike(pat)
+                    return cond
+
+                extra_vals = F.map_values(F.map_filter(col, lambda k, v: is_additional(k)))
+                per_elem = F.transform(extra_vals, lambda x: self.compile_value(
+                    apsub, x, vtype, path, depth + 1)[0])
+                leaf(~F.forall(per_elem, lambda ok: ok), "additionalProperties",
+                     None, F.lit(None), "additionalProperties mismatch")
+            if self.extensions and cs.property_names is not None:
+                pn = cs.property_names
+                per_key = F.transform(keys, lambda k: self.compile_value(
+                    pn, k, T.StringType(), path, depth + 1)[0])
+                leaf(~F.forall(per_key, lambda ok: ok), "propertyNames",
+                     None, F.lit(None), "propertyNames mismatch")
+        else:
+            raise ExpressionFallback(f"object keywords on {dtype.simpleString()}")
+
+        viols = _concat(pieces)
+        valid = valids[0] if valids else F.lit(True)
+        for v in valids[1:]:
+            valid = valid & v
+        return valid, viols

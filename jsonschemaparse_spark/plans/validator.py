@@ -1,0 +1,138 @@
+"""Table-scope validation pass: DataFrame + rules -> verdicts/violations.
+
+The Spark re-expression of the reference's parse-and-validate single pass
+(parse.js:342-1081 + schema.js:1023-1417): ONE narrow projection computes a
+`valid` boolean and a `violations` array per row; violation rows explode from
+that array; per-partition verdicts aggregate it. No shuffle is required for
+validation itself — verdicts use a partition-local aggregation
+(spark_partition_id groupBy is map-side only because the grouping key IS the
+partition id).
+
+Row-as-object semantics: the root schema's `properties` route to table
+COLUMNS (SURVEY.md §1.2); a NULL column value is an absent property.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..schema.compiler import CompiledSchema, compile_rules
+from .kernels import (
+    VIOLATION_ARRAY,
+    ColumnCompiler,
+    ExpressionFallback,
+)
+
+VALID_COL = "_jsp_valid"
+VIOLATIONS_COL = "_jsp_violations"
+PARTITION_COL = "_jsp_partition_id"
+
+
+def _compiled(rules) -> CompiledSchema:
+    return rules if isinstance(rules, CompiledSchema) else compile_rules(rules)
+
+
+@dataclass
+class ValidationResult:
+    """Outputs of one validation pass (SURVEY.md §7.0 diagram)."""
+
+    annotated: DataFrame  # input columns + _jsp_valid + _jsp_violations
+    key_cols: list[str]
+
+    def violations(self) -> DataFrame:
+        """(key..., constraint_id, path, keyword, expected, actual, message)
+        — the reference's errors[] sink as a DataFrame (error.js:21-37)."""
+        v = F.explode(F.col(VIOLATIONS_COL)).alias("v")
+        return self.annotated.select(*self.key_cols, v).select(
+            *self.key_cols,
+            F.col("v.constraint_id").alias("constraint_id"),
+            F.col("v.path").alias("path"),
+            F.col("v.keyword").alias("keyword"),
+            F.col("v.expected").alias("expected"),
+            F.col("v.actual").alias("actual"),
+            F.col("v.message").alias("message"),
+        )
+
+    def verdicts(self) -> DataFrame:
+        """Per-partition pass/fail (north rule). Partition-local agg: the
+        grouping key is spark_partition_id, so AQE keeps this map-side."""
+        return (
+            self.annotated.select(
+                F.spark_partition_id().alias(PARTITION_COL),
+                F.col(VALID_COL),
+                F.size(F.col(VIOLATIONS_COL)).alias("_n_viol"),
+            )
+            .groupBy(PARTITION_COL)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.when(F.col(VALID_COL), 0).otherwise(1)).alias("n_failed_rows"),
+                F.sum("_n_viol").alias("n_violations"),
+            )
+            .withColumn("pass", F.col("n_failed_rows") == 0)
+        )
+
+    def summary(self) -> dict:
+        row = self.annotated.select(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col(VALID_COL), 0).otherwise(1)).alias("n_failed_rows"),
+            F.sum(F.size(F.col(VIOLATIONS_COL))).alias("n_violations"),
+        ).first()
+        return {
+            "n_rows": row["n_rows"],
+            "n_failed_rows": row["n_failed_rows"] or 0,
+            "n_violations": row["n_violations"] or 0,
+            "pass": (row["n_failed_rows"] or 0) == 0,
+        }
+
+
+def validate_dataframe(
+    df: DataFrame,
+    rules,
+    key_cols: Optional[Sequence[str]] = None,
+    extensions: bool = True,
+    fallback: str = "auto",
+) -> ValidationResult:
+    """Single-pass table validation.
+
+    The whole row is treated as one JSON object (columns = properties) and
+    compiled to Column expressions. Catalyst's SimplifyExtractValueOps
+    collapses ``struct(cols...).field`` back to the bare column, so wrapping
+    the row in a struct costs nothing physically — check .explain().
+
+    fallback: 'auto' routes ExpressionFallback subtrees through the
+    Arrow-batched Python evaluator (whole-row JSON); 'never' raises.
+    """
+    cs = _compiled(rules)
+    if key_cols is None:
+        key_cols = [df.columns[0]]
+    key_cols = list(key_cols)
+
+    row_struct = F.struct(*[F.col(c) for c in df.columns])
+    compiler = ColumnCompiler(extensions=extensions)
+    try:
+        valid, viols = compiler.compile_value(cs, row_struct, df.schema, F.lit(""))
+        annotated = df.withColumns(
+            {
+                VALID_COL: F.coalesce(valid, F.lit(True)),
+                VIOLATIONS_COL: F.coalesce(viols, F.array().cast(VIOLATION_ARRAY)),
+            }
+        )
+        return ValidationResult(annotated=annotated, key_cols=key_cols)
+    except ExpressionFallback:
+        if fallback == "never":
+            raise
+        from .json_validator import validate_json_rows
+
+        return validate_json_rows(df, cs, key_cols=key_cols, extensions=extensions)
+
+
+def strict_first_error(result: ValidationResult):
+    """``parse()``-style strict mode (parse.js:76-97): return the first
+    violation if any. Catalyst CollectLimit early-exits the scan — the
+    distributed analog of the reference's throw-on-first-error."""
+    rows = result.violations().limit(1).collect()
+    return rows[0] if rows else None

@@ -470,8 +470,15 @@ def _compile_regex(pattern: str):
     # ECMAScript allows unescaped '/' and some constructs map 1:1.
     try:
         return re.compile(translated)
-    except re.error as e:
-        raise SchemaError(f"Unsupported pattern {pattern!r}: {e}") from e
+    except re.error:
+        # \p{...} property classes etc.: the third-party `regex` module
+        # implements them with Unicode semantics close to ECMAScript-u
+        try:
+            import regex as regex_mod
+
+            return regex_mod.compile(translated)
+        except Exception as e:  # noqa: BLE001
+            raise SchemaError(f"Unsupported pattern {pattern!r}: {e}") from e
 
 
 def compile_rules(
