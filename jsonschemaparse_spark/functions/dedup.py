@@ -1,0 +1,263 @@
+"""Deduplication for web-scale training-data pipelines.
+
+Four tiers, all shuffle-aware:
+- exact:     md5-normalized content key -> hash groupBy. Map-side partial
+             agg; shuffle carries one row per distinct key.
+- minhash:   shingle -> H portable min-hashes -> band buckets -> bucket
+             join. Only same-bucket pairs are compared; the candidate join
+             key (band_id, band_hash) is high-cardinality => well-spread
+             shuffle. Verification (exact Jaccard) touches candidates only.
+- simhash:   64-bit sign fingerprint via Arrow-vectorized numpy; near-dups
+             = small Hamming distance within banded buckets.
+- ngram-jaccard: exact pairwise Jaccard on shingle sets for candidate pairs.
+
+Hash choice: md5-derived (portable to the DuckDB oracle, deterministic
+across engines/processes). xxhash64 would be faster JVM-side; swap
+`_hash_shingle` if oracle parity is not needed.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized_text(text: Column) -> Column:
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def content_key(text: Column) -> Column:
+    """Portable exact-dup key: md5 hex of normalized utf-8 bytes."""
+    return F.md5(F.encode(normalized_text(text), "UTF-8"))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+def exact_duplicate_groups(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """(content_key, n_docs, doc_ids) for groups with >1 member."""
+    return (
+        df.select(F.col(id_col), content_key(F.col(text_col)).alias("content_key"))
+        .groupBy("content_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Keep the lowest-id row per content key. Window-free formulation:
+    min(id) per key then semi-join back — two map-side-combinable aggs
+    instead of a full sort within every key partition."""
+    keyed = df.withColumn("_ck", content_key(F.col(text_col)))
+    keep = keyed.groupBy("_ck").agg(F.min(id_col).alias(id_col))
+    return keyed.join(keep, on=["_ck", id_col], how="left_semi").drop("_ck")
+
+
+# ---------------------------------------------------------------------------
+# shingles + minhash LSH
+# ---------------------------------------------------------------------------
+def shingles(text: Column, k: int = 3) -> Column:
+    """Word k-gram shingle array (distinct). Pure HOF expression."""
+    words = F.split(normalized_text(text), " ")
+    n = F.size(words)
+    return F.array_distinct(
+        F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda j: F.array_join(F.slice(words, j, k), " "),
+            ),
+        ).otherwise(F.array(F.array_join(words, " ")))
+    )
+
+
+def _minhash_one(sh: Column, perm: int) -> Column:
+    """Min over md5(perm:shingle) hex strings — lexicographic min of a keyed
+    cryptographic hash is a valid random-permutation proxy, and is
+    reproducible in ANSI SQL (the DuckDB oracle uses the identical form)."""
+    return F.array_min(
+        F.transform(sh, lambda s: F.md5(F.encode(F.concat(F.lit(f"{perm}:"), s), "UTF-8")))
+    )
+
+
+def minhash_signature(text: Column, num_hashes: int = 8, k: int = 3) -> Column:
+    sh = shingles(text, k)
+    return F.array(*[_minhash_one(sh, p) for p in range(num_hashes)])
+
+
+def minhash_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs (id_a < id_b, band_hits). rows/band = H/bands.
+
+    Scale shape: explode to (band_id, band_hash, id); groupBy bucket with
+    collect_list is safe because bucket sizes are tiny for non-degenerate
+    data (identical band-hash implies near-identical shingle sets); the
+    self-join alternative is provided by `minhash_candidates_join` for
+    skew-prone corpora.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes, k)
+    banded = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(
+            F.array(*[
+                F.md5(F.concat_ws("|", *[
+                    F.element_at(sig, b * rows_per_band + r + 1)
+                    for r in range(rows_per_band)
+                ]))
+                for b in range(bands)
+            ])
+        ).alias("band_id", "band_hash"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("band_hits"))
+    )
+    return pairs
+
+
+def jaccard(text_a: Column, text_b: Column, k: int = 3) -> Column:
+    """Exact word-shingle Jaccard similarity of two texts."""
+    sa, sb = shingles(text_a, k), shingles(text_b, k)
+    inter = F.size(F.array_intersect(sa, sb)).cast("double")
+    union = F.size(F.array_union(sa, sb)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_hashes: int = 8,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Candidates from LSH, verified with exact Jaccard >= threshold.
+    (id_a, id_b, jaccard). Verification joins texts back for candidate ids
+    only — at 100 TB that's the crucial asymmetry: the full corpus is
+    scanned once to build signatures; texts are re-read just for the
+    (tiny) candidate set."""
+    cands = minhash_candidates(df, id_col, text_col, num_hashes, bands, k)
+    texts = df.select(F.col(id_col), F.col(text_col))
+    a = texts.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta"))
+    b = texts.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb"))
+    return (
+        cands.join(a, "id_a").join(b, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(jaccard(F.col("_ta"), F.col("_tb"), k), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str = "text", k: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard via inverted index on shingles —
+    feasible when shingle posting lists are short (dedup-after-exact).
+    Shuffle key = shingle; pairs sharing >=1 shingle are scored exactly."""
+    sh = df.select(F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), k)).alias("sh"),
+                   F.size(shingles(F.col(text_col), k)).alias("n_sh"))
+    l, r = sh.alias("l"), sh.alias("r")
+    co = (
+        l.join(r, (F.col("l.sh") == F.col("r.sh")) & (F.col("l.doc") < F.col("r.doc")))
+        .groupBy(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"),
+             F.first("l.n_sh").alias("na"), F.first("r.n_sh").alias("nb"))
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return co.select("id_a", "id_b", F.round(jac, 6).alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+# ---------------------------------------------------------------------------
+# simhash (Arrow-vectorized)
+# ---------------------------------------------------------------------------
+def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """64-bit simhash per doc: tokens hashed deterministically
+    (pd.util.hash_array), bit votes summed with numpy. One Python call per
+    Arrow batch; inner loop is vectorized bit arithmetic."""
+    import numpy as np
+
+    out_schema = f"{df.schema[id_col].simpleString().replace(':', ' ')}, simhash long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sims = []
+            for text in pdf[text_col]:
+                toks = (text or "").lower().split()
+                if not toks:
+                    sims.append(0)
+                    continue
+                h = pd.util.hash_array(np.asarray(toks, dtype=object)).astype(np.uint64)
+                bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+                votes = (2 * bits - 1).sum(axis=0)
+                val = 0
+                for i in range(64):
+                    if votes[i] > 0:
+                        val |= 1 << i
+                sims.append(val - (1 << 64) if val >= (1 << 63) else val)
+            yield pd.DataFrame({id_col: pdf[id_col], "simhash": sims})
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
+def simhash_near_duplicates(
+    df: DataFrame, id_col: str, text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Banded simhash near-dup: 4 × 16-bit bands; Hamming<=3 guarantees at
+    least one identical band (pigeonhole), so the candidate join is exact
+    for the radius. (id_a, id_b, hamming)."""
+    sh = simhash(df, id_col, text_col)
+    bands = sh.select(
+        F.col(id_col).alias("doc"),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned(F.col("simhash"), 16 * b).bitwiseAND(F.lit(0xFFFF))
+                for b in range(4)
+            ])
+        ).alias("band_id", "band_val"),
+    )
+    l, r = bands.alias("l"), bands.alias("r")
+    ham = F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
+    return (
+        l.join(
+            r,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(
+            F.col("l.doc").alias("id_a"),
+            F.col("r.doc").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,191 @@
+"""Table-scope constraints: uniqueness, referential integrity, drift.
+
+These extend the reference's single-document contract to table scope
+(SURVEY.md §2.11): `uniqueItems` — declared unsupported by the reference
+(schema.js:714) — becomes cross-table uniqueness; `$ref` across schemas
+(schema.js:609-621) becomes a referential anti-join; distribution drift has
+no reference seed (pure extension).
+
+Scale notes (100 TB):
+- uniqueness: partial hash-agg combines map-side, shuffle carries distinct
+  keys only; HLL fast-path avoids the shuffle entirely when an estimate is
+  enough (compare approx distinct vs count within rsd).
+- referential: broadcast the parent side when small (dimension tables);
+  sort-merge otherwise with AQE skew-join splitting oversized partitions.
+- drift: per-partition histogram partials merge associatively (the shuffle
+  moves bin counts, never rows); KS/chi-square tail math runs on the driver
+  over bytes-sized inputs (stats_math.py — scipy-free).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .stats_math import chi2_sf, ks_2samp_pvalue
+
+
+# ---------------------------------------------------------------------------
+# uniqueness
+# ---------------------------------------------------------------------------
+def uniqueness_violations(df: DataFrame, keys: Sequence[str] | str) -> DataFrame:
+    """Exact duplicate keys: (key..., n_duplicates). Hash-agg; only keys with
+    count>1 survive the HAVING filter (pushed after partial agg)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_duplicates"))
+        .filter(F.col("n_duplicates") > 1)
+    )
+
+
+def uniqueness_check(df: DataFrame, keys: Sequence[str] | str, rsd: float = 0.02) -> dict:
+    """HLL fast path: no shuffle of keys, just one aggregation. If the HLL
+    estimate is within its error band of the row count, the key is unique
+    with high confidence; only then is the exact check worth running."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    key_col = F.concat_ws("", *[F.col(k).cast("string") for k in keys])
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct(key_col, rsd).alias("d"),
+    ).first()
+    n, d = row["n"], row["d"]
+    probably_unique = d >= n * (1 - 3 * rsd)
+    return {"n_rows": n, "approx_distinct": d, "probably_unique": bool(probably_unique)}
+
+
+# ---------------------------------------------------------------------------
+# referential integrity
+# ---------------------------------------------------------------------------
+def referential_violations(
+    child: DataFrame,
+    child_key: str,
+    parent: DataFrame,
+    parent_key: str,
+    broadcast_parent: Optional[bool] = None,
+    broadcast_threshold_rows: int = 10_000_000,
+) -> DataFrame:
+    """Child rows whose key has no parent (left_anti join).
+
+    broadcast_parent=None auto-decides: dimension-sized parents are
+    broadcast (no shuffle of the 100-TB child side at all); large parents
+    fall back to sort-merge where AQE handles skew splitting.
+    """
+    parent_keys = parent.select(F.col(parent_key).alias(child_key)).dropDuplicates([child_key])
+    if broadcast_parent is None:
+        # cheap driver-side heuristic usable in tests; on a real cluster rely
+        # on spark.sql.autoBroadcastJoinThreshold / AQE instead of count()
+        broadcast_parent = parent_keys.count() <= broadcast_threshold_rows
+    if broadcast_parent:
+        parent_keys = F.broadcast(parent_keys)
+    return child.join(parent_keys, on=child_key, how="left_anti")
+
+
+def referential_check(child, child_key, parent, parent_key, **kw) -> dict:
+    bad = referential_violations(child, child_key, parent, parent_key, **kw)
+    n_orphans = bad.count()
+    return {"n_orphans": n_orphans, "pass": n_orphans == 0}
+
+
+# ---------------------------------------------------------------------------
+# distribution drift
+# ---------------------------------------------------------------------------
+@dataclass
+class DriftResult:
+    statistic: float
+    p_value: float
+    n_left: int
+    n_right: int
+    drifted: bool
+    test: str
+
+
+def _hist(df: DataFrame, column: str, edges: list[float]) -> list[int]:
+    """Histogram partials via width_bucket + groupBy: the shuffle moves
+    (bucket, count) pairs — constant-sized regardless of table size."""
+    b = F.width_bucket(F.col(column).cast("double"), F.lit(edges[0]),
+                       F.lit(edges[-1]), F.lit(len(edges) - 1))
+    rows = (
+        df.filter(F.col(column).isNotNull())
+        .groupBy(b.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    counts = [0] * (len(edges) + 1)  # bucket 0 = underflow, n_bins+1 = overflow
+    for r in rows:
+        counts[min(int(r["bucket"]), len(edges))] = r["cnt"]
+    return counts
+
+
+def ks_drift(
+    left: DataFrame,
+    right: DataFrame,
+    column: str,
+    n_bins: int = 256,
+    alpha: float = 0.01,
+) -> DriftResult:
+    """Two-sample KS over a shared bin grid (binned ECDF approximation —
+    exact to 1/n_bins in the statistic). Two histogram aggs, driver math."""
+    lo_hi = left.select(
+        F.min(F.col(column).cast("double")).alias("lo"),
+        F.max(F.col(column).cast("double")).alias("hi"),
+    ).first()
+    lo2_hi2 = right.select(
+        F.min(F.col(column).cast("double")).alias("lo"),
+        F.max(F.col(column).cast("double")).alias("hi"),
+    ).first()
+    lo = min(lo_hi["lo"], lo2_hi2["lo"])
+    hi = max(lo_hi["hi"], lo2_hi2["hi"])
+    if lo == hi:
+        hi = lo + 1.0
+    edges = [lo + (hi - lo) * i / n_bins for i in range(n_bins + 1)]
+    hl = _hist(left, column, edges)
+    hr = _hist(right, column, edges)
+    n1, n2 = sum(hl), sum(hr)
+    d = 0.0
+    cl = cr = 0
+    for i in range(len(hl)):
+        cl += hl[i]
+        cr += hr[i]
+        d = max(d, abs(cl / n1 - cr / n2))
+    p = ks_2samp_pvalue(d, n1, n2)
+    return DriftResult(d, p, n1, n2, p < alpha, "ks")
+
+
+def chi2_drift(
+    left: DataFrame,
+    right: DataFrame,
+    column: str,
+    alpha: float = 0.01,
+    max_categories: int = 10_000,
+) -> DriftResult:
+    """Chi-square homogeneity test on a categorical column. One groupBy per
+    side (distinct categories only cross the wire)."""
+    lc = {r["v"]: r["c"] for r in left.groupBy(F.col(column).alias("v"))
+          .agg(F.count(F.lit(1)).alias("c")).limit(max_categories).collect()}
+    rc = {r["v"]: r["c"] for r in right.groupBy(F.col(column).alias("v"))
+          .agg(F.count(F.lit(1)).alias("c")).limit(max_categories).collect()}
+    cats = sorted(set(lc) | set(rc), key=lambda x: (x is None, str(x)))
+    n1 = sum(lc.values())
+    n2 = sum(rc.values())
+    total = n1 + n2
+    stat = 0.0
+    dof = 0
+    for cat in cats:
+        o1, o2 = lc.get(cat, 0), rc.get(cat, 0)
+        row_total = o1 + o2
+        if row_total == 0:
+            continue
+        e1 = row_total * n1 / total
+        e2 = row_total * n2 / total
+        if e1 > 0:
+            stat += (o1 - e1) ** 2 / e1
+        if e2 > 0:
+            stat += (o2 - e2) ** 2 / e2
+        dof += 1
+    dof = max(dof - 1, 1)
+    p = chi2_sf(stat, dof)
+    return DriftResult(stat, p, n1, n2, p < alpha, "chi2")

@@ -1,0 +1,118 @@
+"""Text analysis for large-scale training-data pipelines.
+
+All hot paths are built-in Spark SQL expressions (JVM, whole-stage codegen);
+nothing here drops to Python. Each op has a DuckDB-expressible twin in
+__spark_entry__.oracle_sql() — deterministic, portable formulations only
+(md5-based hashing, regex counts), no engine-specific hash functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish token regex: word pieces or single non-space punctuation.
+TOKEN_RE = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+# Tiny per-language stopword profiles for n-gram/stopword language ID.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "pour", "dans", "que"],
+    "es": ["el", "la", "los", "de", "que", "es", "una", "por", "con", "para"],
+    "it": ["il", "la", "che", "di", "non", "una", "per", "con", "sono", "del"],
+    "pt": ["o", "a", "que", "de", "nao", "uma", "para", "com", "os", "do"],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count; empty/null-safe."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish count: word pieces + punctuation marks (TOKEN_RE)."""
+    return F.coalesce(F.regexp_count(text, F.lit(TOKEN_RE)), F.lit(0))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append length/punctuation/stopword quality features + a [0,1] score.
+
+    The score mirrors common web-text quality filters (length band,
+    alpha ratio, punctuation density, stopword presence).
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count(t)
+    n_alpha = F.coalesce(F.regexp_count(t, F.lit(r"[A-Za-z]")), F.lit(0))
+    n_punct = F.coalesce(F.regexp_count(t, F.lit(r"[^\w\s]")), F.lit(0))
+    n_stop = F.coalesce(
+        F.regexp_count(
+            F.lower(t),
+            F.lit(r"\b(" + "|".join(STOPWORDS["en"]) + r")\b"),
+        ),
+        F.lit(0),
+    )
+    alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
+    mean_word_len = F.when(n_tokens > 0, n_chars / n_tokens).otherwise(F.lit(0.0))
+    length_ok = (n_chars >= 50) & (n_chars <= 100000)
+    score = (
+        F.when(length_ok, 0.25).otherwise(0.0)
+        + F.least(alpha_ratio * F.lit(0.5), F.lit(0.25))
+        + F.when(punct_ratio < 0.2, 0.25).otherwise(0.0)
+        + F.least(stop_ratio * F.lit(2.5), F.lit(0.25))
+    )
+    return df.withColumns(
+        {
+            "n_chars_q": n_chars.cast("long"),
+            "n_tokens": n_tokens.cast("long"),
+            "alpha_ratio": alpha_ratio.cast("double"),
+            "punct_ratio": punct_ratio.cast("double"),
+            "stopword_ratio": stop_ratio.cast("double"),
+            "mean_word_len": mean_word_len.cast("double"),
+            "quality_score": score.cast("double"),
+        }
+    )
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language stopword hit counts (word-boundary regex, one
+    regexp_count per language — all codegen'd)."""
+    lower = F.lower(text)
+    return {
+        lang: F.coalesce(
+            F.regexp_count(lower, F.lit(r"\b(" + "|".join(words) + r")\b")), F.lit(0)
+        )
+        for lang, words in STOPWORDS.items()
+    }
+
+
+def detect_language(df: DataFrame, text_col: str = "text",
+                    out_col: str = "lang_pred") -> DataFrame:
+    """Stopword-profile language ID: argmax over per-language hit counts;
+    'und' (undetermined) when nothing matches. Deterministic tie-break by
+    language code order."""
+    scores = lang_scores(F.col(text_col))
+    pairs = [F.struct(c.alias("score"), F.lit(lang).alias("lang"))
+             for lang, c in sorted(scores.items())]
+    best = F.greatest(*pairs) if len(pairs) > 1 else pairs[0]
+    pred = F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+    return df.withColumn(out_col, pred)
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic 60-bit document fingerprint: md5 of the
+    whitespace-normalized lowercase text, upper 15 hex digits as a BIGINT.
+    Portable: DuckDB twin is ('0x'||substr(md5(norm),1,15))::BIGINT."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.conv(F.substring(F.md5(F.encode(norm, "UTF-8")), 1, 15), 16, 10).cast("long")
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text",
+                     out_col: str = "fingerprint") -> DataFrame:
+    return df.withColumn(out_col, fingerprint(F.col(text_col)))

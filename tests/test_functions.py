@@ -1,0 +1,308 @@
+"""Tests for stats/integrity/text/dedup/similarity/multimodal modules."""
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------- stats -----------------------------------------------------
+def test_column_profile(spark, documents):
+    from jsonschemaparse_spark.functions.stats import column_profile
+
+    prof = {r["column"]: r for r in column_profile(documents).collect()}
+    assert prof["doc_id"]["count"] == documents.count()
+    assert prof["doc_id"]["n_null"] == 0
+    n = documents.count()
+    assert abs(prof["doc_id"]["approx_distinct"] - n) <= 0.1 * n
+    assert prof["n_chars"]["avg"] is not None
+    assert len(prof["n_chars"]["quantiles"]) == 4
+
+
+def test_top_k(spark, documents):
+    from jsonschemaparse_spark.functions.stats import top_k
+
+    rows = top_k(documents, "lang", 3).collect()
+    assert rows[0]["value"] == "en"
+    assert rows[0]["cnt"] >= rows[1]["cnt"] >= rows[2]["cnt"]
+
+
+def test_count_min_sketch(spark, documents):
+    from jsonschemaparse_spark.functions.stats import count_min_sketch
+
+    cms = count_min_sketch(documents, "lang", depth=5, width=1024)
+    exact = {r["lang"]: r["cnt"] for r in
+             documents.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    for lang, cnt in exact.items():
+        est = cms.estimate(lang)
+        assert cnt <= est <= cnt + 0.02 * cms.total  # CMS overestimates only
+
+
+# ---------------- stats math -------------------------------------------------
+def test_ks_math():
+    from jsonschemaparse_spark.functions.stats_math import ks_2samp_pvalue
+
+    assert ks_2samp_pvalue(0.01, 1000, 1000) > 0.5
+    assert ks_2samp_pvalue(0.5, 1000, 1000) < 1e-6
+
+
+def test_chi2_math():
+    from jsonschemaparse_spark.functions.stats_math import chi2_sf
+
+    # known value: chi2 sf(3.84, 1) ≈ 0.05
+    assert abs(chi2_sf(3.841, 1) - 0.05) < 0.002
+    assert abs(chi2_sf(0.0, 5) - 1.0) < 1e-9
+    assert chi2_sf(100.0, 3) < 1e-12
+
+
+# ---------------- integrity ---------------------------------------------------
+def test_uniqueness(spark, documents):
+    from jsonschemaparse_spark.functions.integrity import (
+        uniqueness_check,
+        uniqueness_violations,
+    )
+
+    assert uniqueness_violations(documents, "doc_id").count() == 0
+    chk = uniqueness_check(documents, "doc_id")
+    assert chk["probably_unique"] is True
+
+    dup = documents.union(documents.limit(5))
+    assert uniqueness_violations(dup, "doc_id").count() == 5
+
+
+def test_referential(spark):
+    from jsonschemaparse_spark.functions.integrity import (
+        referential_check,
+        referential_violations,
+    )
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    customer = spark.read.parquet(f"{SF}/customer.parquet")
+    ok = referential_check(orders, "o_custkey", customer, "c_custkey")
+    assert ok["pass"] is True
+
+    # drop some parents -> orphans appear
+    some = customer.filter(F.col("c_custkey") % 2 == 0)
+    bad = referential_violations(orders, "o_custkey", some, "c_custkey")
+    assert bad.count() > 0
+
+
+def test_referential_broadcast_plan(spark):
+    """Small parent must produce a broadcast join, not a sort-merge."""
+    import io
+    from contextlib import redirect_stdout
+
+    from jsonschemaparse_spark.functions.integrity import referential_violations
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    customer = spark.read.parquet(f"{SF}/customer.parquet")
+    bad = referential_violations(orders, "o_custkey", customer, "c_custkey")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        bad.explain("formatted")
+    assert "BroadcastHashJoin" in buf.getvalue()
+
+
+def test_ks_drift(spark, documents):
+    from jsonschemaparse_spark.functions.integrity import ks_drift
+
+    same = ks_drift(documents, documents, "n_chars")
+    assert not same.drifted and same.statistic < 0.01
+
+    shifted = documents.withColumn("n_chars", F.col("n_chars") + 200)
+    diff = ks_drift(documents, shifted, "n_chars")
+    assert diff.drifted and diff.p_value < 0.01
+
+
+def test_chi2_drift(spark, documents):
+    from jsonschemaparse_spark.functions.integrity import chi2_drift
+
+    same = chi2_drift(documents, documents, "lang")
+    assert not same.drifted
+
+    skewed = documents.withColumn(
+        "lang", F.when(F.col("lang") == "en", "zz").otherwise(F.col("lang"))
+    )
+    diff = chi2_drift(documents, skewed, "lang")
+    assert diff.drifted
+
+
+# ---------------- text ---------------------------------------------------------
+def test_token_counts(spark):
+    from jsonschemaparse_spark.functions.text import bpe_token_count, token_count
+
+    df = spark.createDataFrame([("a b  c",), ("",), ("hi, there!",)], ["text"])
+    got = df.select(
+        token_count(F.col("text")).alias("ws"),
+        bpe_token_count(F.col("text")).alias("bpe"),
+    ).collect()
+    assert [r["ws"] for r in got] == [3, 0, 2]
+    assert [r["bpe"] for r in got] == [3, 0, 4]  # hi , there !
+
+
+def test_quality_features(spark, documents):
+    from jsonschemaparse_spark.functions.text import quality_features
+
+    q = quality_features(documents)
+    rows = q.select("quality_score", "n_tokens", "alpha_ratio").collect()
+    assert all(0.0 <= r["quality_score"] <= 1.0 for r in rows)
+    assert all(r["n_tokens"] > 0 for r in rows)
+
+
+def test_detect_language(spark):
+    from jsonschemaparse_spark.functions.text import detect_language
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the house and it is warm"),
+            (2, "der Hund ist nicht auf der Couch und das ist gut"),
+            (3, "le chat est dans la maison et il est pas content"),
+            (4, "zzz qqq vvv"),
+        ],
+        ["id", "text"],
+    )
+    got = {r["id"]: r["lang_pred"] for r in detect_language(df).collect()}
+    assert got[1] == "en" and got[2] == "de" and got[3] == "fr" and got[4] == "und"
+
+
+def test_fingerprint_normalization(spark):
+    from jsonschemaparse_spark.functions.text import with_fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "different")], ["id", "text"]
+    )
+    got = {r["id"]: r["fingerprint"] for r in with_fingerprint(df).collect()}
+    assert got[1] == got[2] != got[3]
+
+
+# ---------------- dedup ---------------------------------------------------------
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    base = spark.read.parquet(f"{SF}/documents.parquet").limit(100)
+    clones = base.limit(10).withColumn("doc_id", F.col("doc_id") + 100000)
+    near = (
+        base.limit(5)
+        .withColumn("doc_id", F.col("doc_id") + 200000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" tail extra")))
+    )
+    df = base.union(clones).union(near)
+    df.cache().count()
+    return df
+
+
+def test_exact_dedup(spark, dup_docs):
+    from jsonschemaparse_spark.functions.dedup import exact_dedup, exact_duplicate_groups
+
+    groups = exact_duplicate_groups(dup_docs, "doc_id")
+    assert groups.count() == 10
+    assert all(r["n_docs"] == 2 for r in groups.collect())
+
+    deduped = exact_dedup(dup_docs, "doc_id")
+    assert deduped.count() == dup_docs.count() - 10
+    # keeps the smaller id of each clone pair
+    assert deduped.filter(F.col("doc_id") >= 100000).filter(F.col("doc_id") < 200000).count() == 0
+
+
+def test_minhash_near_duplicates(spark, dup_docs):
+    from jsonschemaparse_spark.functions.dedup import minhash_near_duplicates
+
+    pairs = minhash_near_duplicates(dup_docs, "doc_id", threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    # all 10 exact clones must be found with jaccard 1.0
+    exact_pairs = [(i, i + 100000) for i in range(10)]
+    for p in exact_pairs:
+        assert p in got and got[p] == 1.0
+    # near-dups (appended tail) should surface too with jaccard < 1
+    near = [(a, b) for (a, b) in got if b >= 200000]
+    assert len(near) >= 3
+    assert all(got[p] < 1.0 for p in near)
+
+
+def test_simhash_near_duplicates(spark, dup_docs):
+    from jsonschemaparse_spark.functions.dedup import simhash_near_duplicates
+
+    pairs = simhash_near_duplicates(dup_docs, "doc_id", max_hamming=0)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    for i in range(10):
+        assert (i, i + 100000) in got
+
+
+def test_ngram_jaccard(spark, dup_docs):
+    from jsonschemaparse_spark.functions.dedup import ngram_jaccard_pairs
+
+    subset = dup_docs.filter((F.col("doc_id") < 30) | (F.col("doc_id") >= 100000))
+    pairs = ngram_jaccard_pairs(subset, "doc_id", threshold=0.9)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # every clone pair present in the subset must be found with jaccard ~1
+    assert all((i, i + 100000) in got for i in range(10))
+
+
+# ---------------- similarity -----------------------------------------------------
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_brute_force_topk(spark, embeddings):
+    from jsonschemaparse_spark.functions.similarity import brute_force_topk
+
+    q = embeddings.select("embedding").first()["embedding"]
+    top = brute_force_topk(embeddings, q, k=5).collect()
+    assert len(top) == 5
+    assert top[0]["score"] == pytest.approx(1.0, abs=1e-4)  # itself
+    assert all(top[i]["score"] >= top[i + 1]["score"] for i in range(4))
+
+
+def test_lsh_topk_overlaps_exact(spark, embeddings):
+    from jsonschemaparse_spark.functions.similarity import brute_force_topk, lsh_topk
+
+    q = embeddings.select("embedding").first()["embedding"]
+    exact = [r["vec_id"] for r in brute_force_topk(embeddings, q, k=10).collect()]
+    approx = [r["vec_id"] for r in lsh_topk(embeddings, q, k=10, n_planes=4).collect()]
+    # the query vector itself must be found and overlap should be nontrivial
+    assert exact[0] in approx
+    assert len(set(exact) & set(approx)) >= 3
+
+
+def test_embedding_near_duplicates(spark, embeddings):
+    from jsonschemaparse_spark.functions.similarity import embedding_near_duplicates
+
+    base = embeddings.limit(50)
+    clones = base.limit(5).withColumn("vec_id", F.col("vec_id") + 10000)
+    pairs = embedding_near_duplicates(base.union(clones), threshold=0.999)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    ids = [r["vec_id"] for r in base.limit(5).collect()]
+    assert all((i, i + 10000) in got for i in ids)
+
+
+# ---------------- multimodal ------------------------------------------------------
+def test_multimodal_plumbing(spark):
+    from jsonschemaparse_spark.multimodal import (
+        extract_features,
+        frame_sample_plan,
+        synthesize_media,
+        FEATURE_DIM,
+    )
+
+    media = synthesize_media(spark, 30)
+    feats = extract_features(media)
+    rows = feats.select("media_id", "features").collect()
+    assert all(len(r["features"]) == FEATURE_DIM for r in rows)
+    assert all(abs(sum(r["features"]) - 1.0) < 1e-5 for r in rows)
+
+    frames = frame_sample_plan(media, every_ms=10000)
+    assert frames.count() > 0
+    assert frames.columns == ["media_id", "frame_ts_ms"]
+
+
+def test_multimodal_codec_stub_raises(spark):
+    from py4j.protocol import Py4JJavaError
+
+    from jsonschemaparse_spark.multimodal import extract_features, synthesize_media
+
+    media = synthesize_media(spark, 3)
+    with pytest.raises(Exception):
+        extract_features(media, use_codec=True).collect()
