@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)    — flagship validation pass on sf0.001 documents.
+queries()       — one entry per implemented operator (SURVEY.md §2 + §2.11
+                  extensions + training-data ops).
+oracle_sql()    — DuckDB-equivalent ANSI SQL for every SQL-expressible query.
+                  Omitted keys (webpages/simhash/drift/CMS) rely on
+                  engine-specific hashing or binned statistics and get the
+                  driver's rows-only check.
+
+Column names are aliased identically on both sides; floats are rounded on
+both sides before comparison.
 """
 
 from __future__ import annotations
@@ -12,27 +17,514 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jsonschemaparse_spark.functions.dedup import (
+    content_key,
+    exact_duplicate_groups,
+    minhash_near_duplicates,
+    minhash_signature,
+    simhash,
+)
+from jsonschemaparse_spark.functions.integrity import (
+    ks_drift,
+    referential_violations,
+    uniqueness_violations,
+)
+from jsonschemaparse_spark.functions.similarity import brute_force_topk, cosine
+from jsonschemaparse_spark.functions.stats import top_k
+from jsonschemaparse_spark.functions.text import (
+    STOPWORDS,
+    TOKEN_RE,
+    bpe_token_count,
+    detect_language,
+    fingerprint,
+    token_count,
+)
+from jsonschemaparse_spark.plans import validate_dataframe, validate_json_column
+from jsonschemaparse_spark.sources import synthesize_webpages
+
+LANGS = ["en", "de", "fr", "es", "zh", "ja", "ru", "pt", "it", "nl"]
+
+# Flagship ruleset over the shipped documents table (FIXTURES.md §F2 analog).
+DOC_RULES = {
+    "$id": "https://fixtures.local/webpage",
+    "type": "object",
+    "required": ["doc_id", "text", "lang"],
+    "properties": {
+        "doc_id": {"type": "integer", "minimum": 0},
+        "text": {"type": "string", "minLength": 1, "maxLength": 10000},
+        "lang": {"enum": LANGS},
+        "source": {"type": "string", "pattern": "^src"},
+        "n_chars": {"type": "integer", "minimum": 0, "maximum": 500},
+    },
+}
+
+WEBPAGE_RULES = {
+    "type": "object",
+    "required": ["url", "warc_ts", "text", "lang"],
+    "properties": {
+        "url": {"type": "string", "pattern": "^https?://", "maxLength": 2048},
+        "text": {"type": "string", "minLength": 1},
+        "lang": {"enum": LANGS},
+    },
+}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: single-pass validation of sf0.001 documents -> violations."""
+    df = _docs(spark, "/root/testdata/sf0.001")
+    res = validate_dataframe(df, DOC_RULES, key_cols=["doc_id"])
+    return res.violations()
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+def q_validate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = validate_dataframe(_docs(spark, sf_dir), DOC_RULES, key_cols=["doc_id"])
+    return res.violations().select(
+        "doc_id", "path", "keyword", "expected", "actual", "message"
+    )
+
+
+def q_verdict_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = validate_dataframe(_docs(spark, sf_dir), DOC_RULES, key_cols=["doc_id"])
+    a = res.annotated
+    return a.select(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("_jsp_valid"), 0).otherwise(1)).cast("long").alias("n_failed_rows"),
+        F.sum(F.size("_jsp_violations")).cast("long").alias("n_violations"),
+    )
+
+
+def q_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)).cast("long").alias("n_null_text"),
+        F.min("n_chars").alias("min_n_chars"),
+        F.max("n_chars").alias("max_n_chars"),
+        F.round(F.avg("n_chars"), 6).alias("avg_n_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+def q_topk_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return top_k(_docs(spark, sf_dir), "lang", 5)
+
+
+def q_uniqueness_events_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return uniqueness_violations(ev, "user_id")
+
+
+def q_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_custkey") % 3 != 0
+    )
+    bad = referential_violations(orders, "o_custkey", customer, "c_custkey")
+    return bad.select("o_orderkey", "o_custkey")
+
+
+def _docs_with_clones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _docs(spark, sf_dir)
+    clones = base.filter(F.col("doc_id") < 50).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    return base.unionByName(clones)
+
+
+def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_duplicate_groups(_docs_with_clones(spark, sf_dir), "doc_id").select(
+        "content_key", "n_docs"
+    )
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+    sig = minhash_signature(F.col("text"), num_hashes=2, k=3)
+    return df.select(
+        "doc_id",
+        F.element_at(sig, 1).alias("mh0"),
+        F.element_at(sig, 2).alias("mh1"),
+    )
+
+
+def q_minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _docs(spark, sf_dir).filter(F.col("doc_id") < 50)
+    clones = base.withColumn("doc_id", F.col("doc_id") + 1000000)
+    corpus = base.unionByName(clones)
+    return minhash_near_duplicates(corpus, "doc_id", threshold=1.0).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir)
+    return df.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("ws_tokens"),
+        bpe_token_count(F.col("text")).cast("long").alias("bpe_tokens"),
+    )
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonschemaparse_spark.functions.text import quality_features
+
+    q = quality_features(_docs(spark, sf_dir))
+    return q.select(
+        "doc_id",
+        F.col("n_tokens"),
+        F.round("alpha_ratio", 4).alias("alpha_ratio"),
+        F.round("punct_ratio", 4).alias("punct_ratio"),
+        F.round("stopword_ratio", 4).alias("stopword_ratio"),
+        F.round("quality_score", 4).alias("quality_score"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return detect_language(_docs(spark, sf_dir)).select("doc_id", "lang_pred")
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    top = brute_force_topk(emb, qvec, k=10)
+    return top.select("vec_id", F.round("score", 4).alias("score"))
+
+
+def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") < 50)
+    clones = base.withColumn("vec_id", F.col("vec_id") + 100000)
+    corpus = base.unionByName(clones)
+    from jsonschemaparse_spark.functions.similarity import embedding_near_duplicates
+
+    pairs = embedding_near_duplicates(corpus, threshold=0.999, n_planes=8)
+    return pairs.select("id_a", "id_b")
+
+
+def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+EVENT_PROPS_RULES = {
+    "type": "object",
+    "required": ["k"],
+    "properties": {"k": {"type": "integer", "minimum": 0, "maximum": 50}},
+}
+
+
+def q_events_json_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    res = validate_json_column(ev, "props", EVENT_PROPS_RULES, key_cols=["event_id"])
+    return res.annotated.select("event_id", F.col("_jsp_valid").alias("valid"))
+
+
+def q_ks_drift_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    shifted = docs.withColumn("n_chars", F.col("n_chars") + 100)
+    r = ks_drift(docs, shifted, "n_chars")
+    return spark.createDataFrame(
+        [(round(r.statistic, 6), r.n_left, r.n_right, bool(r.drifted))],
+        "statistic double, n_left long, n_right long, drifted boolean",
+    )
+
+
+def q_webpages_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sf = 0.01 if "0.01" in sf_dir else (0.1 if "0.1" in sf_dir else 0.001)
+    n = int(50000 * sf / 0.01)
+    pages = synthesize_webpages(spark, n)
+    res = validate_dataframe(pages, WEBPAGE_RULES, key_cols=["url"])
+    return res.annotated.select(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("_jsp_valid"), 0).otherwise(1)).cast("long").alias("n_failed_rows"),
+        F.sum(F.size("_jsp_violations")).cast("long").alias("n_violations"),
+    )
+
+
+def q_simhash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir).filter(F.col("doc_id") < 50)
+    return simhash(df, "doc_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "validate_documents": q_validate_documents,
+        "verdict_documents": q_verdict_documents,
+        "stats_documents": q_stats_documents,
+        "topk_lang": q_topk_lang,
+        "uniqueness_events_user": q_uniqueness_events_user,
+        "referential_orphans": q_referential_orphans,
+        "exact_dup_groups": q_exact_dup_groups,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_dup_pairs": q_minhash_dup_pairs,
+        "token_stats": q_token_stats,
+        "quality": q_quality,
+        "lang_id": q_lang_id,
+        "fingerprints": q_fingerprints,
+        "ann_topk": q_ann_topk,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
+        "lineitem_pricing": q_lineitem_pricing,
+        "events_json_validation": q_events_json_validation,
+        "ks_drift_nchars": q_ks_drift_nchars,
+        "webpages_flagship": q_webpages_flagship,
+        "simhash_sample": q_simhash_sample,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect, same table names, same column aliases)
+# ---------------------------------------------------------------------------
+_ENUM_EXPECTED = str(LANGS)  # kernels stringify expected via json/str — keep in sync
+
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_WORDS = f"string_split({_NORM}, ' ')"
+_SHINGLES = (
+    f"list_distinct(CASE WHEN len({_WORDS}) >= 3 THEN "
+    f"list_transform(generate_series(1, len({_WORDS}) - 2), "
+    f"i -> concat_ws(' ', {_WORDS}[i], {_WORDS}[i+1], {_WORDS}[i+2])) "
+    f"ELSE [array_to_string({_WORDS}, ' ')] END)"
+)
+
+
+def _mh(perm: int) -> str:
+    return f"list_min(list_transform({_SHINGLES}, s -> md5('{perm}:' || s)))"
+
+
+_STOP_EN = r"\b(" + "|".join(STOPWORDS["en"]) + r")\b"
+
+
+def _lang_score(lang: str) -> str:
+    pat = r"\b(" + "|".join(STOPWORDS[lang]) + r")\b"
+    return f"len(regexp_extract_all(lower(text), '{pat}'))"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    viol = f"""
+WITH v AS (
+  SELECT doc_id, '/text' AS path, 'minLength' AS keyword, '1' AS expected,
+         CAST(length(text) AS VARCHAR) AS actual, 'String too short' AS message
+    FROM documents WHERE text IS NOT NULL AND length(text) < 1
+  UNION ALL
+  SELECT doc_id, '/text', 'maxLength', '10000', CAST(length(text) AS VARCHAR),
+         'String too long'
+    FROM documents WHERE text IS NOT NULL AND length(text) > 10000
+  UNION ALL
+  SELECT doc_id, '/lang', 'enum', '{_ENUM_EXPECTED.replace("'", "''")}',
+         CAST(lang AS VARCHAR),
+         'String does not match one of the enumerated values'
+    FROM documents WHERE lang IS NOT NULL AND lang NOT IN ({", ".join("'" + l + "'" for l in LANGS)})
+  UNION ALL
+  SELECT doc_id, '/source', 'pattern', '^src', CAST(source AS VARCHAR),
+         'String does not match /^src/'
+    FROM documents WHERE source IS NOT NULL AND NOT regexp_matches(source, '^src')
+  UNION ALL
+  SELECT doc_id, '/doc_id', 'minimum', '0', CAST(doc_id AS VARCHAR),
+         'Number under/equal to minimum'
+    FROM documents WHERE doc_id IS NOT NULL AND doc_id < 0
+  UNION ALL
+  SELECT doc_id, '/n_chars', 'minimum', '0', CAST(n_chars AS VARCHAR),
+         'Number under/equal to minimum'
+    FROM documents WHERE n_chars IS NOT NULL AND n_chars < 0
+  UNION ALL
+  SELECT doc_id, '/n_chars', 'maximum', '500', CAST(n_chars AS VARCHAR),
+         'Number under/equal to maximum'
+    FROM documents WHERE n_chars IS NOT NULL AND n_chars > 500
+  UNION ALL
+  SELECT doc_id, '/doc_id', 'required', '0', '1', 'Required property missing'
+    FROM documents WHERE doc_id IS NULL
+  UNION ALL
+  SELECT doc_id, '/text', 'required', '0', '1', 'Required property missing'
+    FROM documents WHERE text IS NULL
+  UNION ALL
+  SELECT doc_id, '/lang', 'required', '0', '1', 'Required property missing'
+    FROM documents WHERE lang IS NULL
+)
+SELECT * FROM v
+"""
+    verdict = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN bad > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_failed_rows,
+       CAST(sum(bad) AS BIGINT) AS n_violations
+FROM (
+  SELECT (CASE WHEN text IS NOT NULL AND length(text) < 1 THEN 1 ELSE 0 END)
+       + (CASE WHEN text IS NOT NULL AND length(text) > 10000 THEN 1 ELSE 0 END)
+       + (CASE WHEN lang IS NOT NULL AND lang NOT IN ({langs}) THEN 1 ELSE 0 END)
+       + (CASE WHEN source IS NOT NULL AND NOT regexp_matches(source, '^src') THEN 1 ELSE 0 END)
+       + (CASE WHEN doc_id IS NOT NULL AND doc_id < 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN n_chars IS NOT NULL AND n_chars < 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN n_chars IS NOT NULL AND n_chars > 500 THEN 1 ELSE 0 END)
+       + (CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+       + (CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+       + (CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS bad
+  FROM documents
+)
+""".format(langs=", ".join("'" + l + "'" for l in LANGS))
+
+    return {
+        "validate_documents": viol,
+        "verdict_documents": verdict,
+        "stats_documents": """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text,
+       min(n_chars) AS min_n_chars,
+       max(n_chars) AS max_n_chars,
+       round(avg(n_chars), 6) AS avg_n_chars,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM documents
+""",
+        "topk_lang": """
+SELECT lang AS value, CAST(count(*) AS BIGINT) AS cnt
+FROM documents GROUP BY lang
+ORDER BY cnt DESC, value ASC LIMIT 5
+""",
+        "uniqueness_events_user": """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_duplicates
+FROM events GROUP BY user_id HAVING count(*) > 1
+""",
+        "referential_orphans": """
+SELECT o.o_orderkey, o.o_custkey
+FROM orders o
+WHERE NOT EXISTS (
+  SELECT 1 FROM customer c
+  WHERE c.c_custkey % 3 <> 0 AND c.c_custkey = o.o_custkey
+)
+""",
+        "exact_dup_groups": f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50
+)
+SELECT md5({_NORM}) AS content_key, CAST(count(*) AS BIGINT) AS n_docs
+FROM corpus GROUP BY 1 HAVING count(*) > 1
+""",
+        "minhash_signatures": f"""
+SELECT doc_id, {_mh(0)} AS mh0, {_mh(1)} AS mh1
+FROM documents WHERE doc_id < 100
+""",
+        "minhash_dup_pairs": f"""
+WITH corpus AS (
+  SELECT doc_id, {_SHINGLES} AS sh FROM documents WHERE doc_id < 50
+  UNION ALL
+  SELECT doc_id + 1000000, {_SHINGLES} FROM documents WHERE doc_id < 50
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+FROM corpus a JOIN corpus b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.sh, b.sh))) >= 1.0
+""",
+        "token_stats": f"""
+SELECT doc_id,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT) AS bpe_tokens
+FROM documents
+""",
+        "quality": f"""
+WITH q AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+         len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+         len(regexp_extract_all(lower(text), '{_STOP_EN}')) AS n_stop
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE)/n_chars ELSE 0 END, 4) AS alpha_ratio,
+       round(CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0 END, 4) AS punct_ratio,
+       round(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE)/n_tokens ELSE 0 END, 4) AS stopword_ratio,
+       round(
+         (CASE WHEN n_chars BETWEEN 50 AND 100000 THEN 0.25 ELSE 0 END)
+         + least((CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE)/n_chars ELSE 0 END) * 0.5, 0.25)
+         + (CASE WHEN (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0 END) < 0.2 THEN 0.25 ELSE 0 END)
+         + least((CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE)/n_tokens ELSE 0 END) * 2.5, 0.25)
+       , 4) AS quality_score
+FROM q
+""",
+        "lang_id": f"""
+SELECT doc_id,
+       CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS lang_pred
+FROM (
+  SELECT doc_id,
+         list_max([
+           {", ".join(f"struct_pack(score := {_lang_score(lang)}, lang := '{lang}')" for lang in sorted(STOPWORDS))}
+         ]) AS best
+  FROM documents
+)
+""",
+        "fingerprints": f"""
+SELECT doc_id,
+       CAST(('0x' || substr(md5({_NORM}), 1, 15)) AS BIGINT) AS fingerprint
+FROM documents
+""",
+        "ann_topk": """
+SELECT e.vec_id,
+       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(q.embedding AS DOUBLE[])), 4) AS score
+FROM embeddings e,
+     (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+ORDER BY score DESC, e.vec_id ASC
+LIMIT 10
+""",
+        "embedding_dup_pairs": """
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50
+  UNION ALL
+  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 50
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.999
+""",
+        "lineitem_pricing": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+        "events_json_validation": """
+SELECT event_id,
+       (props IS NULL) OR (
+         json_valid(props)
+         AND json_type(props::JSON) = 'OBJECT'
+         AND json_type(props::JSON, '$.k') IN ('UBIGINT', 'BIGINT')
+         AND CAST(json_extract(props, '$.k') AS BIGINT) BETWEEN 0 AND 50
+       ) AS valid
+FROM events
+""",
+    }

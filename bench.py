@@ -1,0 +1,150 @@
+"""Benchmark harness (driver contract).
+
+Runs headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "docs_per_sec": ...}
+
+The flagship query is the north-rule workload: single-pass schema validation
+(verdicts + violations) over a synthesized Common-Crawl-style webpages table
+sized to the scale factor.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def guess_sf(sf_dir: str) -> float:
+    name = Path(sf_dir).name
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    sf = guess_sf(SF_DIR)
+    n_pages = max(int(5_000_000 * sf), 1000)  # sf0.1 -> 500k synthesized pages
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("jsonschemaparse-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry
+    from jsonschemaparse_spark.plans import validate_dataframe
+    from jsonschemaparse_spark.sources import synthesize_webpages
+
+    timings: dict[str, float] = {}
+
+    def bench(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # flagship: synthesize + validate webpages (docs/sec basis)
+    def flagship():
+        pages = synthesize_webpages(spark, n_pages, partitions=CPUS * 2)
+        res = validate_dataframe(pages, entry.WEBPAGE_RULES, key_cols=["url"])
+        res.verdicts().collect()
+
+    bench("validate_webpages", flagship)
+
+    # table validation on shipped documents
+    def docs_validation():
+        df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        res = validate_dataframe(df, entry.DOC_RULES, key_cols=["doc_id"])
+        res.verdicts().collect()
+
+    bench("validate_documents", docs_validation)
+
+    # JSON-payload validation over events.props (Arrow kernel path)
+    def json_validation():
+        from jsonschemaparse_spark.plans import validate_json_column
+
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        res = validate_json_column(ev, "props", entry.EVENT_PROPS_RULES, key_cols=["event_id"])
+        res.annotated.select(F.sum(F.when(F.col("_jsp_valid"), 0).otherwise(1))).collect()
+
+    bench("validate_json_events", json_validation)
+
+    # dedup: minhash near-dup pipeline over documents
+    def dedup():
+        from jsonschemaparse_spark.functions.dedup import minhash_near_duplicates
+
+        df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        minhash_near_duplicates(df, "doc_id", threshold=0.8).count()
+
+    bench("dedup_minhash", dedup)
+
+    # stats profile
+    def stats():
+        from jsonschemaparse_spark.functions.stats import column_profile
+
+        df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        column_profile(df).collect()
+
+    bench("stats_profile", stats)
+
+    # similarity: brute-force ANN top-k
+    def ann():
+        from jsonschemaparse_spark.functions.similarity import brute_force_topk
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+        brute_force_topk(emb, q, k=10).collect()
+
+    bench("ann_topk", ann)
+
+    # referential integrity anti-join
+    def referential():
+        from jsonschemaparse_spark.functions.integrity import referential_violations
+
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        customer = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        referential_violations(orders, "o_custkey", customer, "c_custkey").count()
+
+    bench("referential_check", referential)
+
+    total = round(sum(timings.values()), 3)
+    docs_per_sec = round(n_pages / timings["validate_webpages"], 1)
+    print(
+        json.dumps(
+            {
+                "metric": "validated documents/sec (single-pass schema validation over "
+                          "Common-Crawl-style webpages) + headline op latencies",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_pages": n_pages,
+                "docs_per_sec": docs_per_sec,
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -204,7 +204,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     Arrow batch; inner loop is vectorized bit arithmetic."""
     import numpy as np
 
-    out_schema = f"{df.schema[id_col].simpleString().replace(':', ' ')}, simhash long"
+    out_schema = f"{id_col} {df.schema[id_col].dataType.simpleString()}, simhash long"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

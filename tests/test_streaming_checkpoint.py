@@ -1,0 +1,122 @@
+"""M7 checkpoint/resume + M8 streaming tests."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+RULES = {
+    "type": "object",
+    "required": ["url", "text", "lang"],
+    "properties": {
+        "text": {"type": "string", "minLength": 1},
+        "lang": {"enum": ["en", "de", "fr", "es", "zh", "ja", "ru", "pt", "it", "nl"]},
+    },
+}
+
+
+@pytest.fixture(scope="module")
+def pages_dir(spark, tmp_path_factory):
+    from jsonschemaparse_spark.sources import synthesize_webpages
+
+    d = str(tmp_path_factory.mktemp("pages"))
+    synthesize_webpages(spark, 3000, partitions=6).write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_checkpoint_resume(spark, pages_dir, tmp_path_factory):
+    from jsonschemaparse_spark.plans.checkpoint import run_with_checkpoint
+
+    state = str(tmp_path_factory.mktemp("state"))
+
+    first = run_with_checkpoint(spark, pages_dir, RULES, state, key_cols=["url"])
+    assert first.n_files_skipped == 0
+    assert first.n_files_total >= 6
+    total_rows = sum(r["n_rows"] for r in first.verdicts.collect())
+    assert total_rows == 3000
+    base_failed = sum(r["n_failed_rows"] for r in first.verdicts.collect())
+
+    # resume: everything already done -> zero work, identical verdicts
+    second = run_with_checkpoint(spark, pages_dir, RULES, state, key_cols=["url"])
+    assert second.n_files_skipped == second.n_files_total
+    assert second.violations.count() == 0
+    assert sum(r["n_rows"] for r in second.verdicts.collect()) == 3000
+    assert sum(r["n_failed_rows"] for r in second.verdicts.collect()) == base_failed
+
+    # different snapshot id -> full re-run (lineage is per snapshot)
+    third = run_with_checkpoint(spark, pages_dir, RULES, state, snapshot_id="snap1", key_cols=["url"])
+    assert third.n_files_skipped == 0
+
+
+def test_checkpoint_partial_resume(spark, pages_dir, tmp_path_factory):
+    """Kill-and-rerun: with only half the state present, the rerun touches
+    only the missing files and final verdicts match a fresh full run."""
+    from jsonschemaparse_spark.plans.checkpoint import run_with_checkpoint
+
+    full_state = str(tmp_path_factory.mktemp("state_full"))
+    full = run_with_checkpoint(spark, pages_dir, RULES, full_state, key_cols=["url"])
+    full_metrics = {r["file"]: r["n_rows"] for r in full.verdicts.collect()}
+
+    # simulate a crash: state contains only half the files
+    half_state = str(tmp_path_factory.mktemp("state_half"))
+    keep = sorted(full_metrics)[: len(full_metrics) // 2]
+    (
+        spark.read.parquet(f"{full_state}/metrics")
+        .filter(F.col("file").isin(keep))
+        .write.mode("overwrite")
+        .parquet(f"{half_state}/metrics")
+    )
+    resumed = run_with_checkpoint(spark, pages_dir, RULES, half_state, key_cols=["url"])
+    assert resumed.n_files_skipped == len(keep)
+    got = {r["file"]: r["n_rows"] for r in resumed.verdicts.collect()}
+    assert got == full_metrics
+
+
+def test_streaming_validation(spark, pages_dir, tmp_path_factory):
+    """availableNow file stream through the same kernels + windowed rollup."""
+    from jsonschemaparse_spark.streaming import validate_stream, windowed_verdicts
+
+    schema = spark.read.parquet(pages_dir).schema
+    stream = spark.readStream.schema(schema).parquet(pages_dir)
+    assert stream.isStreaming
+
+    annotated = validate_stream(stream, RULES)
+    verd = windowed_verdicts(annotated, ts_col="warc_ts", window="10 minutes",
+                             watermark="2 hours")
+    q = (
+        verd.writeStream.format("memory")
+        .queryName("verdicts_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from verdicts_stream").collect()
+    assert rows, "no windows emitted"
+    # batch pass over the same data must agree on totals within the
+    # watermark-complete windows
+    batch_total = spark.read.parquet(pages_dir).count()
+    stream_total = sum(r["n_rows"] for r in rows)
+    assert stream_total == batch_total  # availableNow + long watermark: no drops
+
+
+def test_foreach_batch_sink(spark, pages_dir):
+    from jsonschemaparse_spark.streaming import foreach_batch_sink
+
+    schema = spark.read.parquet(pages_dir).schema
+    stream = spark.readStream.schema(schema).parquet(pages_dir)
+    seen = {}
+
+    def on_batch(violations, verdicts, batch_id):
+        seen["violations"] = violations.count()
+        seen["rows"] = sum(r["n_rows"] for r in verdicts.collect())
+
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_sink(RULES, on_batch, key_cols=["url"])
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert seen["rows"] == 3000
+    assert seen["violations"] > 0
