@@ -85,18 +85,24 @@ def test_streaming_validation(spark, pages_dir, tmp_path_factory):
     q = (
         verd.writeStream.format("memory")
         .queryName("verdicts_stream")
-        .outputMode("append")
+        .outputMode("complete")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(120)
     rows = spark.sql("select * from verdicts_stream").collect()
     assert rows, "no windows emitted"
-    # batch pass over the same data must agree on totals within the
-    # watermark-complete windows
+    # batch pass over the same data must agree on totals
     batch_total = spark.read.parquet(pages_dir).count()
     stream_total = sum(r["n_rows"] for r in rows)
-    assert stream_total == batch_total  # availableNow + long watermark: no drops
+    assert stream_total == batch_total
+    # the same rule evaluation: per-window failures sum to the batch count
+    from jsonschemaparse_spark.plans import validate_dataframe
+
+    batch_failed = validate_dataframe(
+        spark.read.parquet(pages_dir), RULES, key_cols=["url"]
+    ).summary()["n_failed_rows"]
+    assert sum(r["n_failed_rows"] for r in rows) == batch_failed
 
 
 def test_foreach_batch_sink(spark, pages_dir):
