@@ -1,0 +1,124 @@
+"""Reference-parity convenience API (mirrors index.js exports).
+
+The reference exports parse / parseInfo / StreamParser / Schema /
+SchemaRegistry (/root/reference/index.js:1-10). Driver-side equivalents:
+
+- parse(text, schema)      strict one-shot: raises the FIRST error
+                           (parse.js:76-97 throw-on-first semantics)
+- parse_info(text, opts)   reporting one-shot: returns value + errors +
+                           annotations, never raises on *validation* errors
+                           (parse.js:99-117; test/parseInfo.test.js:33-46)
+- compile_rules            ≈ new Schema(...)
+- SchemaRegistry           ≈ SchemaRegistry
+
+Table-scope equivalents live in plans/ (validate_dataframe) and
+streaming/ (validate_stream) — those are the engine's real surface; this
+module exists so single-document semantics are directly testable against
+the reference's unit tests.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+from .errors import AnnotationRecord, ValidationRecord
+from .schema.compiler import CompiledSchema, SchemaRegistry, compile_rules
+from .schema.evaluate import Evaluator
+
+
+class ParseValidationError(ValueError):
+    """Raised by strict parse() for the first violation; carries the
+    reference ValidationError fields (error.js:21-32)."""
+
+    def __init__(self, record: ValidationRecord):
+        super().__init__(record.message)
+        self.record = record
+        self.keyword = record.keyword
+        self.path = record.path
+        self.expected = record.expected
+        self.actual = record.actual
+
+
+class ParseSyntaxError(ValueError):
+    """Malformed JSON input (reference SyntaxError, error.js:1-10)."""
+
+
+@dataclass
+class ParseInfo:
+    value: Any
+    errors: list[ValidationRecord] = field(default_factory=list)
+    annotations: list[AnnotationRecord] = field(default_factory=list)
+
+    @property
+    def valid(self) -> bool:
+        return not self.errors
+
+
+def _as_schema(schema) -> Optional[CompiledSchema]:
+    if schema is None:
+        return None
+    if isinstance(schema, CompiledSchema):
+        return schema
+    return compile_rules(schema)
+
+
+def parse(text: str | bytes, schema=None, extensions: bool = False) -> Any:
+    """Strict one-shot parse+validate: returns the native value or raises
+    the first error (ValidationError analog) / ParseSyntaxError."""
+    info = parse_info(text, schema, extensions=extensions)
+    if info.errors:
+        raise ParseValidationError(info.errors[0])
+    return info.value
+
+
+def parse_info(text: str | bytes, schema=None, annotations: bool = True,
+               extensions: bool = False) -> ParseInfo:
+    """Reporting one-shot: syntax errors raise; validation errors are
+    RETURNED, matching parseInfo (test/parseInfo.test.js:33-46)."""
+    if isinstance(text, (bytes, bytearray)):
+        try:
+            text = bytes(text).decode("utf-8", errors="strict")
+        except UnicodeDecodeError as e:
+            raise ParseSyntaxError(f"Invalid UTF-8: {e}") from e
+    try:
+        value = json.loads(text)
+    except ValueError as e:
+        raise ParseSyntaxError(str(e)) from e
+    cs = _as_schema(schema)
+    if cs is None:
+        return ParseInfo(value=value)
+    errors, anns = Evaluator(extensions=extensions, annotations=annotations).validate(cs, value)
+    return ParseInfo(value=value, errors=errors, annotations=anns)
+
+
+def annotation_table(cs: CompiledSchema) -> list[dict]:
+    """Static compile-time metadata table (constraint_id, keyword, value)
+    for title/description annotations (SURVEY.md §2.9) — broadcastable."""
+    out: list[dict] = []
+    seen: set[int] = set()
+
+    def walk(node: CompiledSchema) -> None:
+        if id(node) in seen:
+            return
+        seen.add(id(node))
+        for kw in ("title", "description"):
+            v = getattr(node, kw)
+            if v:
+                out.append({"constraint_id": node.id, "keyword": kw, "value": v})
+        children = (
+            list(node.properties.values())
+            + [s for _, _, s in node.pattern_properties]
+            + node.all_of + node.any_of + node.one_of
+            + [x for x in (node.not_, node.if_, node.then_, node.else_,
+                           node.additional_properties, node.items_all,
+                           node.additional_items, node.contains,
+                           node.property_names, node.unevaluated_properties) if x]
+            + (node.items_tuple or [])
+        )
+        for c in children:
+            walk(c)
+
+    walk(cs)
+    return out
