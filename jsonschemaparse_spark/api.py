@@ -64,17 +64,23 @@ def _as_schema(schema) -> Optional[CompiledSchema]:
     return compile_rules(schema)
 
 
-def parse(text: str | bytes, schema=None, extensions: bool = False) -> Any:
+def parse(text: str | bytes, schema=None, extensions: bool = False, limits=None) -> Any:
     """Strict one-shot parse+validate: returns the native value or raises
-    the first error (ValidationError analog) / ParseSyntaxError."""
-    info = parse_info(text, schema, extensions=extensions)
+    the first error (ValidationError analog) / ParseSyntaxError /
+    ResourceLimitError (parse.js resource caps)."""
+    from .errors import ResourceLimitError
+
+    info = parse_info(text, schema, extensions=extensions, limits=limits)
+    for e in info.errors:
+        if e.keyword == "resourceLimit":
+            raise ResourceLimitError(e.message)
     if info.errors:
         raise ParseValidationError(info.errors[0])
     return info.value
 
 
 def parse_info(text: str | bytes, schema=None, annotations: bool = True,
-               extensions: bool = False) -> ParseInfo:
+               extensions: bool = False, limits=None) -> ParseInfo:
     """Reporting one-shot: syntax errors raise; validation errors are
     RETURNED, matching parseInfo (test/parseInfo.test.js:33-46)."""
     if isinstance(text, (bytes, bytearray)):
@@ -86,11 +92,16 @@ def parse_info(text: str | bytes, schema=None, annotations: bool = True,
         value = json.loads(text)
     except ValueError as e:
         raise ParseSyntaxError(str(e)) from e
+    limit_errors: list[ValidationRecord] = []
+    if limits is not None:
+        from .schema.evaluate import check_limits
+
+        limit_errors = check_limits(value, limits)
     cs = _as_schema(schema)
     if cs is None:
-        return ParseInfo(value=value)
+        return ParseInfo(value=value, errors=limit_errors)
     errors, anns = Evaluator(extensions=extensions, annotations=annotations).validate(cs, value)
-    return ParseInfo(value=value, errors=errors, annotations=anns)
+    return ParseInfo(value=value, errors=limit_errors + errors, annotations=anns)
 
 
 def annotation_table(cs: CompiledSchema) -> list[dict]:

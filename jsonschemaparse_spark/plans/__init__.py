@@ -1,4 +1,4 @@
-from .json_validator import validate_json_column, validate_json_rows
+from .json_validator import validate_json_column, validate_json_rows, validate_json_typed
 from .kernels import ColumnCompiler, ExpressionFallback, VIOLATION_ARRAY, VIOLATION_STRUCT
 from .validator import (
     PARTITION_COL,
@@ -22,4 +22,5 @@ __all__ = [
     "validate_dataframe",
     "validate_json_column",
     "validate_json_rows",
+    "validate_json_typed",
 ]

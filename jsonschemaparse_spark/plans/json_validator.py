@@ -48,12 +48,17 @@ def validate_json_column(
     rules,
     key_cols: Optional[Sequence[str]] = None,
     extensions: bool = False,
+    limits=None,
 ) -> ValidationResult:
     """Validate a JSON-string column against rules, Arrow batch at a time.
 
     Returns key cols + _jsp_valid + _jsp_violations. extensions=False gives
     strict reference parity (contains/propertyNames/uniqueItems vacuous).
+    limits: optional ResourceLimits -> extra 'resourceLimit' violation rows
+    (parser caps of parse.js:146-150, table-scope semantics).
     """
+    from ..schema.evaluate import check_limits
+
     cs = rules if isinstance(rules, CompiledSchema) else compile_rules(rules)
     if key_cols is None:
         key_cols = [df.columns[0]]
@@ -91,6 +96,8 @@ def validate_json_column(
                     )
                     continue
                 errors, _ = evaluator.validate(cs, value)
+                if limits is not None:
+                    errors = errors + check_limits(value, limits)
                 valids.append(not errors)
                 viols.append(_records(errors))
             out = pdf[key_cols].copy()
@@ -99,6 +106,61 @@ def validate_json_column(
             yield out
 
     annotated = narrowed.mapInPandas(run, schema=out_schema)
+    return ValidationResult(annotated=annotated, key_cols=key_cols)
+
+
+def validate_json_typed(
+    df: DataFrame,
+    json_col: str,
+    rules,
+    spark_schema,
+    key_cols: Optional[Sequence[str]] = None,
+    extensions: bool = True,
+) -> ValidationResult:
+    """FAST JSON path for payloads with a KNOWN shape: from_json (Spark's
+    Jackson parser — the JVM replacement for the reference's byte FSM,
+    SURVEY.md §2.1 'block scanner' row) decodes to a typed struct, then the
+    regular Column kernels validate it — zero Python, one projection.
+
+    Use validate_json_column (Arrow/Python) only when the shape is dynamic.
+    Corrupt JSON yields a NULL struct -> reported as a 'syntax' violation.
+    """
+    from .kernels import ColumnCompiler, make_violation
+    from .validator import _compiled
+
+    cs = _compiled(rules)
+    if key_cols is None:
+        key_cols = [df.columns[0]]
+    key_cols = list(key_cols)
+    if isinstance(spark_schema, str):
+        spark_schema = T._parse_datatype_string(spark_schema)
+    # PERMISSIVE from_json yields an all-null struct for corrupt input; the
+    # corrupt-record side channel makes malformed docs detectable without
+    # FAILFAST (never fail the job — parseInfo contract)
+    parse_schema = T.StructType(
+        list(spark_schema.fields) + [T.StructField("_jsp_corrupt", T.StringType(), True)]
+    )
+    parsed = F.from_json(
+        F.col(json_col), parse_schema,
+        {"columnNameOfCorruptRecord": "_jsp_corrupt"},
+    )
+    compiler = ColumnCompiler(extensions=extensions)
+    # compile against the ORIGINAL schema: _jsp_corrupt is not a property
+    valid, viols = compiler.compile_value(cs, parsed, spark_schema, F.lit(""))
+    syntax_bad = F.col(json_col).isNotNull() & (
+        parsed.isNull() | parsed.getField("_jsp_corrupt").isNotNull()
+    )
+    syntax_viol = make_violation(
+        cs.id, F.lit(""), "syntax", None, F.col(json_col),
+        F.lit("Syntax error: malformed JSON"),
+    )
+    annotated = df.select(
+        *key_cols,
+        F.when(syntax_bad, F.lit(False)).otherwise(F.coalesce(valid, F.lit(True))).alias(VALID_COL),
+        F.when(syntax_bad, F.array(syntax_viol))
+        .otherwise(F.coalesce(viols, F.array().cast(VIOLATION_ARRAY)))
+        .alias(VIOLATIONS_COL),
+    )
     return ValidationResult(annotated=annotated, key_cols=key_cols)
 
 

@@ -105,6 +105,10 @@ class ColumnCompiler:
 
     def __init__(self, extensions: bool = True):
         self.extensions = extensions
+        # dynamic-scope $recursiveAnchor base (schema.js:1060-1072);
+        # compilation is a single-threaded DFS, so save/restore around the
+        # recursion gives exactly the reference's dynamic scoping
+        self._recursive_base: Optional[CompiledSchema] = None
 
     # ------------------------------------------------------------------
     def compile_value(
@@ -123,6 +127,22 @@ class ColumnCompiler:
         if depth > _MAX_DEPTH:
             raise ExpressionFallback(f"schema recursion deeper than {_MAX_DEPTH} at <{cs.id}>")
 
+        prev_rbase = self._recursive_base
+        if cs.recursive_anchor and self._recursive_base is None:
+            self._recursive_base = cs
+        try:
+            return self._compile_value_inner(cs, col, dtype, path, depth)
+        finally:
+            self._recursive_base = prev_rbase
+
+    def _compile_value_inner(
+        self,
+        cs: CompiledSchema,
+        col: Column,
+        dtype: T.DataType,
+        path: Column,
+        depth: int,
+    ) -> Tuple[Column, Column]:
         jtype = spark_json_type(dtype)
         pieces: list[Column] = []
         valids: list[Column] = []
@@ -183,6 +203,20 @@ class ColumnCompiler:
             valids.append(v2)
             pieces.append(p2)
 
+        if cs.recursive_ref is not None:
+            # static unrolling against the concrete column type: recursion
+            # bottoms out when the finite StructType stops descending
+            # (SURVEY.md §2.8 $recursiveRef strategy); target = dynamic
+            # $recursiveAnchor base when one is in scope
+            target = (
+                self._recursive_base
+                if self._recursive_base is not None
+                else cs.registry.lookup(cs.recursive_ref)
+            )
+            v2, p2 = self.compile_value(target, col, dtype, path, depth + 1)
+            valids.append(v2)
+            pieces.append(p2)
+
         if cs.any_of:
             branch_valids = [
                 self.compile_value(s, col, dtype, path, depth + 1)[0] for s in cs.any_of
@@ -236,23 +270,30 @@ class ColumnCompiler:
 
     # ------------------------------------------------------------------
     def _number_kernels(self, cs: CompiledSchema, col: Column, path, leaf) -> None:
-        d = col.cast("double")
+        # Compare in the column's own numeric type (Catalyst coerces the
+        # literal): keeps full precision for long/decimal columns — the
+        # bignum suite cases (optional/bignum.json) would corrupt at the
+        # 2^53 boundary if forced through double.
+        def lit_bound(v):
+            iv = int(v)
+            return F.lit(iv if (isinstance(v, int) or v == iv) and abs(iv) < (1 << 63) else float(v))
+
         if cs.exclusive_minimum is not None:
-            leaf(d <= F.lit(float(cs.exclusive_minimum)), "exclusiveMinimum",
+            leaf(col <= lit_bound(cs.exclusive_minimum), "exclusiveMinimum",
                  cs.exclusive_minimum, col, "Number under minimum")
         if cs.minimum is not None:
-            leaf(d < F.lit(float(cs.minimum)), "minimum", cs.minimum, col,
+            leaf(col < lit_bound(cs.minimum), "minimum", cs.minimum, col,
                  "Number under/equal to minimum")
         if cs.exclusive_maximum is not None:
-            leaf(d >= F.lit(float(cs.exclusive_maximum)), "exclusiveMaximum",
+            leaf(col >= lit_bound(cs.exclusive_maximum), "exclusiveMaximum",
                  cs.exclusive_maximum, col, "Number under maximum")
         if cs.maximum is not None:
-            leaf(d > F.lit(float(cs.maximum)), "maximum", cs.maximum, col,
+            leaf(col > lit_bound(cs.maximum), "maximum", cs.maximum, col,
                  "Number under/equal to maximum")
         if cs.multiple_of is not None:
             # JS `n / k % 1` float semantics (schema.js:937); Spark % on
             # doubles is fmod — bit-identical to the reference
-            bad = (d / F.lit(float(cs.multiple_of))) % F.lit(1.0) != F.lit(0.0)
+            bad = (col.cast("double") / F.lit(float(cs.multiple_of))) % F.lit(1.0) != F.lit(0.0)
             leaf(bad, "multipleOf", cs.multiple_of, col, "Number not multiple of")
 
     def _string_kernels(self, cs: CompiledSchema, col: Column, path, leaf) -> None:
@@ -394,6 +435,23 @@ class ColumnCompiler:
             valid = valid & v
         return valid, viols
 
+    def _statically_evaluated(self, cs: CompiledSchema, name: str, depth: int = 0) -> bool:
+        """Would `name` be evaluated by this schema or its in-place
+        applicators (allOf/$ref)? Static twin of evaluatedPropertiesSet
+        (schema.js:1153-1160, 1373-1377)."""
+        if depth > _MAX_DEPTH:
+            return False
+        if name in cs.properties:
+            return True
+        if any(rx.search(name) for _, rx, _ in cs.pattern_properties):
+            return True
+        if cs.additional_properties is not None:
+            return True
+        subs = list(cs.all_of)
+        if cs.ref is not None:
+            subs.append(cs.resolve_ref())
+        return any(self._statically_evaluated(s, name, depth + 1) for s in subs)
+
     # ------------------------------------------------------------------
     def _object_kernels(self, cs, col: Column, dtype: T.DataType, path, depth):
         """Struct columns: static key routing (properties -> fields).
@@ -439,10 +497,28 @@ class ColumnCompiler:
                     routed_subs.append(cs.additional_properties)
                 if cs.const_properties is not None and nm in cs.const_properties:
                     routed_subs.append(cs.const_properties[nm])
+                if cs.unevaluated_properties is not None and not routed_subs \
+                        and not self._statically_evaluated(cs, nm):
+                    # struct keys are static, so the two-phase evaluated-set
+                    # union (schema.js:1373-1403) resolves at COMPILE time
+                    routed_subs.append(cs.unevaluated_properties)
                 for sub in routed_subs:
                     v2, p2 = self.compile_value(sub, col.getField(nm), types[nm], fpath, depth + 1)
                     valids.append(v2)
                     pieces.append(p2)
+                if self.extensions and cs.property_names is not None:
+                    # field names are compile-time constants: evaluate the
+                    # name subschema NOW; emit a static violation only for
+                    # rows where the property is present (field non-null)
+                    from ..schema.evaluate import Evaluator as _PyEval
+
+                    name_errors, _ = _PyEval(extensions=True).validate(cs.property_names, nm)
+                    if name_errors:
+                        leaf_present = col.getField(nm).isNotNull()
+                        v = make_violation(sid, fpath, "propertyNames", None,
+                                           F.lit(nm), F.lit("propertyNames mismatch"))
+                        pieces.append(F.when(leaf_present, F.array(v)).otherwise(empty_violations()))
+                        valids.append(~leaf_present)
         elif isinstance(dtype, T.MapType):
             if not isinstance(dtype.keyType, T.StringType):
                 raise ExpressionFallback("map keys must be strings for object semantics")

@@ -18,6 +18,7 @@ slow path; typed columns go through plans/kernels.py (Catalyst expressions).
 from __future__ import annotations
 
 import math
+from dataclasses import dataclass
 from typing import Any, Optional
 
 from ..errors import AnnotationRecord, ValidationRecord, expected_type
@@ -330,6 +331,52 @@ class Evaluator:
             if dup:
                 E("Array items are not unique", "uniqueItems", True, False)
         return errs
+
+
+@dataclass(frozen=True)
+class ResourceLimits:
+    """Parser resource caps (reference parse.js:146-150, 269-293): in the
+    table engine these become violation rows with keyword 'resourceLimit'
+    rather than job failures; api.parse() raises ResourceLimitError."""
+
+    max_string_length: Optional[int] = None  # code points (parse.js:147)
+    max_key_length: Optional[int] = None     # parse.js:146
+    max_items: Optional[int] = None          # parse.js:149
+    max_properties: Optional[int] = None     # parse.js:150
+    max_depth: Optional[int] = None          # layer-stack depth analog
+
+
+def check_limits(value: Any, limits: ResourceLimits, path: str = "", depth: int = 0) -> list[ValidationRecord]:
+    """Walk a parsed value and report every cap violation (never raises)."""
+    out: list[ValidationRecord] = []
+
+    def rec(v: Any, p: str, d: int) -> None:
+        if limits.max_depth is not None and d > limits.max_depth:
+            out.append(ValidationRecord("Too much recursion", p, "resourceLimit",
+                                        "limits", limits.max_depth, d))
+            return
+        if isinstance(v, str):
+            if limits.max_string_length is not None and len(v) > limits.max_string_length:
+                out.append(ValidationRecord("String too long", p, "resourceLimit",
+                                            "limits", limits.max_string_length, len(v)))
+        elif isinstance(v, dict):
+            if limits.max_properties is not None and len(v) > limits.max_properties:
+                out.append(ValidationRecord("Too many properties", p, "resourceLimit",
+                                            "limits", limits.max_properties, len(v)))
+            for k, c in v.items():
+                if limits.max_key_length is not None and len(k) > limits.max_key_length:
+                    out.append(ValidationRecord("Key too long", f"{p}/{k}", "resourceLimit",
+                                                "limits", limits.max_key_length, len(k)))
+                rec(c, f"{p}/{k}", d + 1)
+        elif isinstance(v, list):
+            if limits.max_items is not None and len(v) > limits.max_items:
+                out.append(ValidationRecord("Too many items", p, "resourceLimit",
+                                            "limits", limits.max_items, len(v)))
+            for i, c in enumerate(v):
+                rec(c, f"{p}/{i}", d + 1)
+
+    rec(value, path, depth)
+    return out
 
 
 def validate_instance(

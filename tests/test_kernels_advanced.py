@@ -1,0 +1,114 @@
+"""Advanced Column-kernel coverage: unevaluatedProperties, propertyNames,
+$recursiveRef, typed JSON fast path, bignum precision."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from jsonschemaparse_spark.plans import (
+    VALID_COL,
+    validate_dataframe,
+    validate_json_typed,
+)
+
+
+def test_unevaluated_properties_struct(spark):
+    df = spark.createDataFrame(
+        [(1, {"a": 1, "b": "zz"}), (2, {"a": 1, "b": "x"})],
+        "id int, o struct<a:int, b:string>",
+    )
+    rules = {
+        "properties": {
+            "o": {
+                "properties": {"a": {"type": "integer"}},
+                "unevaluatedProperties": {"maxLength": 1},
+            }
+        }
+    }
+    res = validate_dataframe(df, rules, key_cols=["id"], fallback="never")
+    got = {r["id"]: r[VALID_COL] for r in res.annotated.collect()}
+    assert got == {1: False, 2: True}
+    v = res.violations().collect()
+    assert v[0]["path"] == "/o/b" and v[0]["keyword"] == "maxLength"
+
+
+def test_unevaluated_properties_allof_union(spark):
+    """Keys evaluated by allOf branches are NOT unevaluated (schema.js:1373)."""
+    df = spark.createDataFrame(
+        [(1, {"a": 1, "b": "long-string"})], "id int, o struct<a:int, b:string>"
+    )
+    rules = {
+        "properties": {
+            "o": {
+                "allOf": [{"properties": {"b": {}}}],
+                "properties": {"a": {}},
+                "unevaluatedProperties": False,
+            }
+        }
+    }
+    res = validate_dataframe(df, rules, key_cols=["id"], fallback="never")
+    assert res.annotated.collect()[0][VALID_COL] is True
+
+
+def test_property_names_struct_static(spark):
+    df = spark.createDataFrame(
+        [(1, {"ok": 1, "toolongname": 2}), (2, {"ok": 3, "toolongname": None})],
+        "id int, o struct<ok:int, toolongname:int>",
+    )
+    rules = {"properties": {"o": {"propertyNames": {"maxLength": 5}}}}
+    res = validate_dataframe(df, rules, key_cols=["id"], fallback="never")
+    got = {r["id"]: r[VALID_COL] for r in res.annotated.collect()}
+    # row 2's offending field is NULL => property absent => no violation
+    assert got == {1: False, 2: True}
+
+
+def test_recursive_ref_column_path(spark):
+    df = spark.createDataFrame(
+        [(1, {"v": 5, "child": {"v": -1, "child": None}})],
+        "id int, o struct<v:int, child:struct<v:int, child:string>>",
+    )
+    rules = {
+        "properties": {
+            "o": {
+                "$recursiveAnchor": True,
+                "properties": {
+                    "v": {"minimum": 0},
+                    "child": {"$recursiveRef": "#"},
+                },
+            }
+        }
+    }
+    res = validate_dataframe(df, rules, key_cols=["id"])
+    v = res.violations().collect()
+    assert len(v) == 1 and v[0]["path"] == "/o/child/v" and v[0]["keyword"] == "minimum"
+
+
+def test_validate_json_typed_fast_path(spark):
+    df = spark.createDataFrame(
+        [(1, '{"k": 5}'), (2, '{"k": 99}'), (3, "{oops"), (4, None)],
+        ["id", "props"],
+    )
+    rules = {"type": "object", "properties": {"k": {"minimum": 0, "maximum": 50}}}
+    res = validate_json_typed(df, "props", rules, "struct<k:int>", key_cols=["id"])
+    got = {r["id"]: r[VALID_COL] for r in res.annotated.collect()}
+    assert got == {1: True, 2: False, 3: False, 4: True}
+    kw = {r["id"]: r["keyword"] for r in res.violations().collect()}
+    assert kw == {2: "maximum", 3: "syntax"}
+    # plan check: no Python eval stage
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        res.annotated.explain("formatted")
+    assert "EvalPython" not in buf.getvalue()
+
+
+def test_bignum_long_precision(spark):
+    """2^53+1 must not collapse to double: long comparisons stay exact."""
+    big = (1 << 53) + 1
+    df = spark.createDataFrame([(1, big), (2, big - 1)], "id int, n long")
+    rules = {"properties": {"n": {"maximum": big - 1}}}
+    res = validate_dataframe(df, rules, key_cols=["id"], fallback="never")
+    got = {r["id"]: r[VALID_COL] for r in res.annotated.collect()}
+    assert got == {1: False, 2: True}
