@@ -99,23 +99,37 @@ def minhash_candidates(
     num_hashes: int = 8,
     bands: int = 4,
     k: int = 3,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b, band_hits). rows/band = H/bands.
 
-    Scale shape: explode to (band_id, band_hash, id); groupBy bucket with
-    collect_list is safe because bucket sizes are tiny for non-degenerate
-    data (identical band-hash implies near-identical shingle sets); the
-    self-join alternative is provided by `minhash_candidates_join` for
-    skew-prone corpora.
+    Plan hygiene (the 100-TB lesson): the signature (hundreds of md5 calls
+    per doc) is computed ONCE per document and materialized behind a
+    repartition barrier — without it, CollapseProject would inline the
+    signature expression into every band reference (num_hashes-fold
+    recompute), and a single-file input would run the whole corpus in one
+    task. The shuffle moves only (id, 8 hex strings) — bytes per row.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), num_hashes, k)
-    banded = df.select(
+    spark = df.sparkSession
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    # stage 1: shingle set once per doc (barrier stops CollapseProject from
+    # inlining it into all num_hashes minhash expressions)
+    with_sh = df.select(
         F.col(id_col).alias("doc"),
+        shingles(F.col(text_col), k).alias("_sh"),
+    ).repartition(n_parts)
+    # stage 2: H minhashes over the materialized shingle column
+    with_sig = with_sh.select(
+        F.col("doc"),
+        F.array(*[_minhash_one(F.col("_sh"), p) for p in range(num_hashes)]).alias("_sig"),
+    )
+    banded = with_sig.select(
+        F.col("doc"),
         F.posexplode(
             F.array(*[
                 F.md5(F.concat_ws("|", *[
-                    F.element_at(sig, b * rows_per_band + r + 1)
+                    F.element_at(F.col("_sig"), b * rows_per_band + r + 1)
                     for r in range(rows_per_band)
                 ]))
                 for b in range(bands)

@@ -103,8 +103,11 @@ class ColumnCompiler:
     """Compile a CompiledSchema against a concrete Spark value (column +
     dtype). Produces (valid, violations) Column pairs."""
 
-    def __init__(self, extensions: bool = True):
+    def __init__(self, extensions: bool = True, enforce_formats: bool = False):
         self.extensions = extensions
+        # format is annotation-only in the reference (schema.js:691, no
+        # exportRules entry); enforcement is an opt-in extension
+        self.enforce_formats = enforce_formats
         # dynamic-scope $recursiveAnchor base (schema.js:1060-1072);
         # compilation is a single-threaded DFS, so save/restore around the
         # recursion gives exactly the reference's dynamic scoping
@@ -319,6 +322,21 @@ class ColumnCompiler:
 
     # ------------------------------------------------------------------
     def _enum_const_kernels(self, cs, col, dtype, jtype, path, leaf, depth) -> None:
+        if (
+            self.enforce_formats
+            and cs.format is not None
+            and jtype == "string"
+        ):
+            from ..functions.formats import FORMAT_PATTERNS
+
+            pat = FORMAT_PATTERNS.get(cs.format)
+            if pat is not None:
+                scol = col.cast("string") if not isinstance(dtype, T.StringType) else col
+                leaf(
+                    ~scol.rlike(pat), "format", cs.format, col,
+                    f"String does not match format {cs.format!r}",
+                )
+
         if cs.enum_literals is not None and jtype in ("string", "integer", "number", "boolean"):
             if jtype in ("integer", "number"):
                 lits = [v for (k, v) in ((x[0], x[1]) for x in cs.enum_literals if len(x) > 1) if k == "n"]

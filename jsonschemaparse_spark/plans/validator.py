@@ -75,6 +75,22 @@ class ValidationResult:
             .withColumn("pass", F.col("n_failed_rows") == 0)
         )
 
+    def observed(self, name: str = "jsp_metrics"):
+        """Attach Spark observe() metrics so row/violation counts come back
+        with the SAME action that writes the output — the 100-TB way to get
+        verdict totals without a second scan. Returns (df, fetch) where
+        `fetch(query_or_none)` reads the observation after an action."""
+        from pyspark.sql import Observation
+
+        obs = Observation(name)
+        df = self.annotated.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col(VALID_COL), 0).otherwise(1)).alias("n_failed_rows"),
+            F.sum(F.size(F.col(VIOLATIONS_COL))).alias("n_violations"),
+        )
+        return df, obs
+
     def summary(self) -> dict:
         row = self.annotated.select(
             F.count(F.lit(1)).alias("n_rows"),

@@ -60,9 +60,11 @@ class Evaluator:
     — schema.js:449, 709, 714.
     """
 
-    def __init__(self, extensions: bool = False, annotations: bool = False):
+    def __init__(self, extensions: bool = False, annotations: bool = False,
+                 enforce_formats: bool = False):
         self.extensions = extensions
         self.collect_annotations = annotations
+        self.enforce_formats = enforce_formats
 
     def validate(
         self, schema: CompiledSchema, value: Any, path: str = ""
@@ -125,6 +127,12 @@ class Evaluator:
                 E("String does not match one of the enumerated values", "enum", schema.enum_values)
             if schema.const_type == "string" and schema.const_value != value:
                 E("String does not match constant", "const", schema.const_value, value)
+            if self.enforce_formats and schema.format is not None:
+                from ..functions.formats import format_ok
+
+                if not format_ok(schema.format, value):
+                    E(f"String does not match format {schema.format!r}",
+                      "format", schema.format, value)
         elif t == "number":
             n = value
             if schema.const_type == "number" and not (
