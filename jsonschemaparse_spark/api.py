@@ -88,8 +88,10 @@ def parse_info(text: str | bytes, schema=None, annotations: bool = True,
             text = bytes(text).decode("utf-8", errors="strict")
         except UnicodeDecodeError as e:
             raise ParseSyntaxError(f"Invalid UTF-8: {e}") from e
+    from .schema.strict_json import loads_strict
+
     try:
-        value = json.loads(text)
+        value = loads_strict(text)
     except ValueError as e:
         raise ParseSyntaxError(str(e)) from e
     limit_errors: list[ValidationRecord] = []

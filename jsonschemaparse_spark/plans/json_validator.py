@@ -27,6 +27,7 @@ from pyspark.sql import types as T
 
 from ..schema.compiler import CompiledSchema, compile_rules
 from ..schema.evaluate import Evaluator
+from ..schema.strict_json import loads_strict
 from .kernels import VIOLATION_ARRAY
 from .validator import VALID_COL, VIOLATIONS_COL, ValidationResult
 
@@ -79,7 +80,7 @@ def validate_json_column(
                     viols.append([])
                     continue
                 try:
-                    value = json.loads(doc)
+                    value = loads_strict(doc)
                 except (ValueError, TypeError) as e:
                     valids.append(False)
                     viols.append(
