@@ -80,18 +80,37 @@ def parse(text: str | bytes, schema=None, extensions: bool = False, limits=None)
 
 
 def parse_info(text: str | bytes, schema=None, annotations: bool = True,
-               extensions: bool = False, limits=None) -> ParseInfo:
+               extensions: bool = False, limits=None, syntax=None,
+               big_number: str = "default", interoperable: bool = False,
+               max_number_length=None) -> ParseInfo:
     """Reporting one-shot: syntax errors raise; validation errors are
-    RETURNED, matching parseInfo (test/parseInfo.test.js:33-46)."""
+    RETURNED, matching parseInfo (test/parseInfo.test.js:33-46).
+
+    syntax/big_number/interoperable/max_number_length mirror the
+    reference's StreamParser options (README.md:100-137) via
+    schema/relaxed_json.py."""
     if isinstance(text, (bytes, bytearray)):
         try:
             text = bytes(text).decode("utf-8", errors="strict")
         except UnicodeDecodeError as e:
             raise ParseSyntaxError(f"Invalid UTF-8: {e}") from e
+    from .errors import ValidationRecord as _VR
+    from .schema.relaxed_json import BigNumberError, loads_relaxed
     from .schema.strict_json import loads_strict
 
     try:
-        value = loads_strict(text)
+        if syntax is not None or big_number != "default" or interoperable or max_number_length:
+            value = loads_relaxed(text, syntax=syntax, big_number=big_number,
+                                  max_number_length=max_number_length,
+                                  interoperable=interoperable)
+        else:
+            value = loads_strict(text)
+    except BigNumberError as e:
+        # bigNumber 'error' policy: a VALIDATION error, not a syntax error
+        # (README.md:130 'error: Treat as a validation error')
+        return ParseInfo(value=None, errors=[
+            _VR(str(e), "", "bigNumber", "", None, None)
+        ])
     except ValueError as e:
         raise ParseSyntaxError(str(e)) from e
     limit_errors: list[ValidationRecord] = []

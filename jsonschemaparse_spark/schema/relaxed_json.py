@@ -1,0 +1,334 @@
+"""Relaxed-syntax JSON options + bigNumber policies (reference README
+options: syntax* family, bigNumber, interoperable — README.md:100-137).
+
+Design: a single token-aware transcoder rewrites the relaxed dialect into
+strict JSON (strings handled with a real scanner, not regexes), then the
+strict loader parses with policy hooks. This keeps one trusted parser while
+supporting the reference's full option surface:
+
+syntax options: line/hash/block/nested comments, trailing commas, unquoted
+keys, single quotes, leading +, bare decimals, hexadecimal ints,
+Infinity/NaN, escaped linefeeds, \\U / \\u{...} UTF-32 escapes.
+
+bigNumber policies (applied to numbers that lose precision in an IEEE
+double — README.md:128-137): default | float64 | error | json | string |
+intstr | fraction | properfraction.
+
+interoperable (RFC 7493 I-JSON subset): rejects duplicate keys and
+precision-lossy numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from dataclasses import dataclass
+from decimal import Decimal
+from typing import Any
+
+from .strict_json import StrictSyntaxError, _check_surrogates
+
+
+@dataclass(frozen=True)
+class SyntaxOptions:
+    line_comment: bool = False       # syntaxLineComment: // ...
+    hash_comment: bool = False       # syntaxHashComment: # ...
+    block_comment: bool = False      # syntaxBlockComment: /* ... */
+    nested_comment: bool = False     # syntaxNestedComment (implies block)
+    unquoted_keys: bool = False      # syntaxUnquotedKeys
+    trailing_comma: bool = False     # syntaxTrailingComma
+    single_quote: bool = False       # syntaxSingleQuote
+    escape_lf: bool = False          # syntaxEscapeLF
+    utf32: bool = False              # syntaxUTF32: \Uxxxxxxxx, \u{...}
+    hexadecimal: bool = False        # syntaxHexadecimal: 0x1F
+    bare_decimal: bool = False       # syntaxBareDecimal: .5 / 5.
+    inf: bool = False                # syntaxInf
+    nan: bool = False                # syntaxNaN
+    plus: bool = False               # syntaxPlus: +1
+
+
+class BigNumberError(ValueError):
+    """bigNumber: 'error' policy hit (a validation error in the reference)."""
+
+
+def _is_ident_char(c: str, first: bool) -> bool:
+    return c.isalpha() or c in "_$" or (not first and c.isdigit())
+
+
+def _escape_cp(cp: int) -> str:
+    if cp <= 0xFFFF:
+        return "\\u%04x" % cp
+    cp -= 0x10000
+    return "\\u%04x\\u%04x" % (0xD800 + (cp >> 10), 0xDC00 + (cp & 0x3FF))
+
+
+def transcode(text: str, opt: SyntaxOptions) -> str:
+    """Rewrite the relaxed dialect into strict JSON (single scan)."""
+    out: list[str] = []
+    i, n = 0, len(text)
+    stack: list[str] = []  # container stack of '{' / '['
+    expect_key = False     # inside an object, before the ':'
+
+    def skip_ws_and_comments(j: int) -> int:
+        while j < n:
+            c = text[j]
+            if c in " \t\r\n":
+                j += 1
+            elif opt.hash_comment and c == "#":
+                while j < n and text[j] != "\n":
+                    j += 1
+            elif (opt.line_comment or opt.block_comment or opt.nested_comment) and c == "/" and j + 1 < n:
+                if opt.line_comment and text[j + 1] == "/":
+                    while j < n and text[j] != "\n":
+                        j += 1
+                elif (opt.block_comment or opt.nested_comment) and text[j + 1] == "*":
+                    depth = 1
+                    j += 2
+                    while j < n and depth:
+                        if opt.nested_comment and text[j : j + 2] == "/*":
+                            depth += 1
+                            j += 2
+                        elif text[j : j + 2] == "*/":
+                            depth -= 1
+                            j += 2
+                        else:
+                            j += 1
+                    if depth:
+                        raise StrictSyntaxError("Unterminated comment")
+                else:
+                    break
+            else:
+                break
+        return j
+
+    def read_string(j: int, quote: str) -> tuple[str, int]:
+        buf = ['"']
+        j += 1
+        while j < n:
+            c = text[j]
+            if c == "\\":
+                if j + 1 >= n:
+                    raise StrictSyntaxError("Unterminated escape")
+                nxt = text[j + 1]
+                if opt.escape_lf and nxt == "\n":
+                    j += 2
+                    continue
+                if opt.utf32 and nxt == "U" and j + 9 < n:
+                    cp = int(text[j + 2 : j + 10], 16)
+                    buf.append(_escape_cp(cp))
+                    j += 10
+                    continue
+                if opt.utf32 and nxt == "u" and j + 2 < n and text[j + 2] == "{":
+                    end = text.index("}", j + 3)
+                    cp = int(text[j + 3 : end], 16)
+                    buf.append(_escape_cp(cp))
+                    j = end + 1
+                    continue
+                if quote == "'" and nxt == "'":
+                    buf.append("'")
+                    j += 2
+                    continue
+                buf.append(c + nxt)
+                j += 2
+                continue
+            if c == quote:
+                buf.append('"')
+                return "".join(buf), j + 1
+            if c == '"' and quote == "'":
+                buf.append('\\"')
+                j += 1
+                continue
+            buf.append(c)
+            j += 1
+        raise StrictSyntaxError("Unterminated string")
+
+    while i < n:
+        j = skip_ws_and_comments(i)
+        if j > i:
+            out.append(" ")
+            i = j
+            continue
+        c = text[i]
+        if c == '"' or (opt.single_quote and c == "'"):
+            s, i = read_string(i, c)
+            out.append(s)
+            if stack and stack[-1] == "{" and expect_key:
+                pass  # key written; ':' flips expect_key below
+            continue
+        if c in "{[":
+            stack.append(c)
+            expect_key = c == "{"
+            out.append(c)
+            i += 1
+            continue
+        if c in "}]":
+            if stack:
+                stack.pop()
+            expect_key = bool(stack) and stack[-1] == "{"
+            out.append(c)
+            i += 1
+            continue
+        if c == ",":
+            if opt.trailing_comma:
+                k = skip_ws_and_comments(i + 1)
+                if k < n and text[k] in "}]":
+                    i += 1  # drop the trailing comma
+                    continue
+            expect_key = bool(stack) and stack[-1] == "{"
+            out.append(c)
+            i += 1
+            continue
+        if c == ":":
+            expect_key = False
+            out.append(c)
+            i += 1
+            continue
+        if opt.plus and c == "+" and i + 1 < n and (text[i + 1].isdigit() or text[i + 1] == "."):
+            i += 1  # drop leading plus
+            continue
+        if opt.hexadecimal and c == "0" and i + 1 < n and text[i + 1] in "xX":
+            j = i + 2
+            while j < n and text[j] in "0123456789abcdefABCDEF":
+                j += 1
+            out.append(str(int(text[i + 2 : j], 16)))
+            i = j
+            continue
+        if opt.bare_decimal and c == "." and i + 1 < n and text[i + 1].isdigit():
+            out.append("0")
+            out.append(".")
+            i += 1
+            continue
+        if c.isdigit() or c == "-":
+            j = i + (1 if c == "-" else 0)
+            if opt.bare_decimal and j < n and text[j] == ".":
+                out.append(text[i:j] + "0")
+                i = j
+                continue
+            while j < n and (text[j].isdigit() or text[j] in ".eE+-"):
+                j += 1
+            tok = text[i:j]
+            if opt.bare_decimal and tok.endswith("."):
+                tok += "0"
+            out.append(tok)
+            i = j
+            continue
+        if _is_ident_char(c, True):
+            j = i
+            while j < n and _is_ident_char(text[j], j == i):
+                j += 1
+            word = text[i:j]
+            if word in ("true", "false", "null"):
+                out.append(word)
+            elif word == "Infinity" and opt.inf:
+                out.append("Infinity")
+            elif word == "NaN" and opt.nan:
+                out.append("NaN")
+            elif opt.unquoted_keys and stack and stack[-1] == "{" and expect_key:
+                out.append(json.dumps(word))
+            else:
+                out.append(word)  # strict parser will reject
+            i = j
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# bigNumber policies
+# ---------------------------------------------------------------------------
+def _is_lossy(raw: str) -> bool:
+    try:
+        return Decimal(raw) != Decimal(repr(float(raw))) if "e" in raw.lower() or "." in raw \
+            else int(raw) != int(float(raw))
+    except (ValueError, OverflowError):
+        return True
+
+
+def _fraction(raw: str) -> tuple[int, int]:
+    d = Decimal(raw)
+    sign, digits, exp = d.as_tuple()
+    num = int("".join(map(str, digits))) * (-1 if sign else 1)
+    if exp >= 0:
+        return num * (10 ** exp), 1
+    return num, 10 ** (-exp)
+
+
+def make_number_hooks(big_number: str = "default", max_number_length: int | None = None):
+    """(parse_int, parse_float) implementing the bigNumber policy table."""
+
+    def handle(raw: str, is_int: bool):
+        if max_number_length is not None and len(raw) > max_number_length:
+            raise BigNumberError("Number lexical length over maxNumberLength")
+        lossy = _is_lossy(raw)
+        if not lossy or big_number == "default":
+            # default: ints stay exact Python ints (Spark LongType-friendly;
+            # strictly more precise than the reference's JSON.parse default)
+            return int(raw) if is_int else float(raw)
+        if big_number == "float64":
+            return float(raw)  # the reference's `default` (JSON.parse)
+        if big_number == "error":
+            raise BigNumberError("Number cannot be represented without precision loss")
+        if big_number == "json":
+            return raw
+        if big_number == "string":
+            d = Decimal(raw)
+            s = format(d, "f")
+            if max_number_length is not None and len(s) > max_number_length:
+                raise BigNumberError("Number lexical length over maxNumberLength")
+            return s
+        if big_number == "intstr":
+            return str(int(Decimal(raw)))
+        if big_number == "fraction":
+            return list(_fraction(raw))
+        if big_number == "properfraction":
+            num, den = _fraction(raw)
+            # exact truncation toward zero (float division would round)
+            whole = abs(num) // den * (-1 if num < 0 else 1)
+            return [whole, num - whole * den, den]
+        raise ValueError(f"Unknown bigNumber policy: {big_number}")
+
+    return (lambda s: handle(s, True)), (lambda s: handle(s, False))
+
+
+def loads_relaxed(
+    text: str | bytes,
+    syntax: SyntaxOptions | None = None,
+    big_number: str = "default",
+    max_number_length: int | None = None,
+    interoperable: bool = False,
+) -> Any:
+    """Full-option loader: relaxed syntax -> strict JSON -> policy parse."""
+    if isinstance(text, (bytes, bytearray)):
+        text = bytes(text).decode("utf-8", errors="strict")
+    opt = syntax or SyntaxOptions()
+    stricted = transcode(text, opt)
+    if interoperable:
+        big_number = "error" if big_number == "default" else big_number
+
+        def pairs_hook(pairs):
+            keys = [k for k, _ in pairs]
+            if len(keys) != len(set(keys)):
+                raise StrictSyntaxError("Duplicate object keys (I-JSON)")
+            return dict(pairs)
+    else:
+        pairs_hook = None
+
+    parse_int, parse_float = make_number_hooks(big_number, max_number_length)
+
+    def constant(name):
+        if name in ("Infinity", "-Infinity") and opt.inf:
+            return float(name)
+        if name == "NaN" and opt.nan:
+            return math.nan
+        raise StrictSyntaxError(f"Unexpected token: {name}")
+
+    value = json.loads(
+        stricted,
+        parse_int=parse_int,
+        parse_float=parse_float,
+        parse_constant=constant,
+        object_pairs_hook=pairs_hook,
+    )
+    _check_surrogates(value)
+    return value
