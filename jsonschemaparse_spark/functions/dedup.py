@@ -113,13 +113,11 @@ def minhash_candidates(
     rows_per_band = num_hashes // bands
     spark = df.sparkSession
     n_parts = num_partitions or spark.sparkContext.defaultParallelism
-    # stage 1: shingle set once per doc (barrier stops CollapseProject from
-    # inlining it into all num_hashes minhash expressions)
-    with_sh = df.select(
-        F.col(id_col).alias("doc"),
-        shingles(F.col(text_col), k).alias("_sh"),
-    ).repartition(n_parts)
-    # stage 2: H minhashes over the materialized shingle column
+    # repartition the NARROW projection first so the md5-heavy signature
+    # work runs at full parallelism even from a single input split; the
+    # shuffle carries only (id, text)
+    raw = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_t")).repartition(n_parts)
+    with_sh = raw.select(F.col("doc"), shingles(F.col("_t"), k).alias("_sh"))
     with_sig = with_sh.select(
         F.col("doc"),
         F.array(*[_minhash_one(F.col("_sh"), p) for p in range(num_hashes)]).alias("_sig"),
