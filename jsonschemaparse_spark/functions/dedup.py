@@ -192,8 +192,14 @@ def ngram_jaccard_pairs(
     """Exact all-pairs n-gram Jaccard via inverted index on shingles —
     feasible when shingle posting lists are short (dedup-after-exact).
     Shuffle key = shingle; pairs sharing >=1 shingle are scored exactly."""
-    sh = df.select(F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), k)).alias("sh"),
-                   F.size(shingles(F.col(text_col), k)).alias("n_sh"))
+    spark = df.sparkSession
+    raw = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_t")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    with_sh = raw.select(F.col("doc"), shingles(F.col("_t"), k).alias("_sh"))
+    sh = with_sh.select(
+        F.col("doc"), F.explode(F.col("_sh")).alias("sh"), F.size(F.col("_sh")).alias("n_sh")
+    )
     l, r = sh.alias("l"), sh.alias("r")
     co = (
         l.join(r, (F.col("l.sh") == F.col("r.sh")) & (F.col("l.doc") < F.col("r.doc")))
@@ -236,7 +242,10 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
                 sims.append(val - (1 << 64) if val >= (1 << 63) else val)
             yield pd.DataFrame({id_col: pdf[id_col], "simhash": sims})
 
-    return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+    narrowed = df.select(id_col, text_col).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
+    return narrowed.mapInPandas(run, schema=out_schema)
 
 
 def simhash_near_duplicates(

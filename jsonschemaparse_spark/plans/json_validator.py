@@ -43,6 +43,17 @@ def _records(errors) -> list[dict]:
     return [e.as_row() for e in errors]
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition only when the plan has fewer partitions than cores —
+    real multi-split inputs pass through shuffle-free."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        current = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001
+        return df
+    return df.repartition(target) if current < max(target // 2, 2) else df
+
+
 def validate_json_column(
     df: DataFrame,
     json_col: str,
@@ -50,6 +61,9 @@ def validate_json_column(
     key_cols: Optional[Sequence[str]] = None,
     extensions: bool = False,
     limits=None,
+    syntax=None,
+    big_number: str = "default",
+    interoperable: bool = False,
 ) -> ValidationResult:
     """Validate a JSON-string column against rules, Arrow batch at a time.
 
@@ -57,8 +71,14 @@ def validate_json_column(
     strict reference parity (contains/propertyNames/uniqueItems vacuous).
     limits: optional ResourceLimits -> extra 'resourceLimit' violation rows
     (parser caps of parse.js:146-150, table-scope semantics).
+    syntax/big_number/interoperable: the reference's StreamParser option
+    families (README.md:100-137) — relaxed dialects and bigNumber policies
+    apply per document inside the Arrow batch.
     """
     from ..schema.evaluate import check_limits
+    from ..schema.relaxed_json import BigNumberError, loads_relaxed
+
+    relaxed = syntax is not None or big_number != "default" or interoperable
 
     cs = rules if isinstance(rules, CompiledSchema) else compile_rules(rules)
     if key_cols is None:
@@ -66,6 +86,9 @@ def validate_json_column(
     key_cols = list(key_cols)
     out_schema = _out_schema(df, key_cols)
     narrowed = df.select(*key_cols, json_col)
+    # Arrow kernels are CPU-bound per batch: if the input has fewer splits
+    # than cores (single parquet file), spread it so every core validates
+    narrowed = _ensure_parallelism(narrowed)
     evaluator = Evaluator(extensions=extensions)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -80,7 +103,28 @@ def validate_json_column(
                     viols.append([])
                     continue
                 try:
-                    value = loads_strict(doc)
+                    if relaxed:
+                        value = loads_relaxed(
+                            doc, syntax=syntax, big_number=big_number,
+                            interoperable=interoperable,
+                        )
+                    else:
+                        value = loads_strict(doc)
+                except BigNumberError as e:
+                    valids.append(False)
+                    viols.append(
+                        [
+                            {
+                                "constraint_id": cs.id,
+                                "path": "",
+                                "keyword": "bigNumber",
+                                "expected": None,
+                                "actual": None,
+                                "message": str(e),
+                            }
+                        ]
+                    )
+                    continue
                 except (ValueError, TypeError) as e:
                     valids.append(False)
                     viols.append(

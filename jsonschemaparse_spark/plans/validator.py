@@ -42,6 +42,24 @@ class ValidationResult:
 
     annotated: DataFrame  # input columns + _jsp_valid + _jsp_violations
     key_cols: list[str]
+    compiled: Optional[CompiledSchema] = None
+
+    def annotations(self) -> DataFrame:
+        """(key..., constraint_id, keyword, value) — title/description
+        annotations for PASSING rows only (schema.js:1411 contract). The
+        static annotation table is tiny and broadcast; rows are filtered by
+        the already-computed valid flag — no re-validation."""
+        from ..api import annotation_table
+
+        if self.compiled is None:
+            raise ValueError("annotations() needs the compiled schema")
+        spark = self.annotated.sparkSession
+        static = spark.createDataFrame(
+            annotation_table(self.compiled) or [],
+            "constraint_id string, keyword string, value string",
+        )
+        passing = self.annotated.filter(F.col(VALID_COL)).select(*self.key_cols)
+        return passing.crossJoin(F.broadcast(static))
 
     def violations(self) -> DataFrame:
         """(key..., constraint_id, path, keyword, expected, actual, message)
@@ -137,7 +155,7 @@ def validate_dataframe(
                 VIOLATIONS_COL: F.coalesce(viols, F.array().cast(VIOLATION_ARRAY)),
             }
         )
-        return ValidationResult(annotated=annotated, key_cols=key_cols)
+        return ValidationResult(annotated=annotated, key_cols=key_cols, compiled=cs)
     except ExpressionFallback:
         if fallback == "never":
             raise

@@ -154,7 +154,9 @@ def extract_text(df: DataFrame, html_col: str = "html", out_col: str = "extracte
             out[out_col] = pdf[html_col].map(_extract_one)
             yield out
 
-    return df.mapInPandas(run, schema=schema)
+    from ..plans.json_validator import _ensure_parallelism
+
+    return _ensure_parallelism(df).mapInPandas(run, schema=schema)
 
 
 def charset_violations(extracted: DataFrame, key_col: str = "url",
