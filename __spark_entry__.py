@@ -270,6 +270,55 @@ def q_simhash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(df, "doc_id")
 
 
+def q_salted_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage aggregation must equal the plain groupBy."""
+    from jsonschemaparse_spark.plans.skew import salted_group_count
+
+    return salted_group_count(_docs(spark, sf_dir), "lang", buckets=8).select(
+        "lang", F.col("cnt").cast("long").alias("cnt")
+    )
+
+
+def q_exact_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surviving doc_ids after exact dedup of the cloned corpus."""
+    from jsonschemaparse_spark.functions.dedup import exact_dedup
+
+    return exact_dedup(_docs_with_clones(spark, sf_dir), "doc_id").select("doc_id")
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonschemaparse_spark.functions.dedup import ngram_jaccard_pairs
+
+    base = _docs(spark, sf_dir).filter(F.col("doc_id") < 30)
+    clones = base.withColumn("doc_id", F.col("doc_id") + 1000000)
+    return ngram_jaccard_pairs(base.unionByName(clones), "doc_id", threshold=0.5)
+
+
+def q_events_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract as events_json_validation via the from_json fast path
+    (zero Python) — same oracle SQL."""
+    from jsonschemaparse_spark.plans import validate_json_typed
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    res = validate_json_typed(ev, "props", EVENT_PROPS_RULES, "struct<k:long>",
+                              key_cols=["event_id"])
+    return res.annotated.select("event_id", F.col("_jsp_valid").alias("valid"))
+
+
+def q_chi2_drift_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonschemaparse_spark.functions.integrity import chi2_drift
+
+    docs = _docs(spark, sf_dir)
+    skewed = docs.withColumn(
+        "lang", F.when(F.col("lang") == "en", "zz").otherwise(F.col("lang"))
+    )
+    r = chi2_drift(docs, skewed, "lang")
+    return spark.createDataFrame(
+        [(round(r.statistic, 4), r.n_left, r.n_right, bool(r.drifted))],
+        "statistic double, n_left long, n_right long, drifted boolean",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_documents": q_validate_documents,
@@ -292,6 +341,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift_nchars": q_ks_drift_nchars,
         "webpages_flagship": q_webpages_flagship,
         "simhash_sample": q_simhash_sample,
+        "salted_lang_counts": q_salted_lang_counts,
+        "exact_dedup_keep": q_exact_dedup_keep,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "events_json_typed": q_events_json_typed,
+        "chi2_drift_lang": q_chi2_drift_lang,
     }
 
 
@@ -526,5 +580,42 @@ SELECT event_id,
          AND CAST(json_extract(props, '$.k') AS BIGINT) BETWEEN 0 AND 50
        ) AS valid
 FROM events
+""",
+        "events_json_typed": """
+SELECT event_id,
+       (props IS NULL) OR (
+         json_valid(props)
+         AND json_type(props::JSON) = 'OBJECT'
+         AND json_type(props::JSON, '$.k') IN ('UBIGINT', 'BIGINT')
+         AND CAST(json_extract(props, '$.k') AS BIGINT) BETWEEN 0 AND 50
+       ) AS valid
+FROM events
+""",
+        "salted_lang_counts": """
+SELECT lang, CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY lang
+""",
+        "exact_dedup_keep": f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50
+), keyed AS (
+  SELECT doc_id, md5({_NORM}) AS ck FROM corpus
+)
+SELECT doc_id FROM keyed
+WHERE doc_id = (SELECT min(k2.doc_id) FROM keyed k2 WHERE k2.ck = keyed.ck)
+""",
+        "ngram_jaccard_pairs": f"""
+WITH corpus AS (
+  SELECT doc_id, {_SHINGLES} AS sh FROM documents WHERE doc_id < 30
+  UNION ALL
+  SELECT doc_id + 1000000, {_SHINGLES} FROM documents WHERE doc_id < 30
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+FROM corpus a JOIN corpus b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
 """,
     }
