@@ -502,6 +502,19 @@ class ColumnCompiler:
                              "Required property missing")
                     else:
                         leaf(F.lit(True), "required", 0, F.lit(1), "Required property missing")
+            if self.extensions and cs.dependent_required:
+                for k, reqs in sorted(cs.dependent_required.items()):
+                    present = col.getField(k).isNotNull() if k in types else F.lit(False)
+                    for r in reqs:
+                        r_missing = col.getField(r).isNull() if r in types else F.lit(True)
+                        leaf(present & r_missing, "dependentRequired", 0, F.lit(1),
+                             "Dependent property missing")
+            if self.extensions and cs.dependent_schemas:
+                for k, dsub in sorted(cs.dependent_schemas.items()):
+                    present = col.getField(k).isNotNull() if k in types else F.lit(False)
+                    dv, dp = self.compile_value(dsub, col, dtype, path, depth + 1)
+                    valids.append(F.when(present, dv).otherwise(F.lit(True)))
+                    pieces.append(F.when(present, dp).otherwise(empty_violations()))
             # route fields (projection analog of initProperty, schema.js:1195-1224)
             for nm in names:
                 fpath = F.concat(path.cast("string"), F.lit("/" + nm))

@@ -282,6 +282,27 @@ class CompiledSchema:
         pn = raw.get("propertyNames")  # extension: unsupported in reference (schema.js:709)
         self.property_names = sub(pn, "propertyNames") if pn is not None else None
 
+        # extensions: in the reference's known table but disabled in its
+        # suite run (test/schema-suite.test.js:33-34)
+        dr = raw.get("dependentRequired")
+        self.dependent_required: dict[str, list[str]] = {}
+        if dr is not None:
+            if not isinstance(dr, dict):
+                raise SchemaError('Expected "dependentRequired" to be an object')
+            for key, reqs in dr.items():
+                if not isinstance(reqs, list) or any(not isinstance(r, str) for r in reqs):
+                    raise SchemaError('Expected "dependentRequired" values to be arrays of strings')
+                self.dependent_required[key] = list(reqs)
+        ds = raw.get("dependentSchemas")
+        self.dependent_schemas: dict[str, CompiledSchema] = {}
+        if ds is not None:
+            if not isinstance(ds, dict):
+                raise SchemaError('Expected "dependentSchemas" to be an object')
+            for key, s in ds.items():
+                if not _is_schema(s):
+                    raise SchemaError('Expected "dependentSchemas" values to be schemas')
+                self.dependent_schemas[key] = sub(s, "dependentSchemas/" + key)
+
         self.min_properties = _num_kw(raw, "minProperties")
         self.max_properties = _num_kw(raw, "maxProperties")
 

@@ -234,8 +234,19 @@ class Evaluator:
             if remain:
                 E("Required property missing", "required", 0, remain)
 
+        if self.extensions and schema.dependent_required:
+            for key, reqs in schema.dependent_required.items():
+                if key in value:
+                    missing = sum(1 for r in reqs if r not in value)
+                    if missing:
+                        E("Dependent property missing", "dependentRequired", 0, missing)
+
         errs_out = []
         evaluated: set[str] = set()
+        if self.extensions and schema.dependent_schemas:
+            for key, dsub in schema.dependent_schemas.items():
+                if key in value:
+                    errs_out.extend(self._val(dsub, value, path, annotations, rbase, depth + 1))
         for key, child in value.items():
             child_path = f"{path}/{key}"
             routed = False

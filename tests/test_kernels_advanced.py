@@ -112,3 +112,41 @@ def test_bignum_long_precision(spark):
     res = validate_dataframe(df, rules, key_cols=["id"], fallback="never")
     got = {r["id"]: r[VALID_COL] for r in res.annotated.collect()}
     assert got == {1: False, 2: True}
+
+
+def test_dependent_required(spark):
+    df = spark.createDataFrame(
+        [(1, {"cc": "visa", "addr": "x"}), (2, {"cc": "visa", "addr": None}),
+         (3, {"cc": None, "addr": None})],
+        "id int, o struct<cc:string, addr:string>",
+    )
+    rules = {"properties": {"o": {"dependentRequired": {"cc": ["addr"]}}}}
+    res = validate_dataframe(df, rules, key_cols=["id"], fallback="never")
+    got = {r["id"]: r[VALID_COL] for r in res.annotated.collect()}
+    assert got == {1: True, 2: False, 3: True}
+    # python path agrees
+    from jsonschemaparse_spark import validate_instance
+
+    assert validate_instance(rules["properties"]["o"], {"cc": "v", "addr": "x"},
+                             extensions=True)[0]
+    assert not validate_instance(rules["properties"]["o"], {"cc": "v"},
+                                 extensions=True)[0]
+    assert validate_instance(rules["properties"]["o"], {}, extensions=True)[0]
+
+
+def test_dependent_schemas(spark):
+    df = spark.createDataFrame(
+        [(1, {"cc": "visa", "bill": 10}), (2, {"cc": "visa", "bill": -5}),
+         (3, {"cc": None, "bill": -5})],
+        "id int, o struct<cc:string, bill:int>",
+    )
+    rules = {"properties": {"o": {"dependentSchemas": {
+        "cc": {"properties": {"bill": {"minimum": 0}}}}}}}
+    res = validate_dataframe(df, rules, key_cols=["id"], fallback="never")
+    got = {r["id"]: r[VALID_COL] for r in res.annotated.collect()}
+    assert got == {1: True, 2: False, 3: True}
+    from jsonschemaparse_spark import validate_instance
+
+    sub = rules["properties"]["o"]
+    assert not validate_instance(sub, {"cc": "v", "bill": -1}, extensions=True)[0]
+    assert validate_instance(sub, {"bill": -1}, extensions=True)[0]
