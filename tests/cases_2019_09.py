@@ -438,6 +438,132 @@ CASES = [
     ]},
 ]
 
+CASES += [
+    # ---- combinator nesting ------------------------------------------------
+    {"description": "nested allOf", "schema": {"allOf": [{"allOf": [{"type": "null"}]}]}, "tests": [
+        {"description": "null is valid", "data": None, "valid": True},
+        {"description": "anything non-null is invalid", "data": 123, "valid": False},
+    ]},
+    {"description": "allOf combined with anyOf, oneOf",
+     "schema": {"allOf": [{"multipleOf": 2}], "anyOf": [{"multipleOf": 3}],
+                "oneOf": [{"multipleOf": 5}]},
+     "tests": [
+        {"description": "allOf: false, anyOf: false, oneOf: false", "data": 1, "valid": False},
+        {"description": "allOf: true, anyOf: false, oneOf: false", "data": 2, "valid": False},
+        {"description": "allOf: false, anyOf: true, oneOf: false", "data": 3, "valid": False},
+        {"description": "allOf: true, anyOf: true, oneOf: false", "data": 6, "valid": False},
+        {"description": "allOf: true, anyOf: false, oneOf: true", "data": 10, "valid": False},
+        {"description": "allOf: true, anyOf: true, oneOf: true", "data": 30, "valid": True},
+    ]},
+    {"description": "oneOf with required",
+     "schema": {"type": "object",
+                "oneOf": [{"required": ["foo", "bar"]}, {"required": ["foo", "baz"]}]},
+     "tests": [
+        {"description": "both valid is invalid", "data": {"foo": 1, "bar": 2, "baz": 3}, "valid": False},
+        {"description": "first valid", "data": {"foo": 1, "bar": 2}, "valid": True},
+        {"description": "second valid", "data": {"foo": 1, "baz": 3}, "valid": True},
+        {"description": "neither", "data": {"foo": 1}, "valid": False},
+    ]},
+    {"description": "not with boolean schema true", "schema": {"not": True}, "tests": [
+        {"description": "any value is invalid", "data": "foo", "valid": False},
+    ]},
+    {"description": "not with boolean schema false", "schema": {"not": False}, "tests": [
+        {"description": "any value is valid", "data": "foo", "valid": True},
+    ]},
+    {"description": "collect annotations inside a 'not'",
+     "schema": {"not": {"anyOf": [{"type": "string"}, {"type": "number"}]}},
+     "tests": [
+        {"description": "object is valid", "data": {}, "valid": True},
+        {"description": "number is invalid", "data": 1, "valid": False},
+    ]},
+    # ---- if/then/else inside allOf -----------------------------------------
+    {"description": "if appears at the end when serialized (keyword processing sequence)",
+     "schema": {"then": {"const": "yes"}, "else": {"const": "other"},
+                "if": {"maxLength": 4}},
+     "tests": [
+        {"description": "yes redirects to then and passes", "data": "yes", "valid": True},
+        {"description": "other redirects to else and passes", "data": "other", "valid": True},
+        {"description": "no redirects to then and fails", "data": "no", "valid": False},
+        {"description": "invalid redirects to else and fails", "data": "invalid", "valid": False},
+    ]},
+    # ---- $ref shenanigans ----------------------------------------------------
+    {"description": "$ref prevents a sibling $id from changing the base uri",
+     "schema": {"$id": "https://site.test/base",
+                "$defs": {"x": {"type": "integer"}},
+                "properties": {"a": {"$ref": "#/$defs/x"}}},
+     "tests": [
+        {"description": "match", "data": {"a": 1}, "valid": True},
+        {"description": "mismatch", "data": {"a": "x"}, "valid": False},
+    ]},
+    {"description": "refs with quote in pointer",
+     "schema": {"$defs": {"a~b": {"type": "integer"}},
+                "properties": {"x": {"$ref": "#/$defs/a~0b"}}},
+     "tests": [
+        {"description": "pointer ~0 unescape", "data": {"x": 3}, "valid": True},
+        {"description": "pointer mismatch", "data": {"x": "s"}, "valid": False},
+    ]},
+    {"description": "ref into combinator branch",
+     "schema": {"if": {"type": "integer"}, "then": True,
+                "properties": {"b": {"$ref": "#/if"}}},
+     "tests": [
+        {"description": "valid through ref", "data": {"b": 2}, "valid": True},
+        {"description": "invalid through ref", "data": {"b": "x"}, "valid": False},
+    ]},
+    # ---- enum/const edge semantics --------------------------------------------
+    {"description": "enum with -0", "schema": {"enum": [-0.0]}, "tests": [
+        {"description": "0 matches -0 (SameValueZero)", "data": 0, "valid": True},
+        {"description": "0.0 matches", "data": 0.0, "valid": True},
+    ]},
+    {"description": "const with -0", "schema": {"const": -0.0}, "tests": [
+        {"description": "0 equals -0", "data": 0, "valid": True},
+    ]},
+    {"description": "const nested 1 vs true", "schema": {"const": [1]}, "tests": [
+        {"description": "[1] matches", "data": [1], "valid": True},
+        {"description": "[true] does not", "data": [True], "valid": False},
+    ]},
+    {"description": "enum with escaped characters", "schema": {"enum": ["foo\nbar", "foo\rbar"]}, "tests": [
+        {"description": "member 1", "data": "foo\nbar", "valid": True},
+        {"description": "member 2", "data": "foo\rbar", "valid": True},
+        {"description": "another string", "data": "abc", "valid": False},
+    ]},
+    # ---- properties edge cases --------------------------------------------------
+    {"description": "properties with escaped characters",
+     "schema": {"properties": {"foo\nbar": {"type": "number"}, "foo\"bar": {"type": "number"}}},
+     "tests": [
+        {"description": "valid", "data": {"foo\nbar": 1, "foo\"bar": 2}, "valid": True},
+        {"description": "invalid", "data": {"foo\nbar": "x"}, "valid": False},
+    ]},
+    {"description": "properties with boolean schema",
+     "schema": {"properties": {"foo": True, "bar": False}},
+     "tests": [
+        {"description": "no property present is valid", "data": {}, "valid": True},
+        {"description": "only 'true' property present is valid", "data": {"foo": 1}, "valid": True},
+        {"description": "'false' property present is invalid", "data": {"bar": 1}, "valid": False},
+    ]},
+    {"description": "items with boolean schema false", "schema": {"items": False}, "tests": [
+        {"description": "any non-empty array is invalid", "data": [1], "valid": False},
+        {"description": "empty array is valid", "data": [], "valid": True},
+    ]},
+    {"description": "maxProperties 0 means empty object",
+     "schema": {"maxProperties": 0},
+     "tests": [
+        {"description": "no properties is valid", "data": {}, "valid": True},
+        {"description": "one property is invalid", "data": {"a": 1}, "valid": False},
+    ]},
+    # ---- pattern edge -------------------------------------------------------------
+    {"description": "pattern with special characters", "schema": {"pattern": "a\\.b"}, "tests": [
+        {"description": "literal dot matches", "data": "xa.by", "valid": True},
+        {"description": "other char does not", "data": "xaxby", "valid": False},
+    ]},
+    {"description": "patternProperties with non-anchored regex",
+     "schema": {"patternProperties": {"a": {"type": "integer"}}},
+     "tests": [
+        {"description": "key containing a anywhere is routed", "data": {"xax": 1}, "valid": True},
+        {"description": "routed key with wrong type", "data": {"xax": "s"}, "valid": False},
+        {"description": "unrouted key ignored", "data": {"xxx": "s"}, "valid": True},
+    ]},
+]
+
 # Violation keyword/message assertions mirroring
 # /root/reference/test/validate.test.js (T2 report parity).
 REPORT_CASES = [
