@@ -24,10 +24,10 @@ from pyspark.sql import functions as F
 SALT_COL = "_jsp_salt"
 
 
-def _salt(df_or_key: Column, buckets: int) -> Column:
-    # deterministic salt: hash of the whole row's key + a spread component
-    # would collide for identical keys; use a uniform pseudo-random draw
-    # seeded per row via monotonically_increasing_id (stable within a run)
+def _salt(buckets: int) -> Column:
+    # deterministic salt: a key-hash salt would collide for identical keys
+    # (defeating the point); use a per-row uniform draw seeded via
+    # monotonically_increasing_id (stable within a run)
     return (F.abs(F.xxhash64(F.monotonically_increasing_id())) % buckets).cast("int")
 
 
@@ -35,7 +35,7 @@ def salted_repartition(df: DataFrame, keys: Sequence[str] | str, buckets: int = 
     """repartition(key, salt): heavy keys split across `buckets` partitions.
     Downstream per-key operations must re-combine (see salted_group_count)."""
     keys = [keys] if isinstance(keys, str) else list(keys)
-    salted = df.withColumn(SALT_COL, _salt(F.lit(0), buckets))
+    salted = df.withColumn(SALT_COL, _salt(buckets))
     return salted.repartition(*[F.col(k) for k in keys], F.col(SALT_COL))
 
 
@@ -50,7 +50,7 @@ def salted_group_count(df: DataFrame, keys: Sequence[str] | str, buckets: int = 
     e.g. count-distinct-style aggregations carrying state per key.)"""
     keys = [keys] if isinstance(keys, str) else list(keys)
     stage1 = (
-        df.withColumn(SALT_COL, _salt(F.lit(0), buckets))
+        df.withColumn(SALT_COL, _salt(buckets))
         .groupBy(*keys, SALT_COL)
         .agg(F.count(F.lit(1)).alias("_partial"))
     )

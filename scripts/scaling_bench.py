@@ -34,6 +34,7 @@ spark = (SparkSession.builder.master(f"local[{{cpus}}]")
     .config("spark.sql.shuffle.partitions", str(cpus))
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.driver.memory", "24g")
+    .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
     .config("spark.ui.enabled", "false").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 import __spark_entry__ as entry
@@ -45,21 +46,17 @@ def one_pass():
     verd = res.verdicts().collect()
     return sum(r["n_rows"] for r in verd)
 
-n = one_pass()  # warmup: JIT + page cache
-times = []
-for _ in range(3):
-    t0 = time.perf_counter()
-    one_pass()
-    times.append(time.perf_counter() - t0)
-best = min(times)
-print(json.dumps({{"cpus": cpus, "wall_sec": round(best, 3), "n_rows": n,
-                  "docs_per_sec": round(n / best, 1),
-                  "all_runs_sec": [round(t, 3) for t in times]}}))
+n = one_pass()  # warmup: JIT + codegen + page cache
+t0 = time.perf_counter()
+one_pass()
+wall = time.perf_counter() - t0
+print(json.dumps({{"cpus": cpus, "wall_sec": round(wall, 3), "n_rows": n,
+                  "docs_per_sec": round(n / wall, 1)}}))
 spark.stop()
 """
 
 
-def run_level(cpus: int, path: str) -> dict:
+def _run_once(cpus: int, path: str) -> dict:
     script = _CHILD.format(repo=str(REPO))
     out = subprocess.run(
         [sys.executable, "-c", script, str(cpus), path],
@@ -69,8 +66,35 @@ def run_level(cpus: int, path: str) -> dict:
     return json.loads(line)
 
 
+def run_level_interleaved(path: str, rounds: int = 4) -> tuple[dict, dict]:
+    """Interleave local[8]/local[32] invocations (fresh JVM each) so
+    noisy-neighbor VM variance hits both levels equally; report medians."""
+    import statistics
+
+    lo_runs, hi_runs = [], []
+    for _ in range(rounds):
+        hi_runs.append(_run_once(32, path))
+        lo_runs.append(_run_once(8, path))
+
+    def med(runs):
+        rates = sorted(r["docs_per_sec"] for r in runs)
+        m = statistics.median(rates)
+        return {
+            "cpus": runs[0]["cpus"],
+            "n_rows": runs[0]["n_rows"],
+            "docs_per_sec_median": m,
+            "docs_per_sec_all": rates,
+            "wall_sec_all": sorted(r["wall_sec"] for r in runs),
+        }
+
+    return med(lo_runs), med(hi_runs)
+
+
 def main() -> None:
-    tmp = tempfile.mkdtemp(prefix="scaling_pages_")
+    # tmpfs input: /tmp is disk-backed in the sandbox and disk I/O variance
+    # drowned the signal; /dev/shm removes the storage variable entirely
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    tmp = tempfile.mkdtemp(prefix="scaling_pages_", dir=base)
     path = os.path.join(tmp, "webpages")
     gen = subprocess.run(
         [sys.executable, "-c",
@@ -78,7 +102,7 @@ def main() -> None:
 import sys; sys.path.insert(0, {str(REPO)!r})
 from pyspark.sql import SparkSession
 spark = (SparkSession.builder.master("local[32]")
-  .config("spark.ui.enabled","false").config("spark.driver.memory","24g").getOrCreate())
+  .config("spark.ui.enabled","false").config("spark.driver.memory","24g").config("spark.driver.extraJavaOptions","-XX:+UseParallelGC").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 from jsonschemaparse_spark.sources import synthesize_webpages
 synthesize_webpages(spark, {N_PAGES}, partitions=64).write.mode("overwrite").parquet({path!r})
@@ -88,16 +112,18 @@ spark.stop()
     )
     assert gen.returncode == 0, gen.stderr[-2000:]
 
-    hi = run_level(32, path)   # run 32 first: order must not favor it
-    lo = run_level(8, path)
-    eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / 4.0
+    lo, hi = run_level_interleaved(path)
+    speed = hi["docs_per_sec_median"] / lo["docs_per_sec_median"]
+    eff = speed / 4.0
     out = {
         "job": "single-pass rules validation -> per-partition verdicts",
         "n_pages": N_PAGES,
         "input": "materialized parquet (shared across levels)",
+        "methodology": "4 interleaved fresh-JVM invocations per level, warmup "
+                       "pass + timed pass each, median docs/sec",
         "local8": lo,
         "local32": hi,
-        "speedup_8_to_32": round(hi["docs_per_sec"] / lo["docs_per_sec"], 3),
+        "speedup_8_to_32": round(speed, 3),
         "scaling_efficiency": round(eff, 3),
         "north_rule_target": 0.8,
         "meets_target": eff >= 0.8,
@@ -107,8 +133,9 @@ spark.stop()
         "# SCALING — north-rule two-cluster-size evidence\n\n"
         "Sandbox stand-in for N vs 4N executors: the identical validation job\n"
         "(compiled rules -> single-pass verdicts) over the same materialized\n"
-        "webpages parquet at `local[8]` vs `local[32]` (fresh JVM per level,\n"
-        "warmup + best-of-3).\n\n"
+        "webpages parquet at `local[8]` vs `local[32]`. Levels are interleaved\n"
+        "across fresh JVMs and medians reported, because the sandbox VM shows\n"
+        "noisy-neighbor variance that single measurements inherit.\n\n"
         "```json\n" + json.dumps(out, indent=2) + "\n```\n"
     )
 

@@ -97,7 +97,7 @@ def test_salted_repartition_spreads_hot_key(spark):
     # correctly coalesces kilobyte partitions back into one; at real scale
     # the buckets stay separate because each exceeds the advisory size.)
     n_salts = (
-        hot.withColumn(SALT_COL, _salt(F.lit(0), 8)).select(SALT_COL).distinct().count()
+        hot.withColumn(SALT_COL, _salt(8)).select(SALT_COL).distinct().count()
     )
     assert n_salts == 8
     salted_repartition(hot, "lang", buckets=8).count()  # plan executes
