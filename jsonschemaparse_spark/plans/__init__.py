@@ -1,5 +1,12 @@
 from .json_validator import validate_json_column, validate_json_rows, validate_json_typed
-from .kernels import ColumnCompiler, ExpressionFallback, VIOLATION_ARRAY, VIOLATION_STRUCT
+from .kernels import (
+    COMPACT_ARRAY,
+    COMPACT_STRUCT,
+    ColumnCompiler,
+    ExpressionFallback,
+    VIOLATION_ARRAY,
+    VIOLATION_STRUCT,
+)
 from .validator import (
     PARTITION_COL,
     VALID_COL,

@@ -170,7 +170,7 @@ def validate_json_typed(
     Use validate_json_column (Arrow/Python) only when the shape is dynamic.
     Corrupt JSON yields a NULL struct -> reported as a 'syntax' violation.
     """
-    from .kernels import ColumnCompiler, make_violation
+    from .kernels import COMPACT_ARRAY, ColumnCompiler
     from .validator import _compiled
 
     cs = _compiled(rules)
@@ -195,18 +195,25 @@ def validate_json_typed(
     syntax_bad = F.col(json_col).isNotNull() & (
         parsed.isNull() | parsed.getField("_jsp_corrupt").isNotNull()
     )
-    syntax_viol = make_violation(
-        cs.id, F.lit(""), "syntax", None, F.col(json_col),
-        F.lit("Syntax error: malformed JSON"),
+    syntax_rule = compiler.register_rule(
+        cs.id, "syntax", None, "Syntax error: malformed JSON"
+    )
+    syntax_piece = F.struct(
+        F.lit(syntax_rule).alias("rule_id"),
+        F.lit("").alias("path"),
+        F.col(json_col).cast("string").alias("actual"),
     )
     annotated = df.select(
         *key_cols,
         F.when(syntax_bad, F.lit(False)).otherwise(F.coalesce(valid, F.lit(True))).alias(VALID_COL),
-        F.when(syntax_bad, F.array(syntax_viol))
-        .otherwise(F.coalesce(viols, F.array().cast(VIOLATION_ARRAY)))
+        F.when(syntax_bad, F.array(syntax_piece))
+        .otherwise(F.coalesce(viols, F.array().cast(COMPACT_ARRAY)))
         .alias(VIOLATIONS_COL),
     )
-    return ValidationResult(annotated=annotated, key_cols=key_cols)
+    return ValidationResult(
+        annotated=annotated, key_cols=key_cols, compiled=cs,
+        rule_table=compiler.rule_table,
+    )
 
 
 def validate_json_rows(

@@ -9,11 +9,19 @@ anyOf/oneOf/not/if-then-else are all evaluated speculatively in the same pass
 and reduced with boolean algebra, mirroring ValidateLayer.finish
 (schema.js:1342-1417) — no extra scan, no shuffle.
 
-Everything here stays inside whole-stage codegen (built-in functions only).
+CODEGEN-SIZE DESIGN (the 100-TB lesson): the per-row violation payload is
+COMPACT — ``struct<rule_id:int, path:string, actual:string>`` — and all
+static rule metadata (constraint_id, keyword, expected, message) lives in a
+rule table built at compile time and joined back (broadcast) only when the
+violations report is materialized. Embedding the 6-field struct with its
+string literals per check made realistic rule documents exceed the JVM/
+Spark generated-method limits, silently disabling whole-stage codegen
+(~100x slower). Compact emission keeps even large rule sets inside codegen.
+
 Subtrees that cannot be expressed as Columns (ECMAScript-only regexes,
 map-typed dynamic objects with complex subschemas, ...) raise
 ``ExpressionFallback``; plans/validator.py routes those through the
-Arrow-batched evaluator kernel instead — still within the same projection.
+Arrow-batched evaluator kernel instead.
 """
 
 from __future__ import annotations
@@ -27,9 +35,24 @@ from pyspark.sql import types as T
 from ..errors import expected_type
 from ..schema.compiler import CompiledSchema
 
+# full report shape (violations DataFrame and the Arrow path)
 VIOLATION_FIELDS = ["constraint_id", "path", "keyword", "expected", "actual", "message"]
 VIOLATION_STRUCT = T.StructType([T.StructField(f, T.StringType(), True) for f in VIOLATION_FIELDS])
 VIOLATION_ARRAY = T.ArrayType(VIOLATION_STRUCT, True)
+
+# compact per-row shape (expression path; joined to the rule table on report)
+COMPACT_STRUCT = T.StructType(
+    [
+        T.StructField("rule_id", T.IntegerType(), False),
+        T.StructField("path", T.StringType(), True),
+        T.StructField("actual", T.StringType(), True),
+    ]
+)
+COMPACT_ARRAY = T.ArrayType(COMPACT_STRUCT, True)
+
+RULE_TABLE_SCHEMA = (
+    "rule_id int, constraint_id string, keyword string, expected string, message string"
+)
 
 _MAX_DEPTH = 16
 
@@ -40,7 +63,7 @@ class ExpressionFallback(Exception):
 
 
 def empty_violations() -> Column:
-    return F.array().cast(VIOLATION_ARRAY)
+    return F.array().cast(COMPACT_ARRAY)
 
 
 def make_violation(
@@ -51,6 +74,7 @@ def make_violation(
     actual: Column,
     message: Column,
 ) -> Column:
+    """Full-form violation struct (Arrow-path shaped helpers/tests)."""
     return F.struct(
         F.lit(constraint_id).alias("constraint_id"),
         path.cast("string").alias("path"),
@@ -101,17 +125,43 @@ def rlike_safe(pattern: str) -> bool:
 
 class ColumnCompiler:
     """Compile a CompiledSchema against a concrete Spark value (column +
-    dtype). Produces (valid, violations) Column pairs."""
+    dtype). Produces (valid, violations) Column pairs plus a static rule
+    table for report reconstruction."""
 
     def __init__(self, extensions: bool = True, enforce_formats: bool = False):
         self.extensions = extensions
         # format is annotation-only in the reference (schema.js:691, no
         # exportRules entry); enforcement is an opt-in extension
         self.enforce_formats = enforce_formats
+        # static metadata per emitted check: joined back on report
+        self.rule_table: list[dict] = []
         # dynamic-scope $recursiveAnchor base (schema.js:1060-1072);
         # compilation is a single-threaded DFS, so save/restore around the
         # recursion gives exactly the reference's dynamic scoping
         self._recursive_base: Optional[CompiledSchema] = None
+
+    # ------------------------------------------------------------------
+    def register_rule(self, constraint_id: str, keyword: str, expected, message: str) -> int:
+        rule_id = len(self.rule_table)
+        self.rule_table.append(
+            {
+                "rule_id": rule_id,
+                "constraint_id": constraint_id,
+                "keyword": keyword,
+                "expected": None if expected is None else str(expected),
+                "message": message,
+            }
+        )
+        return rule_id
+
+    def emit(self, rule_id: int, cond_bad: Column, path: Column, actual: Column) -> Column:
+        """Compact violation piece: 3 small fields, static metadata by id."""
+        v = F.struct(
+            F.lit(rule_id).alias("rule_id"),
+            path.cast("string").alias("path"),
+            actual.cast("string").alias("actual"),
+        )
+        return F.when(cond_bad, F.array(v)).otherwise(empty_violations())
 
     # ------------------------------------------------------------------
     def compile_value(
@@ -151,10 +201,9 @@ class ColumnCompiler:
         valids: list[Column] = []
         sid = cs.id
 
-        def leaf(cond_bad: Column, keyword: str, expected, actual: Column, message) -> None:
-            msg = message if isinstance(message, Column) else F.lit(message)
-            v = make_violation(sid, path, keyword, None if expected is None else str(expected), actual, msg)
-            pieces.append(F.when(cond_bad, F.array(v)).otherwise(empty_violations()))
+        def leaf(cond_bad: Column, keyword: str, expected, actual: Column, message: str) -> None:
+            rid = self.register_rule(sid, keyword, expected, message)
+            pieces.append(self.emit(rid, cond_bad, path, actual))
             valids.append(~cond_bad)
 
         # ---- type / const-type start checks --------------------------------
@@ -259,7 +308,7 @@ class ColumnCompiler:
             valids.append(F.when(iv, tv).otherwise(ev))
             pieces.append(F.when(iv, tp).otherwise(ep))
 
-        # ---- enum / const ----------------------------------------------------
+        # ---- enum / const / format -------------------------------------------
         self._enum_const_kernels(cs, col, dtype, jtype, path, leaf, depth)
 
         viols = _concat(pieces)
@@ -374,9 +423,8 @@ class ColumnCompiler:
         sid = cs.id
 
         def leaf(cond_bad, keyword, expected, actual, message):
-            v = make_violation(sid, path, keyword, None if expected is None else str(expected),
-                               actual, F.lit(message))
-            pieces.append(F.when(cond_bad, F.array(v)).otherwise(empty_violations()))
+            rid = self.register_rule(sid, keyword, expected, message)
+            pieces.append(self.emit(rid, cond_bad, path, actual))
             valids.append(~cond_bad)
 
         n = F.size(col)
@@ -390,15 +438,19 @@ class ColumnCompiler:
 
         elem_type = dtype.elementType
 
-        def item_pair(sub: CompiledSchema, x: Column, i: Column):
-            ipath = F.concat(path.cast("string"), F.lit("/"), i.cast("string"))
-            return self.compile_value(sub, x, elem_type, ipath, depth + 1)
-
         if cs.items_all is not None:
             sub = cs.items_all
             per_elem = F.transform(col, lambda x, i: F.struct(
-                item_pair(sub, x, i)[0].alias("ok"),
-                item_pair(sub, x, i)[1].alias("v"),
+                self.compile_value(
+                    sub, x, elem_type,
+                    F.concat(path.cast("string"), F.lit("/"), i.cast("string")),
+                    depth + 1,
+                )[0].alias("ok"),
+                self.compile_value(
+                    sub, x, elem_type,
+                    F.concat(path.cast("string"), F.lit("/"), i.cast("string")),
+                    depth + 1,
+                )[1].alias("v"),
             ))
             valids.append(F.forall(per_elem, lambda s: s["ok"]))
             pieces.append(F.flatten(F.transform(per_elem, lambda s: s["v"])))
@@ -479,9 +531,13 @@ class ColumnCompiler:
         sid = cs.id
 
         def leaf(cond_bad, keyword, expected, actual, message):
-            v = make_violation(sid, path, keyword, None if expected is None else str(expected),
-                               actual, F.lit(message))
-            pieces.append(F.when(cond_bad, F.array(v)).otherwise(empty_violations()))
+            rid = self.register_rule(sid, keyword, expected, message)
+            pieces.append(self.emit(rid, cond_bad, path, actual))
+            valids.append(~cond_bad)
+
+        def leaf_at(fpath, cond_bad, keyword, expected, actual, message):
+            rid = self.register_rule(sid, keyword, expected, message)
+            pieces.append(self.emit(rid, cond_bad, fpath, actual))
             valids.append(~cond_bad)
 
         if isinstance(dtype, T.StructType):
@@ -504,17 +560,17 @@ class ColumnCompiler:
                         leaf(F.lit(True), "required", 0, F.lit(1), "Required property missing")
             if self.extensions and cs.dependent_required:
                 for k, reqs in sorted(cs.dependent_required.items()):
-                    present = col.getField(k).isNotNull() if k in types else F.lit(False)
+                    present_k = col.getField(k).isNotNull() if k in types else F.lit(False)
                     for r in reqs:
                         r_missing = col.getField(r).isNull() if r in types else F.lit(True)
-                        leaf(present & r_missing, "dependentRequired", 0, F.lit(1),
+                        leaf(present_k & r_missing, "dependentRequired", 0, F.lit(1),
                              "Dependent property missing")
             if self.extensions and cs.dependent_schemas:
                 for k, dsub in sorted(cs.dependent_schemas.items()):
-                    present = col.getField(k).isNotNull() if k in types else F.lit(False)
+                    present_k = col.getField(k).isNotNull() if k in types else F.lit(False)
                     dv, dp = self.compile_value(dsub, col, dtype, path, depth + 1)
-                    valids.append(F.when(present, dv).otherwise(F.lit(True)))
-                    pieces.append(F.when(present, dp).otherwise(empty_violations()))
+                    valids.append(F.when(present_k, dv).otherwise(F.lit(True)))
+                    pieces.append(F.when(present_k, dp).otherwise(empty_violations()))
             # route fields (projection analog of initProperty, schema.js:1195-1224)
             for nm in names:
                 fpath = F.concat(path.cast("string"), F.lit("/" + nm))
@@ -545,11 +601,8 @@ class ColumnCompiler:
 
                     name_errors, _ = _PyEval(extensions=True).validate(cs.property_names, nm)
                     if name_errors:
-                        leaf_present = col.getField(nm).isNotNull()
-                        v = make_violation(sid, fpath, "propertyNames", None,
-                                           F.lit(nm), F.lit("propertyNames mismatch"))
-                        pieces.append(F.when(leaf_present, F.array(v)).otherwise(empty_violations()))
-                        valids.append(~leaf_present)
+                        leaf_at(fpath, col.getField(nm).isNotNull(), "propertyNames",
+                                None, F.lit(nm), "propertyNames mismatch")
         elif isinstance(dtype, T.MapType):
             if not isinstance(dtype.keyType, T.StringType):
                 raise ExpressionFallback("map keys must be strings for object semantics")
@@ -565,6 +618,12 @@ class ColumnCompiler:
                 for k in sorted(cs.required):
                     leaf(~F.array_contains(keys, k), "required", 0, F.lit(1),
                          "Required property missing")
+            if self.extensions and cs.dependent_required:
+                for k, reqs in sorted(cs.dependent_required.items()):
+                    present_k = F.array_contains(keys, k)
+                    for r in reqs:
+                        leaf(present_k & ~F.array_contains(keys, r), "dependentRequired",
+                             0, F.lit(1), "Dependent property missing")
             vtype = dtype.valueType
             for key, sub in cs.properties.items():
                 fpath = F.concat(path.cast("string"), F.lit("/" + key))

@@ -38,11 +38,20 @@ def _compiled(rules) -> CompiledSchema:
 
 @dataclass
 class ValidationResult:
-    """Outputs of one validation pass (SURVEY.md §7.0 diagram)."""
+    """Outputs of one validation pass (SURVEY.md §7.0 diagram).
+
+    Two per-row violation encodings exist:
+    - compact (expression path): array<struct<rule_id,path,actual>> + a
+      static rule table — keeps large rule sets inside whole-stage codegen;
+      violations() reconstructs the full report via a broadcast join.
+    - full (Arrow path): the 6-field structs are built in Python where
+      codegen size is irrelevant.
+    """
 
     annotated: DataFrame  # input columns + _jsp_valid + _jsp_violations
     key_cols: list[str]
     compiled: Optional[CompiledSchema] = None
+    rule_table: Optional[list[dict]] = None  # set => compact encoding
 
     def annotations(self) -> DataFrame:
         """(key..., constraint_id, keyword, value) — title/description
@@ -63,8 +72,28 @@ class ValidationResult:
 
     def violations(self) -> DataFrame:
         """(key..., constraint_id, path, keyword, expected, actual, message)
-        — the reference's errors[] sink as a DataFrame (error.js:21-37)."""
+        — the reference's errors[] sink as a DataFrame (error.js:21-37).
+
+        Compact encoding: explode (tiny structs) then broadcast-join the
+        rule table (hundreds of rows) to attach static metadata. Only
+        violating rows reach the join — at web scale that's the trickle,
+        not the stream."""
         v = F.explode(F.col(VIOLATIONS_COL)).alias("v")
+        if self.rule_table is not None:
+            from .kernels import RULE_TABLE_SCHEMA
+
+            spark = self.annotated.sparkSession
+            rules_df = spark.createDataFrame(self.rule_table or [], RULE_TABLE_SCHEMA)
+            exploded = self.annotated.select(*self.key_cols, v).select(
+                *self.key_cols,
+                F.col("v.rule_id").alias("rule_id"),
+                F.col("v.path").alias("path"),
+                F.col("v.actual").alias("actual"),
+            )
+            return exploded.join(F.broadcast(rules_df), "rule_id").select(
+                *self.key_cols,
+                "constraint_id", "path", "keyword", "expected", "actual", "message",
+            )
         return self.annotated.select(*self.key_cols, v).select(
             *self.key_cols,
             F.col("v.constraint_id").alias("constraint_id"),
@@ -148,14 +177,19 @@ def validate_dataframe(
     row_struct = F.struct(*[F.col(c) for c in df.columns])
     compiler = ColumnCompiler(extensions=extensions)
     try:
+        from .kernels import COMPACT_ARRAY
+
         valid, viols = compiler.compile_value(cs, row_struct, df.schema, F.lit(""))
         annotated = df.withColumns(
             {
                 VALID_COL: F.coalesce(valid, F.lit(True)),
-                VIOLATIONS_COL: F.coalesce(viols, F.array().cast(VIOLATION_ARRAY)),
+                VIOLATIONS_COL: F.coalesce(viols, F.array().cast(COMPACT_ARRAY)),
             }
         )
-        return ValidationResult(annotated=annotated, key_cols=key_cols, compiled=cs)
+        return ValidationResult(
+            annotated=annotated, key_cols=key_cols, compiled=cs,
+            rule_table=compiler.rule_table,
+        )
     except ExpressionFallback:
         if fallback == "never":
             raise

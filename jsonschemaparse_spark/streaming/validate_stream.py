@@ -21,7 +21,7 @@ from typing import Callable, Optional, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..plans.kernels import VIOLATION_ARRAY, ColumnCompiler
+from ..plans.kernels import COMPACT_ARRAY, ColumnCompiler
 from ..plans.validator import VALID_COL, VIOLATIONS_COL, _compiled
 
 
@@ -39,7 +39,7 @@ def validate_stream(
     return stream_df.withColumns(
         {
             VALID_COL: F.coalesce(valid, F.lit(True)),
-            VIOLATIONS_COL: F.coalesce(viols, F.array().cast(VIOLATION_ARRAY)),
+            VIOLATIONS_COL: F.coalesce(viols, F.array().cast(COMPACT_ARRAY)),
         }
     )
 
