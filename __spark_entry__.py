@@ -365,7 +365,11 @@ _SHINGLES = (
 
 
 def _mh(perm: int) -> str:
-    return f"list_min(list_transform({_SHINGLES}, s -> md5('{perm}:' || s)))"
+    from jsonschemaparse_spark.functions.dedup import MINHASH_P, _MINHASH_A, _MINHASH_B
+
+    a, b, p = _MINHASH_A[perm], _MINHASH_B[perm], MINHASH_P
+    h = f"(('0x' || substr(md5(s), 1, 12))::BIGINT % {p})"
+    return f"list_min(list_transform({_SHINGLES}, s -> ({a} * {h} + {b}) % {p}))"
 
 
 _STOP_EN = r"\b(" + "|".join(STOPWORDS["en"]) + r")\b"

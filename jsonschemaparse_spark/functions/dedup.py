@@ -78,18 +78,47 @@ def shingles(text: Column, k: int = 3) -> Column:
     )
 
 
+# Universal-hash minhash domain: P = largest prime below 2^48 keeps
+# a*h+b inside int64 in BOTH Spark and DuckDB (a < 2^14, h < P < 2^48).
+MINHASH_P = 281474976710597
+_MINHASH_A = [3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59]
+_MINHASH_B = [(1442695040888963407 * (i + 1)) % MINHASH_P for i in range(16)]
+
+
+def shingle_hash(s: Column) -> Column:
+    """One md5 per shingle -> 48-bit int (portable: DuckDB twin is
+    ('0x'||substr(md5(s),1,12))::BIGINT % P)."""
+    return F.conv(F.substring(F.md5(F.encode(s, "UTF-8")), 1, 12), 16, 10).cast("long") % MINHASH_P
+
+
 def _minhash_one(sh: Column, perm: int) -> Column:
-    """Min over md5(perm:shingle) hex strings — lexicographic min of a keyed
-    cryptographic hash is a valid random-permutation proxy, and is
-    reproducible in ANSI SQL (the DuckDB oracle uses the identical form)."""
+    """Min over the perm-th universal hash of each shingle. Kept for the
+    oracle-parity query; minhash_signature computes all perms in one
+    traversal instead."""
+    a, b = _MINHASH_A[perm], _MINHASH_B[perm]
     return F.array_min(
-        F.transform(sh, lambda s: F.md5(F.encode(F.concat(F.lit(f"{perm}:"), s), "UTF-8")))
+        F.transform(sh, lambda s: (F.lit(a) * shingle_hash(s) + F.lit(b)) % F.lit(MINHASH_P))
     )
 
 
 def minhash_signature(text: Column, num_hashes: int = 8, k: int = 3) -> Column:
-    sh = shingles(text, k)
-    return F.array(*[_minhash_one(sh, p) for p in range(num_hashes)])
+    """All permutation minima in ONE traversal of the hashed-shingle array
+    (aggregate with an array accumulator): each shingle is md5-hashed once,
+    then num_hashes fused multiply-mod updates — the md5 cost does not
+    multiply with the signature width."""
+    hs = F.transform(shingles(text, k), shingle_hash)
+    init = F.array(*[F.lit(MINHASH_P).cast("long") for _ in range(num_hashes)])
+    return F.aggregate(
+        hs,
+        init,
+        lambda acc, h: F.array(*[
+            F.least(
+                F.element_at(acc, p + 1),
+                (F.lit(_MINHASH_A[p]) * h + F.lit(_MINHASH_B[p])) % F.lit(MINHASH_P),
+            )
+            for p in range(num_hashes)
+        ]),
+    )
 
 
 def minhash_candidates(
@@ -113,21 +142,23 @@ def minhash_candidates(
     rows_per_band = num_hashes // bands
     spark = df.sparkSession
     n_parts = num_partitions or spark.sparkContext.defaultParallelism
-    # repartition the NARROW projection first so the md5-heavy signature
+    # repartition the NARROW projection first so the hash-heavy signature
     # work runs at full parallelism even from a single input split; the
-    # shuffle carries only (id, text)
+    # shuffle carries only (id, text). The signature itself is a single
+    # traversal (see minhash_signature), so no further barrier is needed.
     raw = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_t")).repartition(n_parts)
-    with_sh = raw.select(F.col("doc"), shingles(F.col("_t"), k).alias("_sh"))
-    with_sig = with_sh.select(
-        F.col("doc"),
-        F.array(*[_minhash_one(F.col("_sh"), p) for p in range(num_hashes)]).alias("_sig"),
-    )
+    # second (tiny) barrier: band extraction references _sig once per band
+    # row; without it CollapseProject may inline the whole signature
+    # aggregate into each reference. Payload is (id, num_hashes longs).
+    with_sig = raw.select(
+        F.col("doc"), minhash_signature(F.col("_t"), num_hashes, k).alias("_sig")
+    ).repartition(n_parts)
     banded = with_sig.select(
         F.col("doc"),
         F.posexplode(
             F.array(*[
                 F.md5(F.concat_ws("|", *[
-                    F.element_at(F.col("_sig"), b * rows_per_band + r + 1)
+                    F.element_at(F.col("_sig"), b * rows_per_band + r + 1).cast("string")
                     for r in range(rows_per_band)
                 ]))
                 for b in range(bands)
