@@ -33,8 +33,9 @@ cpus = int(sys.argv[1]); path = sys.argv[2]
 spark = (SparkSession.builder.master(f"local[{{cpus}}]")
     .config("spark.sql.shuffle.partitions", str(cpus))
     .config("spark.sql.adaptive.enabled", "true")
-    .config("spark.driver.memory", "24g")
-    .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+    .config("spark.sql.files.maxPartitionBytes", "32m")
+    .config("spark.driver.memory", "20g")
+    .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC -Xms20g -XX:+AlwaysPreTouch")
     .config("spark.ui.enabled", "false").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 import __spark_entry__ as entry
