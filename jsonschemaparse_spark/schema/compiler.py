@@ -433,8 +433,13 @@ class CompiledSchema:
 
     # helpers -------------------------------------------------------------
     def _sub(self, schema: Any, path: str) -> "CompiledSchema":
+        from urllib.parse import quote
+
         frag = "#" if "#" not in self.id else ""
-        sub_id = self.id + frag + "/" + path
+        # derived ids must stay legal URIs even when property names carry
+        # spaces/'>' etc. — percent-encode the path segments (the illegal-
+        # character guard is for USER-supplied $ids, schema.js:248-250)
+        sub_id = self.id + frag + "/" + quote(path, safe="/$")
         return CompiledSchema(sub_id, schema, self.registry)
 
     def _sublist(self, raw: dict, kw: str, msg: str) -> list["CompiledSchema"]:

@@ -1,0 +1,176 @@
+"""Differential testing: the two independent implementations (Catalyst
+Column kernels vs pure-Python evaluator) must agree verdict-for-verdict on
+randomized rules and rows; plus hypothesis properties for the pure-Python
+layers."""
+
+import json
+import random
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from jsonschemaparse_spark import compile_rules, validate_instance
+from jsonschemaparse_spark.plans import VALID_COL, validate_dataframe
+
+SEED = 20260816
+
+COLS = [
+    ("c_int", T.LongType()),
+    ("c_dbl", T.DoubleType()),
+    ("c_str", T.StringType()),
+    ("c_bool", T.BooleanType()),
+]
+
+
+def _random_value(rnd, dtype):
+    if rnd.random() < 0.15:
+        return None
+    if isinstance(dtype, T.LongType):
+        return rnd.choice([-5, -1, 0, 1, 2, 3, 7, 10, 100, 2**40])
+    if isinstance(dtype, T.DoubleType):
+        return rnd.choice([-1.5, 0.0, 0.5, 1.0, 2.5, 3.0, 99.75])
+    if isinstance(dtype, T.StringType):
+        return rnd.choice(["", "a", "ab", "abc", "hello world", "xyz123", "\U0001F432", "no match"])
+    return rnd.choice([True, False])
+
+
+def _random_scalar_schema(rnd, dtype):
+    opts = {}
+    if isinstance(dtype, (T.LongType, T.DoubleType)):
+        for kw in ("minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum"):
+            if rnd.random() < 0.4:
+                opts[kw] = rnd.choice([-2, 0, 1, 2, 5, 50])
+        if rnd.random() < 0.3:
+            opts["multipleOf"] = rnd.choice([1, 2, 0.5])
+        if rnd.random() < 0.3:
+            opts["type"] = rnd.choice(["number", "integer", "string"])
+        if rnd.random() < 0.2:
+            opts["enum"] = rnd.sample([-5, -1, 0, 1, 2, 3, 7, 10, 100], k=3)
+    elif isinstance(dtype, T.StringType):
+        if rnd.random() < 0.5:
+            opts["minLength"] = rnd.randint(0, 4)
+        if rnd.random() < 0.5:
+            opts["maxLength"] = rnd.randint(1, 8)
+        if rnd.random() < 0.4:
+            opts["pattern"] = rnd.choice(["^a", "b$", "ll", "^[a-z ]*$", "\\d"])
+        if rnd.random() < 0.2:
+            opts["enum"] = rnd.sample(["", "a", "ab", "abc", "hello world"], k=2)
+        if rnd.random() < 0.15:
+            opts["const"] = "abc"
+    else:
+        if rnd.random() < 0.3:
+            opts["const"] = rnd.choice([True, False])
+        if rnd.random() < 0.2:
+            opts["type"] = rnd.choice(["boolean", "string"])
+    return opts
+
+
+def _random_rules(rnd) -> dict:
+    props = {}
+    for name, dtype in COLS:
+        if rnd.random() < 0.8:
+            s = _random_scalar_schema(rnd, dtype)
+            # wrap some schemas in combinators
+            roll = rnd.random()
+            if roll < 0.15 and s:
+                s = {"allOf": [s]}
+            elif roll < 0.25 and s:
+                s = {"anyOf": [s, {"type": "null"} if rnd.random() < 0.5 else {}]}
+            elif roll < 0.32 and s:
+                s = {"not": s}
+            elif roll < 0.4 and s:
+                s = {"if": {"minLength": 1} if isinstance(dtype, T.StringType) else {"minimum": 0},
+                     "then": s}
+            props[name] = s
+    rules = {"type": "object", "properties": props}
+    if rnd.random() < 0.5:
+        rules["required"] = rnd.sample([c for c, _ in COLS], k=rnd.randint(0, 2))
+    return rules
+
+
+@pytest.mark.parametrize("trial", range(12))
+def test_column_path_matches_evaluator(spark, trial):
+    rnd = random.Random(SEED + trial)
+    rules = _random_rules(rnd)
+    rows = [
+        tuple(_random_value(rnd, dtype) for _, dtype in COLS) for _ in range(60)
+    ]
+    schema = T.StructType(
+        [T.StructField(n, dt, True) for n, dt in COLS]
+    )
+    df = spark.createDataFrame(rows, schema).withColumn(
+        "row_id", F.monotonically_increasing_id()
+    )
+    res = validate_dataframe(df, rules, key_cols=["row_id"], fallback="never")
+    got = {
+        r["row_id"]: r[VALID_COL]
+        for r in res.annotated.select("row_id", VALID_COL).collect()
+    }
+    ordered = res.annotated.select("row_id", *[n for n, _ in COLS]).collect()
+    for r in ordered:
+        obj = {n: r[n] for n, _ in COLS if r[n] is not None}
+        want, errs = validate_instance(rules, obj, extensions=True)
+        assert got[r["row_id"]] == want, (
+            f"trial={trial} rules={json.dumps(rules)} row={obj} "
+            f"spark={got[r['row_id']]} python={want} errs={[e.message for e in errs]}"
+        )
+
+
+# ---------------- hypothesis properties (pure Python, fast) -----------------
+json_values = st.recursive(
+    st.none() | st.booleans() | st.integers(-10**6, 10**6)
+    | st.floats(allow_nan=False, allow_infinity=False, width=32) | st.text(max_size=8),
+    lambda children: st.lists(children, max_size=4)
+    | st.dictionaries(st.text(max_size=5), children, max_size=4),
+    max_leaves=12,
+)
+
+
+@given(json_values)
+@settings(max_examples=150, deadline=None)
+def test_evaluator_never_crashes_and_true_schema_accepts(value):
+    ok, errors = validate_instance(True, value)
+    assert ok and errors == []
+    ok_false, errors_false = validate_instance(False, value)
+    assert not ok_false
+
+
+@given(json_values)
+@settings(max_examples=150, deadline=None)
+def test_const_roundtrip(value):
+    # every value satisfies {"const": itself}
+    ok, errs = validate_instance({"const": value}, value)
+    assert ok, [e.message for e in errs]
+
+
+@given(json_values)
+@settings(max_examples=100, deadline=None)
+def test_strict_json_roundtrip(value):
+    from jsonschemaparse_spark.schema.strict_json import loads_strict
+
+    assert loads_strict(json.dumps(value)) == value
+
+
+@given(json_values)
+@settings(max_examples=100, deadline=None)
+def test_transcode_is_identity_on_strict_json(value):
+    from jsonschemaparse_spark.schema.relaxed_json import SyntaxOptions, transcode
+
+    text = json.dumps(value)
+    opts = SyntaxOptions(line_comment=True, trailing_comma=True, unquoted_keys=True,
+                         single_quote=True, hexadecimal=True, bare_decimal=True, plus=True)
+    assert json.loads(transcode(text, opts)) == value
+
+
+@given(st.text(max_size=30))
+@settings(max_examples=200, deadline=None)
+def test_loads_strict_never_hangs_or_segfaults(text):
+    from jsonschemaparse_spark.schema.strict_json import loads_strict
+
+    try:
+        loads_strict(text)
+    except (ValueError, RecursionError):
+        pass
