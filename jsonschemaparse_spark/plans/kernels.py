@@ -311,6 +311,23 @@ class ColumnCompiler:
         # ---- enum / const / format -------------------------------------------
         self._enum_const_kernels(cs, col, dtype, jtype, path, leaf, depth)
 
+        # structural enum members: pass if >= 1 const-subschema matches
+        # (EndObject/EndArray testEnum, schema.js:813-820, 851-858)
+        if jtype in ("object", "array") and cs.enum_schemas:
+            member_valids = [
+                self.compile_value(s, col, dtype, path, depth + 1)[0]
+                for s in cs.enum_schemas
+            ]
+            any_member = member_valids[0]
+            for b in member_valids[1:]:
+                any_member = any_member | b
+            leaf(~any_member, "enum", 1, F.lit(0),
+                 'Expected "enum" to have one matching value')
+        elif jtype in ("object", "array") and cs.enum_literals is not None and not cs.enum_schemas:
+            # enum of scalars only: a container value can never match
+            leaf(F.lit(True), "enum", getattr(cs, "enum_values", None), F.lit(jtype),
+                 'Expected "enum" to have one matching value')
+
         viols = _concat(pieces)
         valid = valids[0] if valids else F.lit(True)
         for v in valids[1:]:

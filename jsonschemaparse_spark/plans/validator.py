@@ -158,6 +158,7 @@ def validate_dataframe(
     key_cols: Optional[Sequence[str]] = None,
     extensions: bool = True,
     fallback: str = "auto",
+    max_violations_per_row: Optional[int] = None,
 ) -> ValidationResult:
     """Single-pass table validation.
 
@@ -180,12 +181,16 @@ def validate_dataframe(
         from .kernels import COMPACT_ARRAY
 
         valid, viols = compiler.compile_value(cs, row_struct, df.schema, F.lit(""))
-        annotated = df.withColumns(
-            {
-                VALID_COL: F.coalesce(valid, F.lit(True)),
-                VIOLATIONS_COL: F.coalesce(viols, F.array().cast(COMPACT_ARRAY)),
-            }
-        )
+        viols = F.coalesce(viols, F.array().cast(COMPACT_ARRAY))
+        cols = {VALID_COL: F.coalesce(valid, F.lit(True))}
+        if max_violations_per_row is not None:
+            # explicit cap with a truncation marker — no silent loss
+            # (SURVEY.md §7.1 M6: violations capped, truncation flagged)
+            cols["_jsp_violations_truncated"] = F.size(viols) > max_violations_per_row
+            cols[VIOLATIONS_COL] = F.slice(viols, 1, max_violations_per_row)
+        else:
+            cols[VIOLATIONS_COL] = viols
+        annotated = df.withColumns(cols)
         return ValidationResult(
             annotated=annotated, key_cols=key_cols, compiled=cs,
             rule_table=compiler.rule_table,
