@@ -64,18 +64,47 @@ def _as_schema(schema) -> Optional[CompiledSchema]:
     return compile_rules(schema)
 
 
+def _apply_reviver(value: Any, reviver) -> Any:
+    """ECMAScript JSON.parse reviver semantics: bottom-up, key+value,
+    returning undefined (None here means delete per JS; we treat None
+    return as the new value since Python lacks undefined) — reference
+    accepts a function in place of the schema (parse.js:77-81)."""
+
+    def walk(holder, key):
+        val = holder[key]
+        if isinstance(val, dict):
+            for k in list(val):
+                val[k] = walk(val, k)
+        elif isinstance(val, list):
+            for i in range(len(val)):
+                val[i] = walk(val, i)
+        return reviver(key, val)
+
+    root = {"": value}
+    return walk(root, "")
+
+
 def parse(text: str | bytes, schema=None, extensions: bool = False, limits=None) -> Any:
     """Strict one-shot parse+validate: returns the native value or raises
     the first error (ValidationError analog) / ParseSyntaxError /
-    ResourceLimitError (parse.js resource caps)."""
+    ResourceLimitError (parse.js resource caps).
+
+    Like the reference (parse.js:77-81), a CALLABLE in the schema position
+    is a JSON.parse-style reviver, not a schema."""
     from .errors import ResourceLimitError
 
+    reviver = None
+    if callable(schema) and not isinstance(schema, (dict, bool)):
+        reviver = schema
+        schema = None
     info = parse_info(text, schema, extensions=extensions, limits=limits)
     for e in info.errors:
         if e.keyword == "resourceLimit":
             raise ResourceLimitError(e.message)
     if info.errors:
         raise ParseValidationError(info.errors[0])
+    if reviver is not None:
+        return _apply_reviver(info.value, reviver)
     return info.value
 
 

@@ -101,12 +101,36 @@ def _minhash_one(sh: Column, perm: int) -> Column:
     )
 
 
-def minhash_signature(text: Column, num_hashes: int = 8, k: int = 3) -> Column:
+def minhash_signature(text: Column, num_hashes: int = 8, k: int = 3,
+                      hash_mode: str = "portable") -> Column:
     """All permutation minima in ONE traversal of the hashed-shingle array
-    (aggregate with an array accumulator): each shingle is md5-hashed once,
-    then num_hashes fused multiply-mod updates — the md5 cost does not
-    multiply with the signature width."""
-    hs = F.transform(shingles(text, k), shingle_hash)
+    (aggregate with an array accumulator): each shingle is hashed once,
+    then num_hashes fused multiply-mod updates — the hash cost does not
+    multiply with the signature width.
+
+    hash_mode:
+      'portable' — md5-based shingle hash, bit-identical in the DuckDB
+                   oracle (correctness gate).
+      'fast'     — xxhash64 over the word triple directly: no shingle
+                   STRING is ever built and no md5 runs; the hot loop is
+                   hash+mulmod only. Use at scale; not SQL-reproducible.
+    """
+    if hash_mode == "fast":
+        words = F.split(normalized_text(text), " ")
+        n = F.size(words)
+        idxs = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+            F.array(F.lit(1))
+        )
+        hs = F.array_distinct(
+            F.transform(
+                idxs,
+                lambda j: F.abs(
+                    F.xxhash64(*[F.element_at(words, j + i) for i in range(k)])
+                ) % MINHASH_P,
+            )
+        )
+    else:
+        hs = F.transform(shingles(text, k), shingle_hash)
     init = F.array(*[F.lit(MINHASH_P).cast("long") for _ in range(num_hashes)])
     return F.aggregate(
         hs,
@@ -129,6 +153,7 @@ def minhash_candidates(
     bands: int = 4,
     k: int = 3,
     num_partitions: int | None = None,
+    hash_mode: str = "portable",
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b, band_hits). rows/band = H/bands.
 
@@ -151,7 +176,7 @@ def minhash_candidates(
     # row; without it CollapseProject may inline the whole signature
     # aggregate into each reference. Payload is (id, num_hashes longs).
     with_sig = raw.select(
-        F.col("doc"), minhash_signature(F.col("_t"), num_hashes, k).alias("_sig")
+        F.col("doc"), minhash_signature(F.col("_t"), num_hashes, k, hash_mode).alias("_sig")
     ).repartition(n_parts)
     banded = with_sig.select(
         F.col("doc"),
@@ -197,13 +222,14 @@ def minhash_near_duplicates(
     num_hashes: int = 8,
     bands: int = 4,
     k: int = 3,
+    hash_mode: str = "portable",
 ) -> DataFrame:
     """Candidates from LSH, verified with exact Jaccard >= threshold.
     (id_a, id_b, jaccard). Verification joins texts back for candidate ids
     only — at 100 TB that's the crucial asymmetry: the full corpus is
     scanned once to build signatures; texts are re-read just for the
     (tiny) candidate set."""
-    cands = minhash_candidates(df, id_col, text_col, num_hashes, bands, k)
+    cands = minhash_candidates(df, id_col, text_col, num_hashes, bands, k, hash_mode=hash_mode)
     texts = df.select(F.col(id_col), F.col(text_col))
     a = texts.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta"))
     b = texts.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb"))

@@ -254,13 +254,26 @@ def _fraction(raw: str) -> tuple[int, int]:
     return num, 10 ** (-exp)
 
 
-def make_number_hooks(big_number: str = "default", max_number_length: int | None = None):
-    """(parse_int, parse_float) implementing the bigNumber policy table."""
+def make_number_hooks(big_number: str = "default", max_number_length: int | None = None,
+                      nice_number: str = "default"):
+    """(parse_int, parse_float) implementing the bigNumber policy table.
+    nice_number applies the same policies to numbers that ARE exactly
+    representable (reference README.md:113 `niceNumber`)."""
 
     def handle(raw: str, is_int: bool):
         if max_number_length is not None and len(raw) > max_number_length:
             raise BigNumberError("Number lexical length over maxNumberLength")
         lossy = _is_lossy(raw)
+        if not lossy and nice_number != "default":
+            if nice_number == "float64":
+                return float(raw)
+            if nice_number == "json":
+                return raw
+            if nice_number == "string":
+                return format(Decimal(raw), "f")
+            if nice_number == "fraction":
+                return list(_fraction(raw))
+            raise ValueError(f"Unknown niceNumber policy: {nice_number}")
         if not lossy or big_number == "default":
             # default: ints stay exact Python ints (Spark LongType-friendly;
             # strictly more precise than the reference's JSON.parse default)
@@ -297,6 +310,7 @@ def loads_relaxed(
     big_number: str = "default",
     max_number_length: int | None = None,
     interoperable: bool = False,
+    nice_number: str = "default",
 ) -> Any:
     """Full-option loader: relaxed syntax -> strict JSON -> policy parse."""
     if isinstance(text, (bytes, bytearray)):
@@ -314,7 +328,7 @@ def loads_relaxed(
     else:
         pairs_hook = None
 
-    parse_int, parse_float = make_number_hooks(big_number, max_number_length)
+    parse_int, parse_float = make_number_hooks(big_number, max_number_length, nice_number)
 
     def constant(name):
         if name in ("Infinity", "-Infinity") and opt.inf:

@@ -308,3 +308,25 @@ def test_multimodal_codec_stub_raises(spark):
     media = synthesize_media(spark, 3)
     with pytest.raises(Exception):
         extract_features(media, use_codec=True).collect()
+
+
+def test_minhash_fast_mode_finds_clones(spark, dup_docs):
+    from jsonschemaparse_spark.functions.dedup import minhash_near_duplicates
+
+    pairs = minhash_near_duplicates(dup_docs, "doc_id", threshold=0.5, hash_mode="fast")
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    for i in range(10):
+        assert (i, i + 100000) in got
+
+
+def test_reviver_and_nice_number():
+    from jsonschemaparse_spark.api import parse
+    from jsonschemaparse_spark.schema.relaxed_json import loads_relaxed
+
+    doubled = parse('{"a": 1, "b": [2, 3]}',
+                    lambda k, v: v * 2 if isinstance(v, int) else v)
+    assert doubled == {"a": 2, "b": [4, 6]}
+
+    assert loads_relaxed("42", nice_number="string") == "42"
+    assert loads_relaxed("42", nice_number="float64") == 42.0
+    assert loads_relaxed("42", nice_number="fraction") == [42, 1]
