@@ -154,11 +154,60 @@ def validate_json_column(
     return ValidationResult(annotated=annotated, key_cols=key_cols)
 
 
+def schema_for_rules(rules, default=T.StringType()) -> T.DataType:
+    """Infer the Spark read schema implied by a rule document, so the
+    from_json fast path needs no hand-written struct. Mapping follows
+    SURVEY.md §1.2 (integer->long, number->double, object->struct from
+    `properties`, array->array of items). Unconstrained shapes fall back
+    to `default` (string)."""
+    from ..schema.compiler import CompiledSchema
+    from .validator import _compiled
+
+    cs: CompiledSchema = _compiled(rules)
+
+    def infer(node: CompiledSchema, depth: int = 0) -> T.DataType:
+        if depth > 12:
+            return default
+        if node.ref is not None:
+            return infer(node.resolve_ref(), depth + 1)
+        allowed = node.allowed_types
+        if node.properties or (len(allowed) == 1 and allowed[0] == "object"):
+            fields = [
+                T.StructField(name, infer(sub, depth + 1), True)
+                for name, sub in node.properties.items()
+            ]
+            return T.StructType(fields) if fields else T.MapType(T.StringType(), default)
+        if node.items_all is not None or (len(allowed) == 1 and allowed[0] == "array"):
+            elem = infer(node.items_all, depth + 1) if node.items_all is not None else default
+            return T.ArrayType(elem, True)
+        if len(allowed) == 1:
+            t = allowed[0]
+            if t == "string":
+                return T.StringType()
+            if t == "boolean":
+                return T.BooleanType()
+            if t == "number":
+                return T.LongType() if not node.allow_fraction else T.DoubleType()
+        # no explicit type: infer from the keyword family present
+        has_numeric = any(
+            v is not None
+            for v in (node.minimum, node.maximum, node.exclusive_minimum,
+                      node.exclusive_maximum, node.multiple_of)
+        )
+        has_string = node.min_length is not None or node.max_length is not None \
+            or node.pattern is not None
+        if has_numeric and not has_string:
+            return T.DoubleType()
+        return default
+
+    return infer(cs)
+
+
 def validate_json_typed(
     df: DataFrame,
     json_col: str,
     rules,
-    spark_schema,
+    spark_schema=None,
     key_cols: Optional[Sequence[str]] = None,
     extensions: bool = True,
 ) -> ValidationResult:
@@ -177,6 +226,8 @@ def validate_json_typed(
     if key_cols is None:
         key_cols = [df.columns[0]]
     key_cols = list(key_cols)
+    if spark_schema is None:
+        spark_schema = schema_for_rules(cs)  # inferred from the rules
     if isinstance(spark_schema, str):
         spark_schema = T._parse_datatype_string(spark_schema)
     # PERMISSIVE from_json yields an all-null struct for corrupt input; the

@@ -150,3 +150,36 @@ def test_dependent_schemas(spark):
     sub = rules["properties"]["o"]
     assert not validate_instance(sub, {"cc": "v", "bill": -1}, extensions=True)[0]
     assert validate_instance(sub, {"bill": -1}, extensions=True)[0]
+
+
+def test_schema_inference_for_typed_json(spark):
+    from jsonschemaparse_spark.plans.json_validator import schema_for_rules
+
+    rules = {
+        "type": "object",
+        "properties": {
+            "k": {"type": "integer"},
+            "name": {"type": "string"},
+            "score": {"type": "number"},
+            "ok": {"type": "boolean"},
+            "tags": {"type": "array", "items": {"type": "string"}},
+            "nested": {"type": "object", "properties": {"x": {"type": "integer"}}},
+        },
+    }
+    schema = schema_for_rules(rules)
+    assert schema.simpleString() == (
+        "struct<k:bigint,name:string,score:double,ok:boolean,"
+        "tags:array<string>,nested:struct<x:bigint>>"
+    )
+    # end-to-end with inferred schema (no hand-written struct)
+    df = spark.createDataFrame(
+        [(1, '{"k": 5, "nested": {"x": -1}}'), (2, '{"k": "bad"}')], ["id", "props"]
+    )
+    res = validate_json_typed(
+        df, "props",
+        {"type": "object", "properties": {"k": {"type": "integer", "minimum": 0},
+                                          "nested": {"properties": {"x": {"minimum": 0}}}}},
+        key_cols=["id"],
+    )
+    v = {(r["id"], r["path"]): r["keyword"] for r in res.violations().collect()}
+    assert v[(1, "/nested/x")] == "minimum"
