@@ -154,6 +154,71 @@ def parse_info(text: str | bytes, schema=None, annotations: bool = True,
     return ParseInfo(value=value, errors=limit_errors + errors, annotations=anns)
 
 
+def iter_events(value: Any, _key=None):
+    """SAX-style event stream over a parsed value — the reference's
+    StreamParser events (parse.js:195-197, 1083-1107: startObject/key/
+    endObject/startArray/endArray/string/number/boolean/null/end) replayed
+    from the value tree. Top-level call appends a final ('end',)."""
+    yield from _events(value)
+    yield ("end",)
+
+
+def _events(value: Any):
+    if isinstance(value, dict):
+        yield ("startObject",)
+        for k, v in value.items():
+            yield ("key", k)
+            yield from _events(v)
+        yield ("endObject",)
+    elif isinstance(value, list):
+        yield ("startArray",)
+        for v in value:
+            yield from _events(v)
+        yield ("endArray",)
+    elif isinstance(value, bool):
+        yield ("boolean", value)
+    elif isinstance(value, (int, float)):
+        yield ("number", value)
+    elif isinstance(value, str):
+        yield ("string", value)
+    elif value is None:
+        yield ("null",)
+    else:  # pragma: no cover
+        raise TypeError(f"not a JSON value: {type(value)}")
+
+
+@dataclass
+class InstanceInfo:
+    """parseInfo()'s instance tree (README.md:76-87): type/native plus
+    properties (objects), keys (property-name infos), items (arrays)."""
+
+    type: str
+    native: Any
+    properties: Optional[dict] = None
+    keys: Optional[dict] = None
+    items: Optional[list] = None
+
+    @property
+    def map(self):  # README alias: object as a mapping of infos
+        return self.properties
+
+
+def instance_info(value: Any) -> InstanceInfo:
+    from .schema.evaluate import json_type
+
+    t = json_type(value)
+    if t == "object":
+        return InstanceInfo(
+            type=t, native=value,
+            properties={k: instance_info(v) for k, v in value.items()},
+            keys={k: InstanceInfo(type="string", native=k) for k in value},
+        )
+    if t == "array":
+        return InstanceInfo(type=t, native=value,
+                            items=[instance_info(v) for v in value])
+    return InstanceInfo(type=t, native=value)
+
+
 def annotation_table(cs: CompiledSchema) -> list[dict]:
     """Static compile-time metadata table (constraint_id, keyword, value)
     for title/description annotations (SURVEY.md §2.9) — broadcastable."""

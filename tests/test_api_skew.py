@@ -101,3 +101,28 @@ def test_salted_repartition_spreads_hot_key(spark):
     )
     assert n_salts == 8
     salted_repartition(hot, "lang", buckets=8).count()  # plan executes
+
+
+def test_iter_events_sequence():
+    from jsonschemaparse_spark.api import iter_events
+
+    events = list(iter_events({"a": [1, "x"], "b": None}))
+    assert events == [
+        ("startObject",),
+        ("key", "a"), ("startArray",), ("number", 1), ("string", "x"), ("endArray",),
+        ("key", "b"), ("null",),
+        ("endObject",),
+        ("end",),
+    ]
+    assert list(iter_events(True)) == [("boolean", True), ("end",)]
+
+
+def test_instance_info_tree():
+    from jsonschemaparse_spark.api import instance_info
+
+    info = instance_info({"a": [1, 2], "b": "x"})
+    assert info.type == "object"
+    assert info.properties["a"].type == "array"
+    assert [i.native for i in info.properties["a"].items] == [1, 2]
+    assert info.keys["b"].type == "string"
+    assert info.map is info.properties
