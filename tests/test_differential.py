@@ -119,6 +119,92 @@ def test_column_path_matches_evaluator(spark, trial):
         )
 
 
+NESTED_SCHEMA = T.StructType([
+    T.StructField("o", T.StructType([
+        T.StructField("a", T.LongType(), True),
+        T.StructField("s", T.StringType(), True),
+    ]), True),
+    T.StructField("xs", T.ArrayType(T.LongType()), True),
+    T.StructField("tags", T.ArrayType(T.StringType()), True),
+])
+
+
+def _random_nested_row(rnd):
+    o = None if rnd.random() < 0.2 else (
+        rnd.choice([None, -1, 0, 5, 12]),
+        rnd.choice([None, "", "a", "abcd"]),
+    )
+    xs = None if rnd.random() < 0.2 else [
+        rnd.choice([-2, 0, 1, 5, 9]) for _ in range(rnd.randint(0, 4))
+    ]
+    tags = None if rnd.random() < 0.2 else [
+        rnd.choice(["x", "yy", "zzz", "aa"]) for _ in range(rnd.randint(0, 3))
+    ]
+    return (o, xs, tags)
+
+
+def _random_nested_rules(rnd):
+    o_rules = {}
+    if rnd.random() < 0.7:
+        o_rules["properties"] = {"a": {"minimum": 0}}
+    if rnd.random() < 0.5:
+        o_rules["required"] = rnd.sample(["a", "s"], k=1)
+    if rnd.random() < 0.3:
+        o_rules["minProperties"] = 1
+    xs_rules = {}
+    if rnd.random() < 0.7:
+        xs_rules["items"] = {"minimum": 0, "maximum": 8}
+    if rnd.random() < 0.5:
+        xs_rules["minItems"] = rnd.randint(0, 2)
+    if rnd.random() < 0.5:
+        xs_rules["maxItems"] = rnd.randint(2, 5)
+    if rnd.random() < 0.3:
+        xs_rules["uniqueItems"] = True
+    if rnd.random() < 0.3:
+        xs_rules["contains"] = {"minimum": 5}
+    tags_rules = {}
+    if rnd.random() < 0.6:
+        tags_rules["items"] = {"minLength": 1, "maxLength": 2}
+    props = {}
+    if o_rules:
+        props["o"] = o_rules
+    if xs_rules:
+        props["xs"] = xs_rules
+    if tags_rules:
+        props["tags"] = tags_rules
+    return {"type": "object", "properties": props}
+
+
+def _row_to_obj(r):
+    obj = {}
+    if r["o"] is not None:
+        obj["o"] = {k: v for k, v in r["o"].asDict().items() if v is not None}
+    if r["xs"] is not None:
+        obj["xs"] = list(r["xs"])
+    if r["tags"] is not None:
+        obj["tags"] = list(r["tags"])
+    return obj
+
+
+@pytest.mark.parametrize("trial", range(8))
+def test_nested_column_path_matches_evaluator(spark, trial):
+    rnd = random.Random(SEED * 7 + trial)
+    rules = _random_nested_rules(rnd)
+    rows = [_random_nested_row(rnd) for _ in range(50)]
+    df = spark.createDataFrame(rows, NESTED_SCHEMA).withColumn(
+        "row_id", F.monotonically_increasing_id()
+    )
+    res = validate_dataframe(df, rules, key_cols=["row_id"], fallback="never")
+    collected = res.annotated.collect()
+    for r in collected:
+        obj = _row_to_obj(r)
+        want, errs = validate_instance(rules, obj, extensions=True)
+        assert r[VALID_COL] == want, (
+            f"trial={trial} rules={json.dumps(rules)} row={obj} "
+            f"spark={r[VALID_COL]} python={want} errs={[e.message for e in errs]}"
+        )
+
+
 # ---------------- hypothesis properties (pure Python, fast) -----------------
 json_values = st.recursive(
     st.none() | st.booleans() | st.integers(-10**6, 10**6)
