@@ -89,6 +89,17 @@ def main() -> None:
 
     bench("validate_json_events", json_validation)
 
+    # same payload through the from_json JVM fast path (contrast with Arrow)
+    def json_typed():
+        from jsonschemaparse_spark.plans import validate_json_typed
+
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        res = validate_json_typed(ev, "props", entry.EVENT_PROPS_RULES,
+                                  "struct<k:long>", key_cols=["event_id"])
+        res.annotated.select(F.sum(F.when(F.col("_jsp_valid"), 0).otherwise(1))).collect()
+
+    bench("validate_json_events_typed", json_typed)
+
     # dedup: minhash near-dup pipeline over documents
     def dedup():
         from jsonschemaparse_spark.functions.dedup import minhash_near_duplicates
