@@ -171,3 +171,38 @@ def test_ecmascript_regex_falls_back(spark):
     rules = {"properties": {"s": {"pattern": "\\p{L}+"}}}
     res = validate_dataframe(df, rules, key_cols=["id"])  # auto fallback
     assert res.annotated.collect()[0][VALID_COL] is True
+
+
+def test_heavy_ruleset_stays_in_codegen(spark):
+    """Regression guard for the compact-encoding fix: a realistic-size rule
+    document (a dozen constraints incl. several regexes) must keep the
+    validation Project inside whole-stage codegen. Before the rule-table
+    refactor this silently fell out of codegen (~100x slower)."""
+    import io
+    from contextlib import redirect_stdout
+
+    df = spark.createDataFrame(
+        [(1, "https://host1.example/p/1", "some text here", "en", 10)],
+        ["id", "url", "text", "lang", "n"],
+    )
+    heavy = {
+        "type": "object",
+        "required": ["url", "text", "lang", "n"],
+        "properties": {
+            "url": {"type": "string", "minLength": 10, "maxLength": 2048,
+                    "pattern": "^https://", "allOf": [{"pattern": "/p/[0-9]+$"}]},
+            "text": {"type": "string", "minLength": 1, "maxLength": 100000,
+                     "allOf": [{"pattern": "[a-z]"}, {"not": {"pattern": "\\x00"}}]},
+            "lang": {"enum": ["en", "de", "fr", "es", "zh"], "pattern": "^[a-z]{2}$",
+                     "minLength": 2, "maxLength": 2},
+            "n": {"type": "integer", "minimum": 0, "maximum": 10**9, "multipleOf": 1},
+        },
+    }
+    res = validate_dataframe(df, heavy, key_cols=["id"], fallback="never")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        res.annotated.explain("formatted")
+    plan = buf.getvalue()
+    assert "codegen id" in plan, "validation Project fell out of whole-stage codegen"
+    assert "EvalPython" not in plan
+    assert res.annotated.collect()[0][VALID_COL] is True
