@@ -575,6 +575,13 @@ class ColumnCompiler:
                              "Required property missing")
                     else:
                         leaf(F.lit(True), "required", 0, F.lit(1), "Required property missing")
+            if cs.const_properties is not None:
+                # const-object keys must ALL be present (constRemain,
+                # schema.js:1360-1364)
+                for k in sorted(cs.const_properties):
+                    k_missing = col.getField(k).isNull() if k in types else F.lit(True)
+                    leaf(k_missing, "const", sorted(cs.const_properties), F.lit(k),
+                         "Required properties missing")
             if self.extensions and cs.dependent_required:
                 for k, reqs in sorted(cs.dependent_required.items()):
                     present_k = col.getField(k).isNotNull() if k in types else F.lit(False)
@@ -648,6 +655,16 @@ class ColumnCompiler:
                     sub, F.element_at(col, F.lit(key)), vtype, fpath, depth + 1)
                 valids.append(v2)
                 pieces.append(p2)
+            if cs.const_properties is not None:
+                for key, csub in sorted(cs.const_properties.items()):
+                    fpath = F.concat(path.cast("string"), F.lit("/" + key))
+                    leaf(~F.array_contains(keys, key), "const",
+                         sorted(cs.const_properties), F.lit(key),
+                         "Required properties missing")
+                    v2, p2 = self.compile_value(
+                        csub, F.element_at(col, F.lit(key)), vtype, fpath, depth + 1)
+                    valids.append(v2)
+                    pieces.append(p2)
             for pat, rx, psub in cs.pattern_properties:
                 if not rlike_safe(pat):
                     raise ExpressionFallback(f"ECMAScript-only key regex {pat!r}")

@@ -233,6 +233,13 @@ class Evaluator:
             remain = sum(1 for k in schema.required if k not in value)
             if remain:
                 E("Required property missing", "required", 0, remain)
+        if schema.const_properties is not None:
+            # const-object keys must ALL be present (constRemain,
+            # schema.js:1360-1364 'Required properties missing')
+            missing = [k for k in schema.const_properties if k not in value]
+            if missing:
+                E("Required properties missing", "const",
+                  sorted(schema.const_properties), missing)
 
         if self.extensions and schema.dependent_required:
             for key, reqs in schema.dependent_required.items():

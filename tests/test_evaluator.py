@@ -92,3 +92,17 @@ def test_recursive_ref_depth_guard():
     rules = {"$ref": "#"}  # infinite self-reference on any instance
     with pytest.raises(RecursionError):
         validate_instance(rules, {"a": 1})
+
+
+def test_const_object_same_length_different_keys():
+    """constRemain semantics (schema.js:1360-1364): same property COUNT but
+    different keys must fail const."""
+    ok, errs = validate_instance({"const": {"a": 1}}, {"b": 1})
+    assert not ok and errs[0].message == "Required properties missing"
+    ok, _ = validate_instance({"const": {"a": 1, "c": 2}}, {"a": 1, "b": 2})
+    assert not ok
+    ok, _ = validate_instance({"const": {"a": 1}}, {"a": 1})
+    assert ok
+    # flows through structural enum members too
+    ok, _ = validate_instance({"enum": [{"a": 1}]}, {"c": 3})
+    assert not ok
