@@ -269,20 +269,20 @@ class ColumnCompiler:
             valids.append(v2)
             pieces.append(p2)
 
-        if cs.any_of:
+        if getattr(cs, "has_any_of", bool(cs.any_of)):
             branch_valids = [
                 self.compile_value(s, col, dtype, path, depth + 1)[0] for s in cs.any_of
-            ]
+            ] or [F.lit(False)]  # empty anyOf is unsatisfiable (schema.js:1387-1393)
             any_ok = branch_valids[0]
             for b in branch_valids[1:]:
                 any_ok = any_ok | b
             leaf(~any_ok, "anyOf", 1, F.lit(0),
                  'Expected "anyOf" to have at least one matching schema')
 
-        if cs.one_of:
+        if getattr(cs, "has_one_of", bool(cs.one_of)):
             branch_valids = [
                 self.compile_value(s, col, dtype, path, depth + 1)[0] for s in cs.one_of
-            ]
+            ] or [F.lit(False)]  # empty oneOf: 0 valid branches != 1
             count = branch_valids[0].cast("int")
             for b in branch_valids[1:]:
                 count = count + b.cast("int")

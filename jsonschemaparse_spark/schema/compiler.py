@@ -176,6 +176,11 @@ class CompiledSchema:
         self.all_of = self._sublist(raw, "allOf", 'Expected "allOf" to be an array of schemas')
         self.any_of = self._sublist(raw, "anyOf", 'Expected "anyOf" to be an array of schemas')
         self.one_of = self._sublist(raw, "oneOf", 'Expected "oneOf" to be an array of schemas')
+        # empty anyOf/oneOf are PRESENT and unsatisfiable in the reference
+        # (finish() filters an empty branch list -> 0 valid -> error,
+        # schema.js:1379-1393); track presence separately from the lists
+        self.has_any_of = "anyOf" in raw
+        self.has_one_of = "oneOf" in raw
         if "not" in raw:
             if not _is_schema(raw["not"]):
                 raise SchemaError('Expected "not" to be a schema')

@@ -182,12 +182,12 @@ class Evaluator:
         for s in schema.all_of:
             errors.extend(self._val(s, value, path, annotations, recursive_base, depth + 1))
 
-        if schema.any_of:
+        if schema.has_any_of:
             branches = [self._val(s, value, path, [], recursive_base, depth + 1) for s in schema.any_of]
             if not any(not b for b in branches):
                 E('Expected "anyOf" to have at least one matching schema', "anyOf", 1, 0)
 
-        if schema.one_of:
+        if schema.has_one_of:
             branches = [self._val(s, value, path, [], recursive_base, depth + 1) for s in schema.one_of]
             valid = sum(1 for b in branches if not b)
             if valid != 1:

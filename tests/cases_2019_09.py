@@ -564,6 +564,71 @@ CASES += [
     ]},
 ]
 
+CASES += [
+    {"description": "const object with same length but different keys",
+     "schema": {"const": {"a": 1}},
+     "tests": [
+        {"description": "matching object", "data": {"a": 1}, "valid": True},
+        {"description": "same size, different key", "data": {"b": 1}, "valid": False},
+        {"description": "same size, wrong value", "data": {"a": 2}, "valid": False},
+    ]},
+    {"description": "nested items",
+     "schema": {"items": {"items": {"type": "integer"}}},
+     "tests": [
+        {"description": "valid nested array", "data": [[1, 2], [3]], "valid": True},
+        {"description": "wrong inner type", "data": [[1, "x"]], "valid": False},
+        {"description": "outer non-array items ignored? no — items applies", "data": [1], "valid": True},
+    ]},
+    {"description": "items with object schemas",
+     "schema": {"items": {"properties": {"k": {"type": "integer"}}, "required": ["k"]}},
+     "tests": [
+        {"description": "all items valid", "data": [{"k": 1}, {"k": 2}], "valid": True},
+        {"description": "one item missing k", "data": [{"k": 1}, {}], "valid": False},
+        {"description": "one item wrong type", "data": [{"k": "s"}], "valid": False},
+    ]},
+    {"description": "anchor inside $defs with nested ref",
+     "schema": {"$id": "https://ex.test/nest",
+                "$defs": {"node": {"$anchor": "node",
+                                    "properties": {"v": {"type": "integer"},
+                                                    "next": {"$ref": "#node"}}}},
+                "$ref": "#node"},
+     "tests": [
+        {"description": "linked list valid", "data": {"v": 1, "next": {"v": 2}}, "valid": True},
+        {"description": "deep mismatch", "data": {"v": 1, "next": {"v": "x"}}, "valid": False},
+    ]},
+    {"description": "allOf with two refs",
+     "schema": {"$defs": {"a": {"minimum": 0}, "b": {"maximum": 10}},
+                "allOf": [{"$ref": "#/$defs/a"}, {"$ref": "#/$defs/b"}]},
+     "tests": [
+        {"description": "in range", "data": 5, "valid": True},
+        {"description": "below", "data": -1, "valid": False},
+        {"description": "above", "data": 11, "valid": False},
+    ]},
+    {"description": "exclusive bounds as floats on integers",
+     "schema": {"exclusiveMinimum": 0.5, "exclusiveMaximum": 3.5},
+     "tests": [
+        {"description": "1 is inside", "data": 1, "valid": True},
+        {"description": "0 is outside", "data": 0, "valid": False},
+        {"description": "4 is outside", "data": 4, "valid": False},
+    ]},
+    {"description": "empty required with other constraints",
+     "schema": {"required": [], "minProperties": 0},
+     "tests": [
+        {"description": "empty object", "data": {}, "valid": True},
+    ]},
+    {"description": "oneOf with empty branch list is unsatisfiable",
+     "schema": {"oneOf": []},
+     "tests": [
+        # finish() filters [] -> 0 valid != 1 -> error (schema.js:1379-1385)
+        {"description": "nothing passes", "data": 1, "valid": False},
+    ]},
+    {"description": "anyOf with empty branch list is unsatisfiable",
+     "schema": {"anyOf": []},
+     "tests": [
+        {"description": "nothing passes", "data": "x", "valid": False},
+    ]},
+]
+
 # Violation keyword/message assertions mirroring
 # /root/reference/test/validate.test.js (T2 report parity).
 REPORT_CASES = [
