@@ -665,4 +665,10 @@ REPORT_CASES = [
     # allOf surfaces the child's keyword, not allOf (validate.test.js:42-44);
     # `integer` normalizes to allowedTypes ['number'] (schema.js:313, 336-343)
     ({"allOf": [{"type": "integer"}]}, "x", "type", "Unexpected string: Expected number"),
+    # container const/enum reductions (schema.js:797-804, 833-838, 813-820)
+    ({"const": {"a": 1, "b": 2}}, {"a": 1}, "const", "Incorrect number of properties"),
+    ({"const": [1, 2]}, [1], "const", "Incorrect number of items"),
+    ({"enum": [{"a": 1}]}, {"b": 2}, "enum", 'Expected "enum" to have one matching value'),
+    ({"enum": [[1]]}, [2], "enum", 'Expected "enum" to have one matching value'),
+    ({"const": {"a": 1}}, {"b": 1}, "const", "Required properties missing"),
 ]
