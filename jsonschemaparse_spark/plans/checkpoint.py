@@ -71,10 +71,15 @@ def run_with_checkpoint(
 
     if todo:
         fresh_df = spark.read.parquet(*todo)
-        res = validate_dataframe(fresh_df.withColumn(_FILE_COL, F.input_file_name()),
-                                 rules, key_cols=key_cols)
+        # Validate WITHOUT any helper column: an extra column would become a
+        # property of the row object and trip additionalProperties /
+        # unevaluatedProperties / maxProperties at the root. input_file_name()
+        # still resolves on res.annotated (a projection of the same scan), so
+        # the per-file metrics attach it afterwards.
+        res = validate_dataframe(fresh_df, rules, key_cols=key_cols)
         fresh_metrics = (
-            res.annotated.groupBy(F.col(_FILE_COL).alias("file"))
+            res.annotated.withColumn(_FILE_COL, F.input_file_name())
+            .groupBy(F.col(_FILE_COL).alias("file"))
             .agg(
                 F.count(F.lit(1)).alias("n_rows"),
                 F.sum(F.when(F.col(VALID_COL), 0).otherwise(1)).alias("n_failed_rows"),
@@ -84,10 +89,20 @@ def run_with_checkpoint(
             .withColumn("snapshot_id", F.lit(snapshot_id))
         )
         fresh_metrics.write.mode("append").parquet(metrics_path)
-        violations = res.violations().drop(_FILE_COL)
+        violations = res.violations()
         violations.write.mode("append").parquet(_violations_path(state_dir))
     else:
-        violations = spark.createDataFrame([], "constraint_id string")
+        # Nothing fresh: return an EMPTY frame with the real violations
+        # schema (key cols + 6 report fields) so downstream appends/unions
+        # don't produce a schema-mismatched parquet dir.
+        keys = list(key_cols) if key_cols else [df.columns[0]]
+        from pyspark.sql.types import StructType
+        fields = [df.schema[k] for k in keys]
+        schema = StructType(fields).add("constraint_id", "string") \
+            .add("path", "string").add("keyword", "string") \
+            .add("expected", "string").add("actual", "string") \
+            .add("message", "string")
+        violations = spark.createDataFrame([], schema)
 
     verdicts = spark.read.parquet(metrics_path).filter(
         F.col("snapshot_id") == snapshot_id

@@ -123,6 +123,37 @@ def rlike_safe(pattern: str) -> bool:
     return not any(tok in pattern for tok in _UNSAFE_REGEX)
 
 
+def rlike_pattern(pattern: str) -> str:
+    """Translate an ECMAScript pattern for Java rlike.
+
+    Java '$' (no MULTILINE) also matches before a FINAL line terminator, so
+    /a$/ would accept 'a\\n' where ECMAScript RegExp (and the reference,
+    schema.js:884) rejects it. Rewrite every unescaped '$' outside a
+    character class to '\\z' (end of input — the ECMAScript meaning).
+    Escaped \\$ and [$] are literal in both dialects and left alone.
+    """
+    out: list[str] = []
+    in_class = esc = False
+    for ch in pattern:
+        if esc:
+            out.append(ch)
+            esc = False
+        elif ch == "\\":
+            out.append(ch)
+            esc = True
+        elif in_class:
+            out.append(ch)
+            in_class = ch != "]"
+        elif ch == "[":
+            out.append(ch)
+            in_class = True
+        elif ch == "$":
+            out.append("\\z")
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
 class ColumnCompiler:
     """Compile a CompiledSchema against a concrete Spark value (column +
     dtype). Produces (valid, violations) Column pairs plus a static rule
@@ -377,8 +408,9 @@ class ColumnCompiler:
         if cs.pattern is not None:
             if not rlike_safe(cs.pattern):
                 raise ExpressionFallback(f"ECMAScript-only regex {cs.pattern!r}")
-            # search semantics: Java find() == RegExp.test (schema.js:884)
-            leaf(~col.rlike(cs.pattern), "pattern", cs.pattern, col,
+            # search semantics: Java find() == RegExp.test (schema.js:884);
+            # '$' rewritten to '\z' for end-of-input parity (rlike_pattern)
+            leaf(~col.rlike(rlike_pattern(cs.pattern)), "pattern", cs.pattern, col,
                  "String does not match /" + cs.pattern + "/")
 
     def _boolean_kernels(self, cs: CompiledSchema, col: Column, path, leaf) -> None:
@@ -457,18 +489,16 @@ class ColumnCompiler:
 
         if cs.items_all is not None:
             sub = cs.items_all
-            per_elem = F.transform(col, lambda x, i: F.struct(
-                self.compile_value(
-                    sub, x, elem_type,
-                    F.concat(path.cast("string"), F.lit("/"), i.cast("string")),
-                    depth + 1,
-                )[0].alias("ok"),
-                self.compile_value(
-                    sub, x, elem_type,
-                    F.concat(path.cast("string"), F.lit("/"), i.cast("string")),
-                    depth + 1,
-                )[1].alias("v"),
-            ))
+
+            def _elem(x, i):
+                # compile ONCE per element subschema: both struct fields bind
+                # the same (ok, v) pair — halves the codegen tree and avoids
+                # duplicate rule_table registration (VERDICT r1 fix #3)
+                ipath = F.concat(path.cast("string"), F.lit("/"), i.cast("string"))
+                ok, v = self.compile_value(sub, x, elem_type, ipath, depth + 1)
+                return F.struct(ok.alias("ok"), v.alias("v"))
+
+            per_elem = F.transform(col, _elem)
             valids.append(F.forall(per_elem, lambda s: s["ok"]))
             pieces.append(F.flatten(F.transform(per_elem, lambda s: s["v"])))
         elif cs.items_tuple is not None:
@@ -482,21 +512,15 @@ class ColumnCompiler:
                 sub = cs.additional_items
                 start = len(cs.items_tuple)
                 rest = F.slice(col, start + 1, F.greatest(n - start, F.lit(0)))
-                per_elem = F.transform(
-                    rest,
-                    lambda x, i: F.struct(
-                        self.compile_value(
-                            sub, x, elem_type,
-                            F.concat(path.cast("string"), F.lit("/"), (i + start).cast("string")),
-                            depth + 1,
-                        )[0].alias("ok"),
-                        self.compile_value(
-                            sub, x, elem_type,
-                            F.concat(path.cast("string"), F.lit("/"), (i + start).cast("string")),
-                            depth + 1,
-                        )[1].alias("v"),
-                    ),
-                )
+
+                def _extra(x, i):
+                    # single compile per extra element (VERDICT r1 fix #3)
+                    ipath = F.concat(path.cast("string"), F.lit("/"),
+                                     (i + start).cast("string"))
+                    ok, v = self.compile_value(sub, x, elem_type, ipath, depth + 1)
+                    return F.struct(ok.alias("ok"), v.alias("v"))
+
+                per_elem = F.transform(rest, _extra)
                 valids.append(F.forall(per_elem, lambda s: s["ok"]))
                 pieces.append(F.flatten(F.transform(per_elem, lambda s: s["v"])))
 
@@ -538,6 +562,46 @@ class ColumnCompiler:
         if cs.ref is not None:
             subs.append(cs.resolve_ref())
         return any(self._statically_evaluated(s, name, depth + 1) for s in subs)
+
+    def _conditionally_evaluated(
+        self, cs: CompiledSchema, nm: str, col: Column, dtype: T.DataType,
+        path, depth: int,
+    ) -> Optional[Column]:
+        """Boolean Column: TRUE when a PASSING conditional in-place applicator
+        branch (anyOf/oneOf/if-then-else) evaluates key `nm` — the dynamic
+        half of the reference's evaluated-set union at finish
+        (schema.js:1373-1403: only zero-error subvalidators donate their
+        evaluatedPropertiesSet). Returns None when no conditional branch can
+        ever cover `nm`, keeping the common-case plan free of re-evaluation."""
+        if depth > _MAX_DEPTH:
+            return None
+        conds: list[Column] = []
+        for s in list(cs.any_of) + list(cs.one_of):
+            if self._statically_evaluated(s, nm, depth + 1):
+                conds.append(self.compile_value(s, col, dtype, path, depth + 1)[0])
+        if cs.if_ is not None:
+            if_cov = self._statically_evaluated(cs.if_, nm, depth + 1)
+            then_cov = cs.then_ is not None and self._statically_evaluated(cs.then_, nm, depth + 1)
+            else_cov = cs.else_ is not None and self._statically_evaluated(cs.else_, nm, depth + 1)
+            if if_cov or then_cov or else_cov:
+                iv = self.compile_value(cs.if_, col, dtype, path, depth + 1)[0]
+                if if_cov or then_cov:
+                    conds.append(iv)
+                if else_cov:
+                    conds.append(~iv)
+        subs = list(cs.all_of)
+        if cs.ref is not None:
+            subs.append(cs.resolve_ref())
+        for s in subs:
+            c = self._conditionally_evaluated(s, nm, col, dtype, path, depth + 1)
+            if c is not None:
+                conds.append(c)
+        if not conds:
+            return None
+        out = conds[0]
+        for c in conds[1:]:
+            out = out | c
+        return out
 
     # ------------------------------------------------------------------
     def _object_kernels(self, cs, col: Column, dtype: T.DataType, path, depth):
@@ -610,9 +674,20 @@ class ColumnCompiler:
                     routed_subs.append(cs.const_properties[nm])
                 if cs.unevaluated_properties is not None and not routed_subs \
                         and not self._statically_evaluated(cs, nm):
-                    # struct keys are static, so the two-phase evaluated-set
-                    # union (schema.js:1373-1403) resolves at COMPILE time
-                    routed_subs.append(cs.unevaluated_properties)
+                    # static half of the evaluated-set union resolves at
+                    # COMPILE time (struct keys are static); the dynamic half
+                    # — anyOf/oneOf/if-then-else branches donate keys only
+                    # when they PASS (schema.js:1373-1403) — gates the
+                    # unevaluated subschema per row
+                    uv, up = self.compile_value(
+                        cs.unevaluated_properties, col.getField(nm),
+                        types[nm], fpath, depth + 1)
+                    dyn = self._conditionally_evaluated(cs, nm, col, dtype, path, depth)
+                    if dyn is not None:
+                        uv = F.when(dyn, F.lit(True)).otherwise(uv)
+                        up = F.when(dyn, empty_violations()).otherwise(up)
+                    valids.append(uv)
+                    pieces.append(up)
                 for sub in routed_subs:
                     v2, p2 = self.compile_value(sub, col.getField(nm), types[nm], fpath, depth + 1)
                     valids.append(v2)
@@ -668,8 +743,9 @@ class ColumnCompiler:
             for pat, rx, psub in cs.pattern_properties:
                 if not rlike_safe(pat):
                     raise ExpressionFallback(f"ECMAScript-only key regex {pat!r}")
+                jpat = rlike_pattern(pat)
                 matched_vals = F.map_values(
-                    F.map_filter(col, lambda k, v: k.rlike(pat)))
+                    F.map_filter(col, lambda k, v: k.rlike(jpat)))
                 per_elem = F.transform(matched_vals, lambda x: self.compile_value(
                     psub, x, vtype, path, depth + 1)[0])
                 leaf(~F.forall(per_elem, lambda ok: ok), "patternProperties",
@@ -681,7 +757,7 @@ class ColumnCompiler:
                 def is_additional(k: Column) -> Column:
                     cond = ~k.isin(known) if known else F.lit(True)
                     for pat, _, _ in cs.pattern_properties:
-                        cond = cond & ~k.rlike(pat)
+                        cond = cond & ~k.rlike(rlike_pattern(pat))
                     return cond
 
                 extra_vals = F.map_values(F.map_filter(col, lambda k, v: is_additional(k)))

@@ -296,19 +296,43 @@ class Evaluator:
         return errs_out
 
     def _in_place_evaluated(self, schema, value: dict, rbase, depth) -> set[str]:
-        """Keys evaluated by in-place applicators (allOf/$ref branches),
-        approximating evaluatedPropertiesSet union (schema.js:1373-1377)."""
+        """Keys evaluated by in-place applicators (allOf/$ref/anyOf/oneOf/
+        if-then-else branches), matching the reference's evaluated-set union
+        at finish (schema.js:1153-1160, 1373-1403). Conditional branches
+        (anyOf/oneOf/then/else) contribute their evaluated keys only when the
+        branch VALIDATES the value — exactly the reference's rule that only
+        zero-error subvalidators donate their evaluatedPropertiesSet."""
+        if depth > _MAX_REF_DEPTH:
+            raise RecursionError(
+                f"$ref depth > {_MAX_REF_DEPTH} in unevaluatedProperties scope"
+            )
         out: set[str] = set()
+        # unconditional in-place applicators: allOf + $ref
         subs = list(schema.all_of)
         if schema.ref is not None:
             subs.append(schema.resolve_ref())
+        # conditional in-place applicators donate keys only if they pass
+        cond: list = []
+        cond.extend(schema.any_of)
+        cond.extend(schema.one_of)
+        if schema.if_ is not None:
+            if_pass = not self._val(schema.if_, value, "", [], rbase, depth + 1)
+            if if_pass:
+                cond.append(schema.if_)
+                if schema.then_ is not None:
+                    cond.append(schema.then_)
+            elif schema.else_ is not None:
+                cond.append(schema.else_)
+        for s in cond:
+            if not self._val(s, value, "", [], rbase, depth + 1):
+                subs.append(s)
         for s in subs:
             out |= set(k for k in value if k in s.properties)
             for _, rx, _s in s.pattern_properties:
                 out |= {k for k in value if rx.search(k)}
             if s.additional_properties is not None:
                 out |= set(value.keys())
-            out |= self._in_place_evaluated(s, value, rbase, depth)
+            out |= self._in_place_evaluated(s, value, rbase, depth + 1)
         return out
 
     # ------------------------------------------------------------------

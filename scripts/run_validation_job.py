@@ -76,9 +76,10 @@ def main() -> None:
             )
         summary = report.summary()
 
-    spark.sparkContext.parallelize([json.dumps(summary)], 1).saveAsTextFile(
-        f"{args.output}/summary.json"
-    )
+    # Overwrite semantics: the documented resume workflow re-invokes with the
+    # same --output; RDD saveAsTextFile would throw FileAlreadyExistsException.
+    spark.createDataFrame([(json.dumps(summary),)], "value string") \
+        .coalesce(1).write.mode("overwrite").text(f"{args.output}/summary.json")
     print(json.dumps(summary))
     spark.stop()
 

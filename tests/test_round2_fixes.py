@@ -1,0 +1,202 @@
+"""Round-2 regression tests: ADVICE fixes + VERDICT next-round items.
+
+Covers: rlike '$' end-of-input parity, unevaluatedProperties evaluated-set
+union across anyOf/oneOf/if-then-else (schema.js:1373-1403) on BOTH engine
+paths, checkpoint helper-column corruption, empty-violations schema, and the
+$ref depth guard in the unevaluated scope.
+"""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from jsonschemaparse_spark.plans import VALID_COL, validate_dataframe
+from jsonschemaparse_spark.plans.kernels import rlike_pattern
+from jsonschemaparse_spark.schema.compiler import compile_rules
+from jsonschemaparse_spark.schema.evaluate import Evaluator
+
+
+# ---------------------------------------------------------------------------
+# rlike '$' parity (ADVICE low #1)
+# ---------------------------------------------------------------------------
+def test_rlike_pattern_translation():
+    assert rlike_pattern("a$") == "a\\z"
+    assert rlike_pattern("^a$|b$") == "^a\\z|b\\z"
+    # escaped \$ and [$] are literal in both dialects: untouched
+    assert rlike_pattern(r"a\$") == r"a\$"
+    assert rlike_pattern("a[$]b") == "a[$]b"
+    assert rlike_pattern("plain") == "plain"
+
+
+def test_pattern_dollar_rejects_trailing_newline(spark):
+    """ECMAScript /a$/ rejects 'a\\n'; Java '$' would accept before a final
+    line terminator — the fast path must match the reference (schema.js:884)."""
+    df = spark.createDataFrame([(1, "a"), (2, "a\n")], "id int, s string")
+    rules = {"properties": {"s": {"type": "string", "pattern": "a$"}}}
+    res = validate_dataframe(df, rules, key_cols=["id"], fallback="never")
+    got = {r["id"]: r[VALID_COL] for r in res.annotated.collect()}
+    assert got == {1: True, 2: False}
+
+
+# ---------------------------------------------------------------------------
+# unevaluatedProperties branch union (VERDICT #6) — expression path
+# ---------------------------------------------------------------------------
+_ANYOF_RULES = {
+    "properties": {
+        "o": {
+            "anyOf": [
+                {"properties": {"b": {"type": "string"}}, "required": ["b"]},
+                {"properties": {"c": {"type": "integer"}}, "required": ["c"]},
+            ],
+            "properties": {"a": {"type": "integer"}},
+            "unevaluatedProperties": False,
+        }
+    }
+}
+
+
+def test_unevaluated_properties_anyof_union_struct(spark):
+    """Keys evaluated by a PASSING anyOf branch are not unevaluated; keys of
+    a FAILING branch stay unevaluated (schema.js:1387-1393 + 1395-1403)."""
+    df = spark.createDataFrame(
+        [
+            (1, {"a": 1, "b": "x", "c": None}),   # branch 1 passes -> b evaluated
+            (2, {"a": 1, "b": None, "c": 7}),     # branch 2 passes -> c evaluated
+        ],
+        "id int, o struct<a:int, b:string, c:int>",
+    )
+    res = validate_dataframe(df, _ANYOF_RULES, key_cols=["id"], fallback="never")
+    got = {r["id"]: r[VALID_COL] for r in res.annotated.collect()}
+    assert got == {1: True, 2: True}
+
+
+def test_unevaluated_properties_anyof_failing_branch_struct(spark):
+    """b present but its branch FAILS (b not a string? can't in struct) —
+    instead: b present while only branch 2 passes => b is unevaluated."""
+    df = spark.createDataFrame(
+        # b="way-too-long" makes branch 1 pass too; instead break branch 1 by
+        # omitting b and presenting an extra evaluated-by-nothing key d
+        [(1, {"a": 1, "b": "x", "c": 7, "d": "extra"})],
+        "id int, o struct<a:int, b:string, c:int, d:string>",
+    )
+    res = validate_dataframe(df, _ANYOF_RULES, key_cols=["id"], fallback="never")
+    row = res.annotated.collect()[0]
+    assert row[VALID_COL] is False  # d evaluated by no branch
+    paths = {r["path"] for r in res.violations().collect()}
+    assert "/o/d" in paths
+
+
+def test_unevaluated_properties_if_then_union_struct(spark):
+    rules = {
+        "properties": {
+            "o": {
+                "if": {"required": ["a"]},
+                "then": {"properties": {"b": {"type": "string"}}},
+                "else": {"properties": {"c": {"type": "integer"}}},
+                "properties": {"a": {"type": "integer"}},
+                "unevaluatedProperties": False,
+            }
+        }
+    }
+    df = spark.createDataFrame(
+        [
+            (1, {"a": 1, "b": "x", "c": None}),  # if passes -> then evaluates b
+            (2, {"a": 1, "b": None, "c": 9}),    # if passes -> c NOT evaluated
+            (3, {"a": None, "b": None, "c": 9}), # if fails -> else evaluates c
+        ],
+        "id int, o struct<a:int, b:string, c:int>",
+    )
+    res = validate_dataframe(df, rules, key_cols=["id"], fallback="never")
+    got = {r["id"]: r[VALID_COL] for r in res.annotated.collect()}
+    assert got == {1: True, 2: False, 3: True}
+
+
+# ---------------------------------------------------------------------------
+# unevaluatedProperties branch union — Arrow/evaluator path
+# ---------------------------------------------------------------------------
+def _eval_errors(rules, value):
+    cs = compile_rules(rules)
+    errors, _ = Evaluator(extensions=True).validate(cs, value)
+    return errors
+
+
+def test_evaluator_anyof_union():
+    rules = {
+        "anyOf": [
+            {"properties": {"b": {"type": "string"}}, "required": ["b"]},
+            {"properties": {"c": {"type": "integer"}}, "required": ["c"]},
+        ],
+        "properties": {"a": {"type": "integer"}},
+        "unevaluatedProperties": False,
+    }
+    assert _eval_errors(rules, {"a": 1, "b": "x"}) == []
+    assert _eval_errors(rules, {"a": 1, "c": 3}) == []
+    # b belongs to a FAILING branch (branch 1 requires b:string; b is an int
+    # so branch 1 fails) => b is unevaluated
+    errs = _eval_errors(rules, {"a": 1, "b": 5, "c": 3})
+    assert any(e.keyword == "unevaluatedProperties" or "/b" in e.path for e in errs)
+
+
+def test_evaluator_if_then_else_union():
+    rules = {
+        "if": {"properties": {"a": {"const": 1}}, "required": ["a"]},
+        "then": {"properties": {"b": {}}},
+        "else": {"properties": {"c": {}}},
+        "unevaluatedProperties": False,
+    }
+    # if passes: if donates a, then donates b
+    assert _eval_errors(rules, {"a": 1, "b": 2}) == []
+    # if passes but c is evaluated by neither if nor then
+    assert _eval_errors(rules, {"a": 1, "c": 3}) != []
+    # if fails (no a): else donates c; a failed branch donates nothing
+    assert _eval_errors(rules, {"c": 1}) == []
+    assert _eval_errors(rules, {"b": 1}) != []
+
+
+def test_evaluator_self_ref_unevaluated_depth_guard():
+    """Self-referential $ref + unevaluatedProperties must fail with the
+    clean depth error, not an unguarded Python RecursionError (ADVICE low #2)."""
+    rules = {
+        "$id": "https://x/root",
+        "$ref": "#",
+        "unevaluatedProperties": False,
+    }
+    cs = compile_rules(rules)
+    with pytest.raises(RecursionError, match="depth"):
+        Evaluator(extensions=True).validate(cs, {"k": 1})
+
+
+# ---------------------------------------------------------------------------
+# checkpoint fixes (ADVICE high + medium #2)
+# ---------------------------------------------------------------------------
+def test_checkpoint_no_helper_column_corruption(spark, tmp_path):
+    """A root schema with additionalProperties must not see the internal
+    _jsp_file column as a property of the row object."""
+    from jsonschemaparse_spark.plans.checkpoint import run_with_checkpoint
+
+    inp = str(tmp_path / "in")
+    spark.createDataFrame(
+        [("u1", "hello"), ("u2", "world")], "url string, text string"
+    ).repartition(2).write.parquet(inp)
+
+    rules = {
+        "properties": {
+            "url": {"type": "string"},
+            "text": {"type": "string", "minLength": 1},
+        },
+        "additionalProperties": False,
+        "required": ["url"],
+    }
+    state = str(tmp_path / "state")
+    run = run_with_checkpoint(spark, inp, rules, state, key_cols=["url"])
+    verdicts = run.verdicts.collect()
+    assert sum(r["n_failed_rows"] for r in verdicts) == 0
+    assert run.violations.count() == 0
+
+    # resume: nothing fresh; violations frame must carry the FULL schema
+    run2 = run_with_checkpoint(spark, inp, rules, state, key_cols=["url"])
+    assert run2.n_files_skipped == run2.n_files_total
+    assert run2.violations.columns == [
+        "url", "constraint_id", "path", "keyword", "expected", "actual", "message"
+    ]
+    assert run2.violations.count() == 0
