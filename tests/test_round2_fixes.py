@@ -200,3 +200,69 @@ def test_checkpoint_no_helper_column_corruption(spark, tmp_path):
         "url", "constraint_id", "path", "keyword", "expected", "actual", "message"
     ]
     assert run2.violations.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# JSON auto-routing (VERDICT #2): hybrid JVM path with exact report parity
+# ---------------------------------------------------------------------------
+def test_typed_route_gate():
+    from pyspark.sql import types as T
+    from jsonschemaparse_spark.plans.json_validator import _typed_route_schema
+
+    safe = {"type": "object", "required": ["k"],
+            "properties": {"k": {"type": "integer", "minimum": 0}}}
+    route = _typed_route_schema(compile_rules(safe))
+    assert isinstance(route, T.StructType)
+    assert isinstance(route["k"].dataType, T.DoubleType)  # 1.0 is a valid integer
+
+    for unsafe in (
+        {"properties": {"k": {"type": "integer"}}},             # no root type
+        {"type": "object", "properties": {"k": {"type": "string"}}},  # string coercion
+        {"type": "object", "properties": {"k": {"minimum": 0}}},      # untyped leaf
+        {"type": "object", "additionalProperties": False,
+         "properties": {"k": {"type": "integer"}}},             # unknown-key observer
+        {"type": "object", "required": ["z"],
+         "properties": {"k": {"type": "integer"}}},             # required outside struct
+        {"type": "object", "properties": {"k": {"type": "integer"}},
+         "anyOf": [{"required": ["k"]}]},                       # combinator
+    ):
+        assert _typed_route_schema(compile_rules(unsafe)) is None, unsafe
+
+
+def test_hybrid_report_parity_vs_arrow(spark):
+    """The auto (hybrid) path must emit the SAME violation rows as the
+    Arrow evaluator path — including 'type' (not 'syntax') for coercion
+    failures and exact messages."""
+    from jsonschemaparse_spark.plans import validate_json_column
+
+    rules = {"type": "object", "required": ["k"],
+             "properties": {"k": {"type": "integer", "minimum": 0, "maximum": 50},
+                            "tags": {"type": "array", "minItems": 1}}}
+    docs = [
+        (1, '{"k": 1}'),
+        (2, '{"k": "no"}'),        # type mismatch -> keyword 'type'
+        (3, "{broken"),            # syntax
+        (4, None),
+        (5, '{"k": -3}'),          # minimum
+        (6, '{"k": 1.0}'),         # 1.0 IS a valid integer (suite semantics)
+        (7, '{"k": 1.5}'),         # fraction -> invalid
+        (8, '{"k": 1, "tags": []}'),
+        (9, '{"k": 99, "extra": true}'),  # extra key ignored; maximum fires
+        (10, '[1,2]'),             # root type mismatch
+    ]
+    df = spark.createDataFrame(docs, ["id", "props"])
+
+    def rows(engine):
+        res = validate_json_column(df, "props", rules, key_cols=["id"], engine=engine)
+        got = {r["id"]: r["_jsp_valid"] for r in res.annotated.collect()}
+        v = sorted(
+            (r["id"], r["path"], r["keyword"], r["message"])
+            for r in res.violations().collect()
+        )
+        return got, v
+
+    arrow = rows("arrow")
+    auto = rows("auto")
+    assert auto[0] == arrow[0] == {1: True, 2: False, 3: False, 4: True, 5: False,
+                                   6: True, 7: False, 8: False, 9: False, 10: False}
+    assert auto[1] == arrow[1]
