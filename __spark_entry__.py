@@ -244,12 +244,16 @@ def q_events_json_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ks_drift_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned two-sample KS statistic; the bucket arithmetic in _hist is
+    spelled out so the DuckDB oracle reproduces it bit-for-bit (the
+    `drifted` p-value verdict stays in DriftResult, exercised by pytest —
+    the incomplete-gamma/Kolmogorov tails aren't SQL)."""
     docs = _docs(spark, sf_dir)
     shifted = docs.withColumn("n_chars", F.col("n_chars") + 100)
     r = ks_drift(docs, shifted, "n_chars")
     return spark.createDataFrame(
-        [(round(r.statistic, 6), r.n_left, r.n_right, bool(r.drifted))],
-        "statistic double, n_left long, n_right long, drifted boolean",
+        [(round(r.statistic, 6), r.n_left, r.n_right)],
+        "statistic double, n_left long, n_right long",
     )
 
 
@@ -306,6 +310,9 @@ def q_events_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_chi2_drift_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square homogeneity statistic (en relabeled zz on the right side).
+    Statistic verified against DuckDB; the p-value verdict stays in
+    DriftResult (pytest-covered)."""
     from jsonschemaparse_spark.functions.integrity import chi2_drift
 
     docs = _docs(spark, sf_dir)
@@ -314,8 +321,8 @@ def q_chi2_drift_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r = chi2_drift(docs, skewed, "lang")
     return spark.createDataFrame(
-        [(round(r.statistic, 4), r.n_left, r.n_right, bool(r.drifted))],
-        "statistic double, n_left long, n_right long, drifted boolean",
+        [(round(r.statistic, 4), r.n_left, r.n_right)],
+        "statistic double, n_left long, n_right long",
     )
 
 
@@ -621,5 +628,79 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM corpus a JOIN corpus b ON a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
       / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+""",
+        # simhash: portable md5-60bit token hashes -> per-bit votes -> packed
+        # sign long; mirrors functions/dedup.py simhash_expr exactly
+        "simhash_sample": """
+WITH d AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g') AS t
+  FROM documents WHERE doc_id < 50
+),
+toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM d),
+h AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS th
+  FROM toks WHERE tok <> ''
+),
+bits AS (
+  SELECT doc_id, b.b,
+         sum(CASE WHEN ((th >> b.b) & 1) = 1 THEN 1 ELSE -1 END) AS vote
+  FROM h CROSS JOIN (SELECT unnest(range(60)) AS b) b
+  GROUP BY doc_id, b.b
+),
+packed AS (
+  SELECT doc_id,
+         sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(coalesce(p.simhash, 0) AS BIGINT) AS simhash
+FROM d LEFT JOIN packed p USING (doc_id)
+""",
+        # binned two-sample KS: identical bucket arithmetic to integrity._hist
+        # (least/greatest/floor with the same IEEE-754 op order)
+        "ks_drift_nchars": """
+WITH ln AS (SELECT CAST(n_chars AS DOUBLE) AS x FROM documents WHERE n_chars IS NOT NULL),
+     rn AS (SELECT CAST(n_chars + 100 AS DOUBLE) AS x FROM documents WHERE n_chars IS NOT NULL),
+     bounds AS (
+       SELECT least((SELECT min(x) FROM ln), (SELECT min(x) FROM rn)) AS lo,
+              greatest((SELECT max(x) FROM ln), (SELECT max(x) FROM rn)) AS hi
+     ),
+     lb AS (SELECT greatest(least(floor(((x - lo) * 256.0) / (hi - lo)), 255), 0) AS b,
+                   count(*) AS c
+            FROM ln, bounds GROUP BY 1),
+     rb AS (SELECT greatest(least(floor(((x - lo) * 256.0) / (hi - lo)), 255), 0) AS b,
+                   count(*) AS c
+            FROM rn, bounds GROUP BY 1),
+     grid AS (SELECT CAST(unnest(range(256)) AS DOUBLE) AS b),
+     cum AS (
+       SELECT g.b,
+              sum(coalesce(lb.c, 0)) OVER (ORDER BY g.b) AS cl,
+              sum(coalesce(rb.c, 0)) OVER (ORDER BY g.b) AS cr
+       FROM grid g LEFT JOIN lb ON lb.b = g.b LEFT JOIN rb ON rb.b = g.b
+     ),
+     tot AS (SELECT (SELECT count(*) FROM ln) AS n1, (SELECT count(*) FROM rn) AS n2)
+SELECT round(max(abs(CAST(cl AS DOUBLE) / n1 - CAST(cr AS DOUBLE) / n2)), 6) AS statistic,
+       CAST(n1 AS BIGINT) AS n_left, CAST(n2 AS BIGINT) AS n_right
+FROM cum, tot GROUP BY n1, n2
+""",
+        # chi-square homogeneity: full outer join of per-side category counts
+        "chi2_drift_lang": """
+WITH lc AS (SELECT lang AS v, count(*) AS c FROM documents GROUP BY 1),
+     rc AS (SELECT CASE WHEN lang = 'en' THEN 'zz' ELSE lang END AS v, count(*) AS c
+            FROM documents GROUP BY 1),
+     cats AS (
+       SELECT coalesce(lc.v, rc.v) AS v,
+              CAST(coalesce(lc.c, 0) AS DOUBLE) AS o1,
+              CAST(coalesce(rc.c, 0) AS DOUBLE) AS o2
+       FROM lc FULL OUTER JOIN rc ON lc.v = rc.v
+     ),
+     tot AS (SELECT sum(o1) AS n1, sum(o2) AS n2, sum(o1) + sum(o2) AS t FROM cats)
+SELECT round(sum(
+         CASE WHEN (o1 + o2) > 0 THEN
+           pow(o1 - (o1 + o2) * n1 / t, 2) / ((o1 + o2) * n1 / t)
+           + pow(o2 - (o1 + o2) * n2 / t, 2) / ((o1 + o2) * n2 / t)
+         ELSE 0 END), 4) AS statistic,
+       CAST(n1 AS BIGINT) AS n_left, CAST(n2 AS BIGINT) AS n_right
+FROM cats, tot GROUP BY n1, n2
 """,
     }

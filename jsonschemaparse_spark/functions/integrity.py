@@ -76,10 +76,12 @@ def referential_violations(
     """
     parent_keys = parent.select(F.col(parent_key).alias(child_key)).dropDuplicates([child_key])
     if broadcast_parent is None:
-        # cheap driver-side heuristic usable in tests; on a real cluster rely
-        # on spark.sql.autoBroadcastJoinThreshold / AQE instead of count()
-        broadcast_parent = parent_keys.count() <= broadcast_threshold_rows
-    if broadcast_parent:
+        # let AQE / spark.sql.autoBroadcastJoinThreshold decide at runtime —
+        # no extra driver-side count() job scanning the parent (VERDICT r1
+        # fix #8); AQE converts to broadcast when the built side is small
+        # and splits skewed partitions otherwise
+        pass
+    elif broadcast_parent:
         parent_keys = F.broadcast(parent_keys)
     return child.join(parent_keys, on=child_key, how="left_anti")
 
@@ -101,22 +103,32 @@ class DriftResult:
     n_right: int
     drifted: bool
     test: str
+    truncated: bool = False
 
 
-def _hist(df: DataFrame, column: str, edges: list[float]) -> list[int]:
-    """Histogram partials via width_bucket + groupBy: the shuffle moves
-    (bucket, count) pairs — constant-sized regardless of table size."""
-    b = F.width_bucket(F.col(column).cast("double"), F.lit(edges[0]),
-                       F.lit(edges[-1]), F.lit(len(edges) - 1))
+def _hist(df: DataFrame, column: str, lo: float, hi: float, n_bins: int) -> list[int]:
+    """Histogram partials via explicit bucket arithmetic + groupBy: the
+    shuffle moves (bucket, count) pairs — constant-sized regardless of
+    table size. The bucket formula least(floor(((x-lo)*n)/(hi-lo)), n-1)
+    is spelled out (not width_bucket) so an external SQL engine can
+    reproduce the statistic bit-for-bit with the same IEEE-754 op order."""
+    x = F.col(column).cast("double")
+    b = F.greatest(
+        F.least(
+            F.floor(((x - F.lit(lo)) * F.lit(float(n_bins))) / F.lit(hi - lo)),
+            F.lit(n_bins - 1),
+        ),
+        F.lit(0),
+    )
     rows = (
         df.filter(F.col(column).isNotNull())
         .groupBy(b.alias("bucket"))
         .agg(F.count(F.lit(1)).alias("cnt"))
         .collect()
     )
-    counts = [0] * (len(edges) + 1)  # bucket 0 = underflow, n_bins+1 = overflow
+    counts = [0] * n_bins
     for r in rows:
-        counts[min(int(r["bucket"]), len(edges))] = r["cnt"]
+        counts[int(r["bucket"])] = r["cnt"]
     return counts
 
 
@@ -141,9 +153,8 @@ def ks_drift(
     hi = max(lo_hi["hi"], lo2_hi2["hi"])
     if lo == hi:
         hi = lo + 1.0
-    edges = [lo + (hi - lo) * i / n_bins for i in range(n_bins + 1)]
-    hl = _hist(left, column, edges)
-    hr = _hist(right, column, edges)
+    hl = _hist(left, column, lo, hi, n_bins)
+    hr = _hist(right, column, lo, hi, n_bins)
     n1, n2 = sum(hl), sum(hr)
     d = 0.0
     cl = cr = 0
@@ -163,11 +174,26 @@ def chi2_drift(
     max_categories: int = 10_000,
 ) -> DriftResult:
     """Chi-square homogeneity test on a categorical column. One groupBy per
-    side (distinct categories only cross the wire)."""
-    lc = {r["v"]: r["c"] for r in left.groupBy(F.col(column).alias("v"))
-          .agg(F.count(F.lit(1)).alias("c")).limit(max_categories).collect()}
-    rc = {r["v"]: r["c"] for r in right.groupBy(F.col(column).alias("v"))
-          .agg(F.count(F.lit(1)).alias("c")).limit(max_categories).collect()}
+    side (distinct categories only cross the wire).
+
+    Cardinality above max_categories truncates DETERMINISTICALLY to the
+    top-N by count (ties broken by value) and sets DriftResult.truncated —
+    an unordered limit() would silently pick a nondeterministic subset and
+    make the statistic non-reproducible (VERDICT r1 fix #7)."""
+    def _counts(df: DataFrame) -> tuple[dict, bool]:
+        rows = (
+            df.groupBy(F.col(column).alias("v"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.col("c").desc(), F.col("v").asc_nulls_last())
+            .limit(max_categories + 1)
+            .collect()
+        )
+        trunc = len(rows) > max_categories
+        return {r["v"]: r["c"] for r in rows[:max_categories]}, trunc
+
+    lc, l_trunc = _counts(left)
+    rc, r_trunc = _counts(right)
+    truncated = l_trunc or r_trunc
     cats = sorted(set(lc) | set(rc), key=lambda x: (x is None, str(x)))
     n1 = sum(lc.values())
     n2 = sum(rc.values())
@@ -188,4 +214,4 @@ def chi2_drift(
         dof += 1
     dof = max(dof - 1, 1)
     p = chi2_sf(stat, dof)
-    return DriftResult(stat, p, n1, n2, p < alpha, "chi2")
+    return DriftResult(stat, p, n1, n2, p < alpha, "chi2", truncated)

@@ -266,3 +266,47 @@ def test_hybrid_report_parity_vs_arrow(spark):
     assert auto[0] == arrow[0] == {1: True, 2: False, 3: False, 4: True, 5: False,
                                    6: True, 7: False, 8: False, 9: False, 10: False}
     assert auto[1] == arrow[1]
+
+
+# ---------------------------------------------------------------------------
+# VERDICT #5/#7/#8: simhash zero-Python, chi2 determinism, AQE broadcast
+# ---------------------------------------------------------------------------
+def test_simhash_is_pure_expression(spark):
+    """simhash must stay inside whole-stage codegen: no Python evaluation
+    node in the plan (the r1 kernel was a per-row mapInPandas loop)."""
+    from jsonschemaparse_spark.functions.dedup import simhash
+
+    df = spark.createDataFrame([(1, "hello world"), (2, None)], ["doc_id", "text"])
+    sh = simhash(df, "doc_id")
+    plan = sh._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "ArrowEval" not in plan
+    got = {r["doc_id"]: r["simhash"] for r in sh.collect()}
+    assert got[2] == 0  # null text -> empty token set -> 0
+    assert got[1] != 0
+
+
+def test_chi2_truncation_deterministic(spark):
+    """Above max_categories the truncation picks top-N by count
+    deterministically and flags DriftResult.truncated."""
+    from jsonschemaparse_spark.functions.integrity import chi2_drift
+
+    rows = [(f"cat{i:03d}", ) for i in range(40) for _ in range(i + 1)]
+    df = spark.createDataFrame(rows, ["lang"]).repartition(8)
+    r1 = chi2_drift(df, df, "lang", max_categories=10)
+    r2 = chi2_drift(df, df, "lang", max_categories=10)
+    assert r1.truncated and r2.truncated
+    assert r1.statistic == r2.statistic
+    full = chi2_drift(df, df, "lang")
+    assert not full.truncated
+
+
+def test_referential_default_no_count_job(spark):
+    """broadcast_parent=None must not run a driver-side count(): the plan is
+    built lazily and still answers correctly (AQE decides the strategy)."""
+    from jsonschemaparse_spark.functions.integrity import referential_violations
+
+    child = spark.createDataFrame([(1, 10), (2, 99)], ["id", "fk"])
+    parent = spark.createDataFrame([(10,), (20,)], ["pk"])
+    # building the plan must not trigger a job; sanity-check results only
+    bad = referential_violations(child, "fk", parent, "pk")
+    assert [r["id"] for r in bad.collect()] == [2]
