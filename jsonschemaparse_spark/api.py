@@ -154,6 +154,59 @@ def parse_info(text: str | bytes, schema=None, annotations: bool = True,
     return ParseInfo(value=value, errors=limit_errors + errors, annotations=anns)
 
 
+class StreamParser:
+    """Incremental parse+validate with state across ARBITRARY chunk
+    boundaries (reference StreamParser, parse.js:121-192, 318-326; the
+    syntax suite's one-byte-per-write replay is the contract,
+    test/syntax-suite.test.js:43-56).
+
+    write() str/bytes chunks (split multi-byte UTF-8 sequences and split
+    tokens are fine), then end(): syntax errors raise ParseSyntaxError;
+    validation errors accumulate in .errors like the reference's
+    parser.errors[] (never throws on invalid — parseInfo contract).
+    SAX callbacks via .on(name, fn) use the same event names/arities as
+    api.iter_events."""
+
+    def __init__(self, schema=None, extensions: bool = False, limits=None):
+        from .schema.incremental import IncrementalJSONParser
+
+        self._parser = IncrementalJSONParser()
+        self._schema = _as_schema(schema)
+        self._extensions = extensions
+        self._limits = limits
+        self.value: Any = None
+        self.errors: list[ValidationRecord] = []
+        self.annotations: list[AnnotationRecord] = []
+
+    def on(self, name: str, fn) -> "StreamParser":
+        self._parser.on(name, fn)
+        return self
+
+    def write(self, chunk: str | bytes) -> "StreamParser":
+        from .schema.incremental import IncrementalSyntaxError
+
+        try:
+            self._parser.write(chunk)
+        except IncrementalSyntaxError as e:
+            raise ParseSyntaxError(str(e)) from None
+        return self
+
+    def end(self) -> ParseInfo:
+        from .schema.evaluate import check_limits
+        from .schema.incremental import IncrementalSyntaxError
+
+        try:
+            self.value = self._parser.end()
+        except IncrementalSyntaxError as e:
+            raise ParseSyntaxError(str(e)) from None
+        if self._schema is not None:
+            ev = Evaluator(extensions=self._extensions, annotations=True)
+            self.errors, self.annotations = ev.validate(self._schema, self.value)
+        if self._limits is not None:
+            self.errors = self.errors + check_limits(self.value, self._limits)
+        return ParseInfo(self.value, self.errors, self.annotations)
+
+
 def iter_events(value: Any, _key=None):
     """SAX-style event stream over a parsed value — the reference's
     StreamParser events (parse.js:195-197, 1083-1107: startObject/key/
@@ -190,13 +243,17 @@ def _events(value: Any):
 @dataclass
 class InstanceInfo:
     """parseInfo()'s instance tree (README.md:76-87): type/native plus
-    properties (objects), keys (property-name infos), items (arrays)."""
+    properties (objects), keys (property-name infos), items (arrays), and
+    `links` (hyper-schema links; the reference resolves them from a `links`
+    table that is null for plain validation schemas — schema.js:694 — so
+    this surfaces as an empty list, same observable value)."""
 
     type: str
     native: Any
     properties: Optional[dict] = None
     keys: Optional[dict] = None
     items: Optional[list] = None
+    links: list = field(default_factory=list)
 
     @property
     def map(self):  # README alias: object as a mapping of infos

@@ -83,7 +83,7 @@ def run_with_checkpoint(
             .agg(
                 F.count(F.lit(1)).alias("n_rows"),
                 F.sum(F.when(F.col(VALID_COL), 0).otherwise(1)).alias("n_failed_rows"),
-                F.sum(F.size(VIOLATIONS_COL)).alias("n_violations"),
+                F.sum(res._n_viols()).alias("n_violations"),
             )
             .withColumn("pass", F.col("n_failed_rows") == 0)
             .withColumn("snapshot_id", F.lit(snapshot_id))

@@ -159,13 +159,21 @@ class ColumnCompiler:
     dtype). Produces (valid, violations) Column pairs plus a static rule
     table for report reconstruction."""
 
-    def __init__(self, extensions: bool = True, enforce_formats: bool = False):
+    def __init__(self, extensions: bool = True, enforce_formats: bool = False,
+                 collect_field_fallbacks: bool = False):
         self.extensions = extensions
         # format is annotation-only in the reference (schema.js:691, no
         # exportRules entry); enforcement is an opt-in extension
         self.enforce_formats = enforce_formats
         # static metadata per emitted check: joined back on report
         self.rule_table: list[dict] = []
+        # per-column fallback: at the ROOT object (depth 0 = table columns),
+        # an ExpressionFallback in one column's subschema is RECORDED here
+        # instead of aborting the whole-row compile — the validator then
+        # runs the Arrow evaluator on just those columns, keeping Python
+        # off every other column (VERDICT r1 stretch #9)
+        self.collect_field_fallbacks = collect_field_fallbacks
+        self.field_fallbacks: list[tuple[str, CompiledSchema]] = []
         # dynamic-scope $recursiveAnchor base (schema.js:1060-1072);
         # compilation is a single-threaded DFS, so save/restore around the
         # recursion gives exactly the reference's dynamic scoping
@@ -689,7 +697,16 @@ class ColumnCompiler:
                     valids.append(uv)
                     pieces.append(up)
                 for sub in routed_subs:
-                    v2, p2 = self.compile_value(sub, col.getField(nm), types[nm], fpath, depth + 1)
+                    if self.collect_field_fallbacks and depth == 0:
+                        try:
+                            v2, p2 = self.compile_value(
+                                sub, col.getField(nm), types[nm], fpath, depth + 1)
+                        except ExpressionFallback:
+                            self.field_fallbacks.append((nm, sub))
+                            continue
+                    else:
+                        v2, p2 = self.compile_value(
+                            sub, col.getField(nm), types[nm], fpath, depth + 1)
                     valids.append(v2)
                     pieces.append(p2)
                 if self.extensions and cs.property_names is not None:

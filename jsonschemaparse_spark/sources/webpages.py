@@ -49,9 +49,12 @@ def _u(col, salt: int):
     return (F.abs(F.xxhash64(col, F.lit(salt), F.lit(SEED))) % 1000000) / 1000000.0
 
 
-def synthesize_webpages(spark: SparkSession, n_docs: int, partitions: int | None = None) -> DataFrame:
-    """Build the canonical webpages table. Columns exactly per input_hint."""
-    df = spark.range(0, n_docs, 1, partitions or spark.sparkContext.defaultParallelism)
+def synthesize_webpages(spark: SparkSession, n_docs: int, partitions: int | None = None,
+                        id_offset: int = 0) -> DataFrame:
+    """Build the canonical webpages table. Columns exactly per input_hint.
+    id_offset shifts the doc-id range so independent shards are disjoint."""
+    df = spark.range(id_offset, id_offset + n_docs, 1,
+                     partitions or spark.sparkContext.defaultParallelism)
     i = F.col("id")
 
     # Zipf-skewed host: u^4 concentrates mass near host 0 (SURVEY.md §2.11 skew)
