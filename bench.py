@@ -109,6 +109,15 @@ def main() -> None:
 
     bench("dedup_minhash", dedup)
 
+    # simhash fingerprints (pure Column expression since r2)
+    def simhash_bench():
+        from jsonschemaparse_spark.functions.dedup import simhash
+
+        df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        simhash(df, "doc_id").select(F.sum(F.col("simhash").bitwiseAND(F.lit(1)))).collect()
+
+    bench("simhash_documents", simhash_bench)
+
     # stats profile
     def stats():
         from jsonschemaparse_spark.functions.stats import column_profile

@@ -297,7 +297,8 @@ def annotation_table(cs: CompiledSchema) -> list[dict]:
             + [x for x in (node.not_, node.if_, node.then_, node.else_,
                            node.additional_properties, node.items_all,
                            node.additional_items, node.contains,
-                           node.property_names, node.unevaluated_properties) if x]
+                           node.property_names, node.unevaluated_properties,
+                           node.unevaluated_items) if x]
             + (node.items_tuple or [])
         )
         for c in children:

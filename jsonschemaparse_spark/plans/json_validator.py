@@ -61,6 +61,7 @@ def _is_unconstrained(cs: CompiledSchema) -> bool:
         len(cs.allowed_types) == 6
         and not cs.properties and not cs.pattern_properties
         and cs.additional_properties is None and cs.unevaluated_properties is None
+        and cs.unevaluated_items is None
         and cs.property_names is None and cs.required is None
         and cs.min_properties is None and cs.max_properties is None
         and cs.items_all is None and cs.items_tuple is None
@@ -112,6 +113,7 @@ def _typed_route_schema(cs: CompiledSchema, depth: int = 0):
         return None
     if (cs.pattern_properties or cs.additional_properties is not None
             or cs.unevaluated_properties is not None
+            or cs.unevaluated_items is not None
             or cs.property_names is not None
             or cs.min_properties is not None or cs.max_properties is not None
             or cs.dependent_schemas or cs.dependent_required):

@@ -548,11 +548,68 @@ class ColumnCompiler:
             leaf(F.size(F.array_distinct(col)) != n, "uniqueItems", True, n,
                  "Array items are not unique")
 
+        if self.extensions and cs.unevaluated_items is not None:
+            prefix = self._items_prefix_col(cs, col, dtype, path, depth)
+            if prefix is not None:  # None => everything evaluated statically
+                usub = cs.unevaluated_items
+
+                def _uneval(x, i):
+                    ipath = F.concat(path.cast("string"), F.lit("/"), i.cast("string"))
+                    ok, v = self.compile_value(usub, x, elem_type, ipath, depth + 1)
+                    guard = i >= prefix
+                    return F.struct(
+                        F.when(guard, ok).otherwise(F.lit(True)).alias("ok"),
+                        F.when(guard, v).otherwise(empty_violations()).alias("v"),
+                    )
+
+                per_elem = F.transform(col, _uneval)
+                valids.append(F.forall(per_elem, lambda s: s["ok"]))
+                pieces.append(F.flatten(F.transform(per_elem, lambda s: s["v"])))
+
         viols = _concat(pieces)
         valid = valids[0] if valids else F.lit(True)
         for v in valids[1:]:
             valid = valid & v
         return valid, viols
+
+    def _items_prefix_col(
+        self, cs: CompiledSchema, col: Column, dtype: T.DataType, path, depth: int
+    ) -> Optional[Column]:
+        """Evaluated-prefix length for unevaluatedItems as an int Column
+        (None = statically everything). In-place applicator branches donate
+        their prefix only when they PASS, mirroring _conditionally_evaluated
+        (schema.js evaluated-set union, 1373-1403)."""
+        if depth > _MAX_DEPTH:
+            return F.lit(0)
+        if cs.items_all is not None or (
+            cs.items_tuple is not None and cs.additional_items is not None
+        ):
+            return None
+        p: Column = F.lit(len(cs.items_tuple) if cs.items_tuple is not None else 0)
+        subs = list(cs.all_of)
+        if cs.ref is not None:
+            subs.append(cs.resolve_ref())
+        for s in subs:
+            sp = self._items_prefix_col(s, col, dtype, path, depth + 1)
+            if sp is None:
+                return None  # an unconditional applicator evaluates all
+            p = F.greatest(p, sp)
+        cond: list[tuple[Column, CompiledSchema]] = []
+        for s in list(cs.any_of) + list(cs.one_of):
+            cond.append((self.compile_value(s, col, dtype, path, depth + 1)[0], s))
+        if cs.if_ is not None:
+            iv = self.compile_value(cs.if_, col, dtype, path, depth + 1)[0]
+            cond.append((iv, cs.if_))
+            if cs.then_ is not None:
+                cond.append((iv, cs.then_))
+            if cs.else_ is not None:
+                cond.append((~iv, cs.else_))
+        big = F.lit(2_147_483_647)
+        for ok, s in cond:
+            sp = self._items_prefix_col(s, col, dtype, path, depth + 1)
+            spc = big if sp is None else sp
+            p = F.greatest(p, F.when(ok, spc).otherwise(F.lit(0)))
+        return p
 
     def _statically_evaluated(self, cs: CompiledSchema, name: str, depth: int = 0) -> bool:
         """Would `name` be evaluated by this schema or its in-place

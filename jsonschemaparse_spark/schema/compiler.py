@@ -284,6 +284,9 @@ class CompiledSchema:
         up = raw.get("unevaluatedProperties")
         self.unevaluated_properties = sub(up, "unevaluatedProperties") if up is not None else None
 
+        ui = raw.get("unevaluatedItems")  # items twin of the evaluated-set
+        self.unevaluated_items = sub(ui, "unevaluatedItems") if ui is not None else None
+
         pn = raw.get("propertyNames")  # extension: unsupported in reference (schema.js:709)
         self.property_names = sub(pn, "propertyNames") if pn is not None else None
 

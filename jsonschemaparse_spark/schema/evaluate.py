@@ -380,7 +380,54 @@ class Evaluator:
                 seen.add(k)
             if dup:
                 E("Array items are not unique", "uniqueItems", True, False)
+        # unevaluatedItems (extension — reference known-keyword-only): the
+        # items twin of the unevaluatedProperties evaluated-set union.
+        # Evaluation state for arrays is a PREFIX length: items_all / tuple
+        # items (+additionalItems) evaluate positionally; in-place
+        # applicator branches donate their prefix only when they PASS.
+        if self.extensions and schema.unevaluated_items is not None:
+            p = self._items_evaluated_prefix(schema, value, rbase, depth)
+            for i in range(p, n):
+                errs.extend(
+                    self._val(schema.unevaluated_items, value[i], f"{path}/{i}",
+                              annotations, rbase, depth + 1)
+                )
         return errs
+
+    def _items_evaluated_prefix(self, schema, value: list, rbase, depth) -> int:
+        """Number of leading items evaluated by this schema or its in-place
+        applicators (len(value) == all). Mirrors _in_place_evaluated."""
+        if depth > _MAX_REF_DEPTH:
+            raise RecursionError(
+                f"$ref depth > {_MAX_REF_DEPTH} in unevaluatedItems scope"
+            )
+        n = len(value)
+        if schema.items_all is not None:
+            return n
+        p = 0
+        if schema.items_tuple is not None:
+            p = min(len(schema.items_tuple), n)
+            if schema.additional_items is not None:
+                return n
+        subs = list(schema.all_of)
+        if schema.ref is not None:
+            subs.append(schema.resolve_ref())
+        cond: list = list(schema.any_of) + list(schema.one_of)
+        if schema.if_ is not None:
+            if not self._val(schema.if_, value, "", [], rbase, depth + 1):
+                cond.append(schema.if_)
+                if schema.then_ is not None:
+                    cond.append(schema.then_)
+            elif schema.else_ is not None:
+                cond.append(schema.else_)
+        for s in cond:
+            if not self._val(s, value, "", [], rbase, depth + 1):
+                subs.append(s)
+        for s in subs:
+            p = max(p, self._items_evaluated_prefix(s, value, rbase, depth + 1))
+            if p >= n:
+                return n
+        return p
 
 
 @dataclass(frozen=True)

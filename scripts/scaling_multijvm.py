@@ -163,6 +163,13 @@ spark.stop()
     base_tp = PAGES_PER_SHARD / base_med
     agg_tp = K * PAGES_PER_SHARD / scaled_med
     eff = (agg_tp / (K * base_tp))
+    # Paired per-round efficiency: each scaled run is immediately followed
+    # by its baseline run, so the host's bimodal steal/throttle phases
+    # (minutes-long on this VM) hit both sides of a pair alike and cancel.
+    paired = [round(b / s, 3) for b, s in zip(base_walls, scaled_walls)]
+    # Best-window: both levels at their un-throttled fast mode — isolates
+    # engine behavior from host noise (the r1 SCALING.md estimator).
+    best = round(min(base_walls) / min(scaled_walls), 3)
     result = {
         "protocol": "fixed-workers-per-box: k x local[8] JVMs on disjoint shards, core-pinned, barrier-synchronized timed pass",
         "pages_per_shard": PAGES_PER_SHARD,
@@ -180,7 +187,10 @@ spark.stop()
             "wall_sec_median": round(scaled_med, 3),
             "agg_docs_per_sec": round(agg_tp, 1),
         },
-        "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_pooled_medians": round(eff, 3),
+        "scaling_efficiency_per_round_paired": paired,
+        "scaling_efficiency_paired_median": round(statistics.median(paired), 3),
+        "scaling_efficiency_best_window": best,
     }
     print(json.dumps(result))
     if not keep:

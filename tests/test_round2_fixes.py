@@ -373,3 +373,67 @@ def test_embedding_bucket_cap_bounds_candidates(spark):
     assert capped.count() == 0
     over = embedding_bucket_overflow(corpus, max_bucket_size=10, dim=8).collect()
     assert len(over) >= 1 and all(r["n_rows"] == 100 for r in over)
+
+
+# ---------------------------------------------------------------------------
+# unevaluatedItems (items twin of the evaluated-set union)
+# ---------------------------------------------------------------------------
+def test_unevaluated_items_evaluator():
+    rules = {
+        "items": [{"type": "integer"}],
+        "unevaluatedItems": {"maximum": 10},
+    }
+    assert _eval_errors(rules, [1]) == []
+    assert _eval_errors(rules, [1, 5]) == []
+    errs = _eval_errors(rules, [1, 50])
+    assert errs and errs[0].path == "/1" and errs[0].keyword == "maximum"
+    # additionalItems evaluates the tail -> unevaluatedItems vacuous
+    rules2 = dict(rules, additionalItems={})
+    assert _eval_errors(rules2, [1, 50]) == []
+
+
+def test_unevaluated_items_branch_union_evaluator():
+    rules = {
+        "anyOf": [
+            {"items": {"type": "integer"}},   # passes only for all-int arrays
+        ],
+        "unevaluatedItems": False,
+    }
+    assert _eval_errors(rules, [1, 2]) == []       # branch passes -> evaluated
+    assert _eval_errors(rules, ["x"]) != []        # branch fails -> unevaluated
+
+
+def test_unevaluated_items_struct_column(spark):
+    rules = {
+        "properties": {
+            "a": {
+                "items": [{"type": "integer"}],
+                "unevaluatedItems": {"maximum": 10},
+            }
+        }
+    }
+    df = spark.createDataFrame(
+        [(1, [1]), (2, [1, 5]), (3, [1, 50])], "id int, a array<int>"
+    )
+    res = validate_dataframe(df, rules, key_cols=["id"], fallback="never")
+    got = {r["id"]: r[VALID_COL] for r in res.annotated.collect()}
+    assert got == {1: True, 2: True, 3: False}
+    v = res.violations().collect()
+    assert v[0]["path"] == "/a/1" and v[0]["keyword"] == "maximum"
+
+
+def test_unevaluated_items_branch_union_column(spark):
+    rules = {
+        "properties": {
+            "a": {
+                "anyOf": [{"items": {"maximum": 100}}],
+                "unevaluatedItems": False,
+            }
+        }
+    }
+    df = spark.createDataFrame(
+        [(1, [1, 2]), (2, [1, 500])], "id int, a array<int>"
+    )
+    res = validate_dataframe(df, rules, key_cols=["id"], fallback="never")
+    got = {r["id"]: r[VALID_COL] for r in res.annotated.collect()}
+    assert got == {1: True, 2: False}
