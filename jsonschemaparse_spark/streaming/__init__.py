@@ -1,3 +1,15 @@
-from .validate_stream import foreach_batch_sink, validate_stream, windowed_verdicts
+from .validate_stream import (
+    foreach_batch_sink,
+    stateful_validation_monitor,
+    streaming_dedup,
+    validate_stream,
+    windowed_verdicts,
+)
 
-__all__ = ["foreach_batch_sink", "validate_stream", "windowed_verdicts"]
+__all__ = [
+    "foreach_batch_sink",
+    "stateful_validation_monitor",
+    "streaming_dedup",
+    "validate_stream",
+    "windowed_verdicts",
+]

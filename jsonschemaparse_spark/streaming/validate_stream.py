@@ -64,6 +64,70 @@ def windowed_verdicts(
     )
 
 
+def streaming_dedup(
+    stream_df: DataFrame,
+    keys: Sequence[str] | str,
+    ts_col: str = "warc_ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stateful streaming dedup: dropDuplicatesWithinWatermark — the
+    streaming analog of functions.dedup.exact_dedup. State holds only keys
+    inside the lateness horizon (watermark evicts older state), so at
+    web-crawl rates the state store is bounded by the horizon's key count,
+    not by history. Exactly-once within the horizon; duplicates farther
+    apart than the watermark pass through (document the horizon!)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def stateful_validation_monitor(
+    annotated: DataFrame,
+    key_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-key RUNNING
+    validation totals across micro-batches — the quality-degradation
+    monitor a crawl pipeline runs per host/lang. Emits one row per key per
+    batch: (key, n_rows, n_failed, fail_ratio, alert). State is two longs
+    per key (O(distinct keys), no row history), Arrow-batched per group —
+    no per-row Python."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key_type = None
+    for f in annotated.schema.fields:
+        if f.name == key_col:
+            key_type = f.dataType.simpleString()
+    if key_type is None:
+        raise ValueError(f"unknown key column {key_col!r}")
+    out_schema = (
+        f"{key_col} {key_type}, n_rows long, n_failed long, "
+        "fail_ratio double, alert boolean"
+    )
+    state_schema = "n_rows long, n_failed long"
+
+    def update(key, pdfs, state: GroupState):
+        n, failed = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            failed += int((~pdf[VALID_COL].astype(bool)).sum())
+        state.update((n, failed))
+        ratio = failed / n if n else 0.0
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n_rows": [n],
+                "n_failed": [failed],
+                "fail_ratio": [ratio],
+                "alert": [ratio >= threshold],
+            }
+        )
+
+    return annotated.groupBy(key_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def foreach_batch_sink(
     rules,
     on_batch: Callable[[DataFrame, DataFrame, int], None],

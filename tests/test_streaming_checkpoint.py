@@ -126,3 +126,64 @@ def test_foreach_batch_sink(spark, pages_dir):
     q.awaitTermination(120)
     assert seen["rows"] == 3000
     assert seen["violations"] > 0
+
+
+def test_streaming_dedup(spark, tmp_path_factory):
+    """dropDuplicatesWithinWatermark stream agrees with batch dropDuplicates
+    when all duplicates fall inside the watermark horizon."""
+    from jsonschemaparse_spark.sources import synthesize_webpages
+    from jsonschemaparse_spark.streaming import streaming_dedup
+
+    d = str(tmp_path_factory.mktemp("dup_pages"))
+    base = synthesize_webpages(spark, 500, partitions=2)
+    base.unionByName(base).write.mode("overwrite").parquet(d)  # every url twice
+
+    schema = spark.read.parquet(d).schema
+    stream = spark.readStream.schema(schema).parquet(d)
+    deduped = streaming_dedup(stream, "url", ts_col="warc_ts", watermark="1 hour")
+    q = (
+        deduped.writeStream.format("memory").queryName("dedup_sink")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select count(*) n, count(distinct url) d from dedup_sink").first()
+    assert got["n"] == 500 and got["d"] == 500
+
+
+def test_stateful_validation_monitor(spark, pages_dir):
+    """applyInPandasWithState accumulates per-key totals across
+    micro-batches; final per-key totals equal the batch groupBy."""
+    from jsonschemaparse_spark.streaming import (
+        stateful_validation_monitor,
+        validate_stream,
+    )
+
+    schema = spark.read.parquet(pages_dir).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "2").parquet(pages_dir)
+    annotated = validate_stream(stream, RULES)
+    monitored = stateful_validation_monitor(annotated, "lang", threshold=0.99)
+    q = (
+        monitored.writeStream.format("memory").queryName("monitor_sink")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+
+    # last emission per key = cumulative totals = batch ground truth
+    got = {
+        r["lang"]: (r["n_rows"], r["n_failed"])
+        for r in spark.sql(
+            "select lang, max(n_rows) n_rows, max(n_failed) n_failed "
+            "from monitor_sink group by lang"
+        ).collect()
+    }
+    from jsonschemaparse_spark.plans import validate_dataframe
+
+    batch = validate_dataframe(spark.read.parquet(pages_dir), RULES, key_cols=["url"])
+    truth = {
+        r["lang"]: (r["n"], r["f"])
+        for r in batch.annotated.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.when(F.col("_jsp_valid"), 0).otherwise(1)).alias("f"))
+        .collect()
+    }
+    assert got == truth
