@@ -145,6 +145,76 @@ def minhash_signature(text: Column, num_hashes: int = 8, k: int = 3,
     )
 
 
+def minhash_signatures_agg(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 8,
+    k: int = 3,
+    hash_mode: str = "portable",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(doc, sig array) via explode + codegen'd hash aggregate.
+
+    Same values as minhash_signature (min is idempotent, so skipping the
+    array_distinct changes nothing), but a different execution shape:
+    Spark's higher-order functions are CodegenFallback — the per-element
+    lambda interprets an expression tree per shingle (~19k docs/s/32t).
+    Generate(explode) + per-permutation MIN aggregates stay inside
+    whole-stage codegen; the map-side partial combine reduces each task's
+    shingles to one row per doc BEFORE the exchange, so the shuffle carries
+    (doc, num_hashes longs) — strictly less than the repartition barrier
+    the HOF formulation needed."""
+    spark = df.sparkSession
+    target = num_partitions or spark.sparkContext.defaultParallelism
+    try:
+        if df.rdd.getNumPartitions() < max(target // 2, 2):
+            # single-split inputs would run the whole explode+partial-agg in
+            # one task; spread the NARROW (id, text) projection first
+            df = df.select(id_col, text_col).repartition(target)
+    except Exception:  # noqa: BLE001 - streaming/plan-only frames
+        pass
+    words = F.split(normalized_text(F.col(text_col)), " ")
+    n = F.size(words)
+    if hash_mode == "fast":
+        d = df.select(
+            F.col(id_col).alias("doc"),
+            words.alias("_w"),
+            F.explode(
+                F.when(n >= k, F.sequence(F.lit(1), n - (k - 1)))
+                .otherwise(F.array(F.lit(1)))
+            ).alias("_j"),
+        )
+        # identical hash to minhash_signature hash_mode='fast'
+        h = F.abs(
+            F.xxhash64(*[F.element_at(F.col("_w"), F.col("_j") + i) for i in range(k)])
+        ) % MINHASH_P
+    else:
+        d = df.select(
+            F.col(id_col).alias("doc"),
+            words.alias("_w"),
+            # _j == 0 marks the short-text fallback: whole text, one shingle
+            F.explode(
+                F.when(n >= k, F.sequence(F.lit(1), n - (k - 1)))
+                .otherwise(F.array(F.lit(0)))
+            ).alias("_j"),
+        )
+        shingle = F.when(
+            F.col("_j") > 0,
+            F.concat_ws(" ", *[F.element_at(F.col("_w"), F.col("_j") + i) for i in range(k)]),
+        ).otherwise(F.array_join(F.col("_w"), " "))
+        h = shingle_hash(shingle)
+    hcol = F.col("_h")
+    lanes = [
+        F.min((F.lit(_MINHASH_A[p]) * hcol + F.lit(_MINHASH_B[p])) % F.lit(MINHASH_P)).alias(f"_h{p}")
+        for p in range(num_hashes)
+    ]
+    agg = d.select("doc", h.alias("_h")).groupBy("doc").agg(*lanes)
+    return agg.select(
+        "doc", F.array(*[F.col(f"_h{p}") for p in range(num_hashes)]).alias("_sig")
+    )
+
+
 def minhash_candidates(
     df: DataFrame,
     id_col: str,
@@ -157,27 +227,19 @@ def minhash_candidates(
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b, band_hits). rows/band = H/bands.
 
-    Plan hygiene (the 100-TB lesson): the signature (hundreds of md5 calls
-    per doc) is computed ONCE per document and materialized behind a
-    repartition barrier — without it, CollapseProject would inline the
-    signature expression into every band reference (num_hashes-fold
-    recompute), and a single-file input would run the whole corpus in one
-    task. The shuffle moves only (id, 8 hex strings) — bytes per row.
+    Plan shape (the 100-TB lesson, round-2 revision): signatures come from
+    minhash_signatures_agg — explode + codegen'd hash aggregate — instead
+    of the per-row HOF expression. The aggregate's map-side combine folds
+    each task's shingles down to one row per doc BEFORE the exchange, so
+    the only shuffle before the band join carries (doc, num_hashes longs);
+    the agg exchange doubles as the anti-CollapseProject barrier the HOF
+    version needed twice. Band extraction reads plain agg attributes
+    (SimplifyExtractValueOps: element_at(array(_h...), i) -> _hi).
     """
     rows_per_band = num_hashes // bands
-    spark = df.sparkSession
-    n_parts = num_partitions or spark.sparkContext.defaultParallelism
-    # repartition the NARROW projection first so the hash-heavy signature
-    # work runs at full parallelism even from a single input split; the
-    # shuffle carries only (id, text). The signature itself is a single
-    # traversal (see minhash_signature), so no further barrier is needed.
-    raw = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_t")).repartition(n_parts)
-    # second (tiny) barrier: band extraction references _sig once per band
-    # row; without it CollapseProject may inline the whole signature
-    # aggregate into each reference. Payload is (id, num_hashes longs).
-    with_sig = raw.select(
-        F.col("doc"), minhash_signature(F.col("_t"), num_hashes, k, hash_mode).alias("_sig")
-    ).repartition(n_parts)
+    with_sig = minhash_signatures_agg(
+        df, id_col, text_col, num_hashes, k, hash_mode, num_partitions
+    )
     banded = with_sig.select(
         F.col("doc"),
         F.posexplode(
@@ -315,9 +377,42 @@ def simhash_expr(text: Column, bits: int = SIMHASH_BITS) -> Column:
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
-    """(id, simhash) via simhash_expr — one codegen'd projection."""
-    return df.select(F.col(id_col), simhash_expr(F.col(text_col)).alias("simhash"))
+def simhash(df: DataFrame, id_col: str, text_col: str = "text",
+            bits: int = SIMHASH_BITS) -> DataFrame:
+    """(id, simhash) via explode + codegen'd vote aggregation.
+
+    Same values as simhash_expr, different execution shape: the HOF
+    aggregate in simhash_expr is CodegenFallback (interpreted per token);
+    here Generate(explode) + `bits` SUM aggregates stay in whole-stage
+    codegen with map-side combine — the shuffle carries one row of `bits`
+    longs per doc. A NULL sentinel token keeps zero-token docs in the
+    aggregate (all votes 0 -> simhash 0) without a join-back."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        if df.rdd.getNumPartitions() < max(target // 2, 2):
+            df = df.select(id_col, text_col).repartition(target)
+    except Exception:  # noqa: BLE001
+        pass
+    toks = F.split(normalized_text(F.coalesce(F.col(text_col), F.lit(""))), " ")
+    d = df.select(
+        F.col(id_col),
+        F.explode(F.concat(F.array(F.lit(None).cast("string")), toks)).alias("_tok"),
+    ).filter(F.col("_tok").isNull() | (F.col("_tok") != ""))
+    d = d.select(F.col(id_col), token_hash60(F.col("_tok")).alias("_th"))
+    votes = [
+        F.sum(
+            F.when(F.col("_th").isNull(), 0)
+            .when(F.shiftrightunsigned(F.col("_th"), i).bitwiseAND(F.lit(1)) == F.lit(1), 1)
+            .otherwise(-1)
+        ).alias(f"_v{i}")
+        for i in range(bits)
+    ]
+    agg = d.groupBy(id_col).agg(*votes)
+    packed = F.lit(0).cast("long")
+    for i in range(bits):
+        packed = packed + F.when(F.col(f"_v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+    return agg.select(F.col(id_col), packed.alias("simhash"))
 
 
 def simhash_near_duplicates(
