@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -37,19 +39,53 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
 
 
+def _cosine_pandas_udf(query: Sequence[float]):
+    """Arrow-vectorized cosine vs a fixed query: one numpy matmul per
+    batch. The zip_with/aggregate expression form is CodegenFallback
+    (interpreted per element); at dim=64 the parquet scan dominates and the
+    two kernels tie (measured 0.53s vs 0.57s at 128k vectors warm), but the
+    BLAS matmul wins as dim grows — prefer it for real embedding widths."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    qv = np.asarray(list(query), dtype=np.float64)
+    qn = float(np.sqrt((qv * qv).sum()))
+
+    @F.pandas_udf(T.DoubleType())
+    def score(vecs: pd.Series) -> pd.Series:
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if m.size == 0:
+            return pd.Series([], dtype=np.float64)
+        dots = m @ qv
+        norms = np.sqrt((m * m).sum(axis=1)) * qn
+        out = np.where(norms > 0, dots / np.where(norms == 0, 1.0, norms), 0.0)
+        return pd.Series(out)
+
+    return score
+
+
 def brute_force_topk(
     corpus: DataFrame,
     query: Sequence[float],
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kernel: str = "expr",
 ) -> DataFrame:
     """(id, score) of the k nearest corpus vectors to `query` by cosine.
     One narrow projection + TakeOrderedAndProject (limit k per partition,
-    merge on driver) — scales linearly in corpus size, constant memory."""
-    q = F.array(*[F.lit(float(x)) for x in query])
-    qc = F.col(vec_col).cast("array<double>")
-    score = cosine(qc, q)
+    merge on driver) — scales linearly in corpus size, constant memory.
+
+    kernel='expr' folds the dot product with zip_with/aggregate — pure SQL,
+    reproducible in the DuckDB oracle; 'pandas' runs one numpy matmul per
+    Arrow batch (the scale path for wide embeddings; scores differ from
+    'expr' only in the last ulp from summation order — identical top-k on
+    the test corpus)."""
+    if kernel == "pandas":
+        score = _cosine_pandas_udf(query)(F.col(vec_col).cast("array<double>"))
+    else:
+        q = F.array(*[F.lit(float(x)) for x in query])
+        score = cosine(F.col(vec_col).cast("array<double>"), q)
     return (
         corpus.select(F.col(id_col), F.round(score, 6).alias("score"))
         .orderBy(F.desc("score"), F.asc(id_col))

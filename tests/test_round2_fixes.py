@@ -437,3 +437,14 @@ def test_unevaluated_items_branch_union_column(spark):
     res = validate_dataframe(df, rules, key_cols=["id"], fallback="never")
     got = {r["id"]: r[VALID_COL] for r in res.annotated.collect()}
     assert got == {1: True, 2: False}
+
+
+def test_brute_force_topk_pandas_kernel(spark):
+    """numpy-matmul kernel returns the same top-k as the expression fold."""
+    from jsonschemaparse_spark.functions.similarity import brute_force_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    a = [r["vec_id"] for r in brute_force_topk(emb, q, k=10, kernel="expr").collect()]
+    b = [r["vec_id"] for r in brute_force_topk(emb, q, k=10, kernel="pandas").collect()]
+    assert a == b and a[0] == 0
