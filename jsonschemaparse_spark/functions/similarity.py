@@ -141,21 +141,31 @@ def lsh_topk(
     query: Sequence[float],
     k: int = 10,
     n_planes: int = 8,
+    n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    kernel: str = "expr",
 ) -> DataFrame:
-    """Approximate top-k: score only the query's LSH bucket. At scale the
-    bucketed corpus is written partitioned by bucket id -> partition pruning
-    turns the probe into a fraction-of-corpus scan."""
-    planes = _hyperplanes(len(query), n_planes, seed)
-    qbucket = 0
-    for b, plane in enumerate(planes):
-        if sum(float(x) * float(y) for x, y in zip(query, plane)) > 0:
-            qbucket |= 1 << b
-    bucketed = with_lsh_bucket(corpus, len(query), n_planes, vec_col, seed=seed)
+    """Approximate top-k: score only rows sharing the query's LSH bucket in
+    AT LEAST ONE of n_tables independent hyperplane tables (multi-probe —
+    recall 1-(1-p^b)^T, same structure as embedding_near_duplicates). With
+    n_tables=1 and the corpus written partitioned by bucket id, partition
+    pruning turns the probe into a fraction-of-corpus scan; multi-table
+    probes trade that for recall (the candidate filter is still a single
+    scan predicate, no shuffle)."""
+    dim = len(query)
+    cond = None
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 7919 * t)
+        qbucket = 0
+        for b, plane in enumerate(planes):
+            if sum(float(x) * float(y) for x, y in zip(query, plane)) > 0:
+                qbucket |= 1 << b
+        c = lsh_bucket(F.col(vec_col), planes) == qbucket
+        cond = c if cond is None else (cond | c)
     return brute_force_topk(
-        bucketed.filter(F.col("lsh_bucket") == qbucket), query, k, id_col, vec_col
+        corpus.filter(cond), query, k, id_col, vec_col, kernel=kernel
     )
 
 

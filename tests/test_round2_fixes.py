@@ -448,3 +448,18 @@ def test_brute_force_topk_pandas_kernel(spark):
     a = [r["vec_id"] for r in brute_force_topk(emb, q, k=10, kernel="expr").collect()]
     b = [r["vec_id"] for r in brute_force_topk(emb, q, k=10, kernel="pandas").collect()]
     assert a == b and a[0] == 0
+
+
+def test_lsh_topk_multi_probe_recall(spark):
+    """Multi-table probing recovers at least as much of the exact top-k as
+    a single table (recall 1-(1-p^b)^T)."""
+    from jsonschemaparse_spark.functions.similarity import brute_force_topk, lsh_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    exact = {r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()}
+    one = {r["vec_id"] for r in lsh_topk(emb, q, k=10, n_planes=2).collect()}
+    multi = {r["vec_id"] for r in lsh_topk(emb, q, k=10, n_planes=2, n_tables=4).collect()}
+    assert 0 in one and 0 in multi  # the query vector is its own bucket-mate
+    assert len(multi & exact) >= len(one & exact)
+    assert len(multi & exact) >= 5
