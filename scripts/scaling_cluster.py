@@ -29,10 +29,15 @@ sys.path.insert(0, {repo!r})
 n_exec = int(sys.argv[1]); path = sys.argv[2]
 spark = (SparkSession.builder.master(f"local-cluster[{{n_exec}},4,2500]")
     .config("spark.sql.shuffle.partitions", str(4 * n_exec))
-    .config("spark.sql.files.maxPartitionBytes", "32m")
+    .config("spark.sql.files.maxPartitionBytes", "16m")
     .config("spark.executor.memory", "2g")
     .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
     .config("spark.driver.memory", "4g")
+    # local-cluster executors register with distinct hosts; without this,
+    # the scheduler WAITS spark.locality.wait (3s default) per level before
+    # giving a task to a "remote" executor — at 8 executors that serializes
+    # into the anti-scaling r1 measured
+    .config("spark.locality.wait", "0s")
     .config("spark.ui.enabled", "false").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 import __spark_entry__ as entry

@@ -260,3 +260,75 @@ def test_loads_strict_never_hangs_or_segfaults(text):
         loads_strict(text)
     except (ValueError, RecursionError):
         pass
+
+
+# ---------------- round-2 differential: evaluated-set unions -----------------
+def _random_unevaluated_rules(rnd):
+    """Random anyOf/oneOf/allOf/if-then-else over struct fields plus
+    unevaluatedProperties, and tuple-items plus unevaluatedItems."""
+    branches = []
+    if rnd.random() < 0.85:
+        b = {"properties": {"a": {"type": "integer", "minimum": rnd.choice([0, 5])}}}
+        if rnd.random() < 0.6:
+            b["required"] = ["a"]
+        branches.append(b)
+    if rnd.random() < 0.85:
+        b = {"properties": {"s": {"type": "string", "minLength": rnd.randint(0, 2)}}}
+        if rnd.random() < 0.6:
+            b["required"] = ["s"]
+        branches.append(b)
+    o_rules = {}
+    comb = rnd.choice(["anyOf", "oneOf", "allOf", "ifthen", "none"])
+    if branches and comb in ("anyOf", "oneOf", "allOf"):
+        o_rules[comb] = branches
+    elif branches and comb == "ifthen":
+        o_rules["if"] = branches[0]
+        if len(branches) > 1:
+            o_rules["then"] = branches[1]
+        if rnd.random() < 0.5:
+            o_rules["else"] = {"properties": {"a": {"maximum": 50}}}
+    if rnd.random() < 0.5:
+        o_rules["properties"] = {"a": {"maximum": 100}}
+    o_rules["unevaluatedProperties"] = rnd.choice(
+        [False, {"maxLength": 1}, {"type": "integer"}]
+    )
+    xs_rules = {
+        "items": [{"minimum": 0}],
+        "unevaluatedItems": rnd.choice([False, {"maximum": 5}]),
+    }
+    if rnd.random() < 0.4:
+        xs_rules["anyOf"] = [{"items": {"maximum": rnd.choice([5, 9])}}]
+    return {"type": "object", "properties": {"o": o_rules, "xs": xs_rules}}
+
+
+@pytest.mark.parametrize("trial", range(10))
+def test_unevaluated_differential(spark, trial):
+    rnd = random.Random(SEED * 13 + trial)
+    rules = _random_unevaluated_rules(rnd)
+    rows = [_random_nested_row(rnd) for _ in range(50)]
+    df = spark.createDataFrame(rows, NESTED_SCHEMA).withColumn(
+        "row_id", F.monotonically_increasing_id()
+    )
+    res = validate_dataframe(df, rules, key_cols=["row_id"], fallback="never")
+    for r in res.annotated.collect():
+        obj = _row_to_obj(r)
+        want, errs = validate_instance(rules, obj, extensions=True)
+        assert r[VALID_COL] == want, (
+            f"trial={trial} rules={json.dumps(rules)} row={obj} "
+            f"spark={r[VALID_COL]} python={want} errs={[e.message for e in errs]}"
+        )
+
+
+# ---------------- incremental parser vs one-shot (hypothesis) ---------------
+@given(json_values, st.integers(1, 7))
+@settings(max_examples=150, deadline=None)
+def test_incremental_matches_oneshot(value, chunk):
+    from jsonschemaparse_spark.schema.incremental import IncrementalJSONParser
+    from jsonschemaparse_spark.schema.strict_json import loads_strict
+
+    text = json.dumps(value)
+    p = IncrementalJSONParser()
+    data = text.encode("utf-8")
+    for i in range(0, len(data), chunk):
+        p.write(data[i:i + chunk])
+    assert p.end() == loads_strict(text)
