@@ -66,13 +66,14 @@ def referential_violations(
     parent: DataFrame,
     parent_key: str,
     broadcast_parent: Optional[bool] = None,
-    broadcast_threshold_rows: int = 10_000_000,
 ) -> DataFrame:
     """Child rows whose key has no parent (left_anti join).
 
-    broadcast_parent=None auto-decides: dimension-sized parents are
-    broadcast (no shuffle of the 100-TB child side at all); large parents
-    fall back to sort-merge where AQE handles skew splitting.
+    broadcast_parent=None (default) defers the strategy to AQE /
+    spark.sql.autoBroadcastJoinThreshold at runtime — no extra driver-side
+    job; True forces a broadcast hint for known dimension-sized parents
+    (no shuffle of the 100-TB child side at all); False forces the
+    sort-merge path where AQE handles skew splitting.
     """
     parent_keys = parent.select(F.col(parent_key).alias(child_key)).dropDuplicates([child_key])
     if broadcast_parent is None:

@@ -51,15 +51,25 @@ def _cosine_pandas_udf(query: Sequence[float]):
     qv = np.asarray(list(query), dtype=np.float64)
     qn = float(np.sqrt((qv * qv).sum()))
 
+    dim = len(qv)
+
     @F.pandas_udf(T.DoubleType())
     def score(vecs: pd.Series) -> pd.Series:
-        m = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
-        if m.size == 0:
-            return pd.Series([], dtype=np.float64)
-        dots = m @ qv
-        norms = np.sqrt((m * m).sum(axis=1)) * qn
-        out = np.where(norms > 0, dots / np.where(norms == 0, 1.0, norms), 0.0)
-        return pd.Series(out)
+        n = len(vecs)
+        if n == 0:
+            return pd.Series([], dtype="Float64")
+        # NULL / wrong-dim vectors score NULL (sorts last under DESC, same
+        # as the expression kernel) instead of crashing the Arrow batch
+        ok = np.fromiter(
+            (v is not None and len(v) == dim for v in vecs), dtype=bool, count=n
+        )
+        out = np.full(n, np.nan)
+        if ok.any():
+            m = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs[ok]])
+            dots = m @ qv
+            norms = np.sqrt((m * m).sum(axis=1)) * qn
+            out[ok] = np.where(norms > 0, dots / np.where(norms == 0, 1.0, norms), 0.0)
+        return pd.Series(pd.array(out, dtype="Float64")).mask(~ok, None)
 
     return score
 

@@ -71,15 +71,19 @@ def run_with_checkpoint(
 
     if todo:
         fresh_df = spark.read.parquet(*todo)
-        # Validate WITHOUT any helper column: an extra column would become a
-        # property of the row object and trip additionalProperties /
-        # unevaluatedProperties / maxProperties at the root. input_file_name()
-        # still resolves on res.annotated (a projection of the same scan), so
-        # the per-file metrics attach it afterwards.
-        res = validate_dataframe(fresh_df, rules, key_cols=key_cols)
+        # Capture the file AT SCAN TIME: input_file_name() evaluated above a
+        # later exchange (the Arrow fallback path repartitions) returns ''.
+        # The _jsp_ prefix keeps the helper column OUT of the validated row
+        # object (validate_dataframe excludes internal columns), and passing
+        # it as a KEY column threads it through every engine path (Column,
+        # per-column fallback, whole-row Arrow) to the annotated output.
+        keys = list(key_cols) if key_cols else [fresh_df.columns[0]]
+        res = validate_dataframe(
+            fresh_df.withColumn(_FILE_COL, F.input_file_name()),
+            rules, key_cols=keys + [_FILE_COL],
+        )
         fresh_metrics = (
-            res.annotated.withColumn(_FILE_COL, F.input_file_name())
-            .groupBy(F.col(_FILE_COL).alias("file"))
+            res.annotated.groupBy(F.col(_FILE_COL).alias("file"))
             .agg(
                 F.count(F.lit(1)).alias("n_rows"),
                 F.sum(F.when(F.col(VALID_COL), 0).otherwise(1)).alias("n_failed_rows"),
@@ -89,7 +93,7 @@ def run_with_checkpoint(
             .withColumn("snapshot_id", F.lit(snapshot_id))
         )
         fresh_metrics.write.mode("append").parquet(metrics_path)
-        violations = res.violations()
+        violations = res.violations().drop(_FILE_COL)
         violations.write.mode("append").parquet(_violations_path(state_dir))
     else:
         # Nothing fresh: return an EMPTY frame with the real violations

@@ -59,6 +59,7 @@ def _is_unconstrained(cs: CompiledSchema) -> bool:
     engine paths are vacuous regardless of how the value parses."""
     return (
         len(cs.allowed_types) == 6
+        and cs.allow_fraction  # ['integer', ...five others] is NOT vacuous
         and not cs.properties and not cs.pattern_properties
         and cs.additional_properties is None and cs.unevaluated_properties is None
         and cs.unevaluated_items is None
@@ -125,6 +126,12 @@ def _typed_route_schema(cs: CompiledSchema, depth: int = 0):
         return None
     t = allowed[0]
     if t == "object":
+        if depth > 0:
+            # nested objects would need recursive explicit-null detection
+            # (JSON null vs absent is invisible post-from_json) — route only
+            # flat top-level-property schemas; the hybrid adds a
+            # json_object_keys null-flag per constrained TOP-LEVEL field
+            return None
         if not cs.properties:
             return None
         if cs.required is not None and not set(cs.required) <= set(cs.properties):
@@ -146,7 +153,11 @@ def _typed_route_schema(cs: CompiledSchema, depth: int = 0):
                 return None
             return T.ArrayType(T.StringType(), True)
         et = _typed_route_schema(cs.items_all, depth + 1)
-        return T.ArrayType(et, True) if et is not None else None
+        if et is None or isinstance(et, T.ArrayType):
+            return None  # no nested arrays (element null detection is 1-level)
+        if isinstance(et, T.StringType) and (cs.contains is not None or cs.unique_items):
+            return None  # value-based checks on raw-text elements are unsafe
+        return T.ArrayType(et, True)
     if t == "number":
         return T.DoubleType()
     if t == "boolean":
@@ -362,9 +373,28 @@ def validate_json_hybrid(
     )
     compiler = ColumnCompiler(extensions=extensions)
     valid, cviols = compiler.compile_value(cs, parsed, route_schema, F.lit(""))
-    needs_py = F.col(json_col).isNotNull() & (
-        parsed.isNull() | parsed.getField("_jsp_corrupt").isNotNull()
-    )
+    flagged = parsed.isNull() | parsed.getField("_jsp_corrupt").isNotNull()
+    # EXPLICIT JSON null is invisible post-from_json (null field == absent
+    # field), but the evaluator rejects null where a type is constrained —
+    # flag those rows for Python re-evaluation. json_object_keys
+    # distinguishes present-with-null from absent; null ARRAY ELEMENTS show
+    # directly as null entries in the typed array.
+    keys_arr = F.json_object_keys(F.col(json_col))
+    for fld in route_schema.fields:
+        sub = cs.properties.get(fld.name)
+        if sub is None or _is_unconstrained(sub):
+            continue
+        fcol = parsed.getField(fld.name)
+        flagged = flagged | F.coalesce(
+            F.array_contains(keys_arr, fld.name) & fcol.isNull(), F.lit(False)
+        )
+        if isinstance(fld.dataType, T.ArrayType) and not isinstance(
+            fld.dataType.elementType, T.StringType
+        ):
+            flagged = flagged | F.coalesce(
+                F.exists(fcol, lambda x: x.isNull()), F.lit(False)
+            )
+    needs_py = F.col(json_col).isNotNull() & flagged
     narrowed = _ensure_parallelism(df.select(*key_cols, json_col))
     udf = _flagged_docs_udf(cs, extensions)
     base = narrowed.select(
@@ -515,7 +545,9 @@ def validate_json_rows(
     if key_cols is None:
         key_cols = [df.columns[0]]
     key_cols = list(key_cols)
+    # internal helper columns are not properties of the row object
+    data_cols = [c for c in df.columns if not c.startswith("_jsp_")]
     with_doc = df.select(
-        *key_cols, F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("_jsp_doc")
+        *key_cols, F.to_json(F.struct(*[F.col(c) for c in data_cols])).alias("_jsp_doc")
     )
     return validate_json_column(with_doc, "_jsp_doc", rules, key_cols=key_cols, extensions=extensions)

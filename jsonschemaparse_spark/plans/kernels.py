@@ -193,6 +193,20 @@ class ColumnCompiler:
         )
         return rule_id
 
+    def valid_only(self, cs: CompiledSchema, col: Column, dtype: T.DataType,
+                   path, depth: int) -> Column:
+        """Compile a subschema for its PASS/FAIL column only. The violation
+        pieces are discarded, so their rule registrations go to a scratch
+        table instead of permanently inflating the broadcast rule table
+        (speculative branch evaluation: anyOf/oneOf/not/enum members and
+        evaluated-set gating all need only the boolean)."""
+        saved = self.rule_table
+        self.rule_table = []
+        try:
+            return self.compile_value(cs, col, dtype, path, depth)[0]
+        finally:
+            self.rule_table = saved
+
     def emit(self, rule_id: int, cond_bad: Column, path: Column, actual: Column) -> Column:
         """Compact violation piece: 3 small fields, static metadata by id."""
         v = F.struct(
@@ -310,7 +324,7 @@ class ColumnCompiler:
 
         if getattr(cs, "has_any_of", bool(cs.any_of)):
             branch_valids = [
-                self.compile_value(s, col, dtype, path, depth + 1)[0] for s in cs.any_of
+                self.valid_only(s, col, dtype, path, depth + 1) for s in cs.any_of
             ] or [F.lit(False)]  # empty anyOf is unsatisfiable (schema.js:1387-1393)
             any_ok = branch_valids[0]
             for b in branch_valids[1:]:
@@ -320,7 +334,7 @@ class ColumnCompiler:
 
         if getattr(cs, "has_one_of", bool(cs.one_of)):
             branch_valids = [
-                self.compile_value(s, col, dtype, path, depth + 1)[0] for s in cs.one_of
+                self.valid_only(s, col, dtype, path, depth + 1) for s in cs.one_of
             ] or [F.lit(False)]  # empty oneOf: 0 valid branches != 1
             count = branch_valids[0].cast("int")
             for b in branch_valids[1:]:
@@ -329,7 +343,7 @@ class ColumnCompiler:
                  'Expected "oneOf" to have exactly one matching schema')
 
         if cs.not_ is not None:
-            nv, _ = self.compile_value(cs.not_, col, dtype, path, depth + 1)
+            nv = self.valid_only(cs.not_, col, dtype, path, depth + 1)
             leaf(nv, "not", None, F.lit(None), 'Expected "not" to fail')
 
         if cs.if_ is not None and (cs.then_ is not None or cs.else_ is not None):
@@ -354,7 +368,7 @@ class ColumnCompiler:
         # (EndObject/EndArray testEnum, schema.js:813-820, 851-858)
         if jtype in ("object", "array") and cs.enum_schemas:
             member_valids = [
-                self.compile_value(s, col, dtype, path, depth + 1)[0]
+                self.valid_only(s, col, dtype, path, depth + 1)
                 for s in cs.enum_schemas
             ]
             any_member = member_valids[0]
@@ -534,8 +548,8 @@ class ColumnCompiler:
 
         if self.extensions and cs.contains is not None:
             sub = cs.contains
-            hits = F.size(F.filter(col, lambda x: self.compile_value(
-                sub, x, elem_type, path, depth + 1)[0]))
+            hits = F.size(F.filter(col, lambda x: self.valid_only(
+                sub, x, elem_type, path, depth + 1)))
             lo = int(cs.min_contains) if cs.min_contains is not None else 1
             leaf(hits < F.lit(lo), "contains", lo, hits,
                  'Expected "contains" to match at least one item')
@@ -596,14 +610,17 @@ class ColumnCompiler:
             p = F.greatest(p, sp)
         cond: list[tuple[Column, CompiledSchema]] = []
         for s in list(cs.any_of) + list(cs.one_of):
-            cond.append((self.compile_value(s, col, dtype, path, depth + 1)[0], s))
+            cond.append((self.valid_only(s, col, dtype, path, depth + 1), s))
         if cs.if_ is not None:
-            iv = self.compile_value(cs.if_, col, dtype, path, depth + 1)[0]
+            iv = self.valid_only(cs.if_, col, dtype, path, depth + 1)
             cond.append((iv, cs.if_))
             if cs.then_ is not None:
-                cond.append((iv, cs.then_))
+                # then/else donate only when they VALIDATE the value
+                tv = self.valid_only(cs.then_, col, dtype, path, depth + 1)
+                cond.append((iv & tv, cs.then_))
             if cs.else_ is not None:
-                cond.append((~iv, cs.else_))
+                ev = self.valid_only(cs.else_, col, dtype, path, depth + 1)
+                cond.append(((~iv) & ev, cs.else_))
         big = F.lit(2_147_483_647)
         for ok, s in cond:
             sp = self._items_prefix_col(s, col, dtype, path, depth + 1)
@@ -628,9 +645,21 @@ class ColumnCompiler:
             subs.append(cs.resolve_ref())
         return any(self._statically_evaluated(s, name, depth + 1) for s in subs)
 
+    def _branch_valid(self, s: CompiledSchema, col: Column, dtype: T.DataType,
+                      path, depth: int, cache: dict) -> Column:
+        """Validity column of an in-place applicator branch, memoized per
+        (branch, value) so per-key evaluated-set gating does not recompile
+        the same branch for every unevaluated struct key (O(K*B) codegen
+        blowup otherwise); compiled valid-only so no orphan rules land in
+        the broadcast rule table."""
+        key = id(s)
+        if key not in cache:
+            cache[key] = self.valid_only(s, col, dtype, path, depth)
+        return cache[key]
+
     def _conditionally_evaluated(
         self, cs: CompiledSchema, nm: str, col: Column, dtype: T.DataType,
-        path, depth: int,
+        path, depth: int, cache: Optional[dict] = None,
     ) -> Optional[Column]:
         """Boolean Column: TRUE when a PASSING conditional in-place applicator
         branch (anyOf/oneOf/if-then-else) evaluates key `nm` — the dynamic
@@ -640,25 +669,33 @@ class ColumnCompiler:
         ever cover `nm`, keeping the common-case plan free of re-evaluation."""
         if depth > _MAX_DEPTH:
             return None
+        if cache is None:
+            cache = {}
         conds: list[Column] = []
         for s in list(cs.any_of) + list(cs.one_of):
             if self._statically_evaluated(s, nm, depth + 1):
-                conds.append(self.compile_value(s, col, dtype, path, depth + 1)[0])
+                conds.append(self._branch_valid(s, col, dtype, path, depth + 1, cache))
         if cs.if_ is not None:
             if_cov = self._statically_evaluated(cs.if_, nm, depth + 1)
             then_cov = cs.then_ is not None and self._statically_evaluated(cs.then_, nm, depth + 1)
             else_cov = cs.else_ is not None and self._statically_evaluated(cs.else_, nm, depth + 1)
             if if_cov or then_cov or else_cov:
-                iv = self.compile_value(cs.if_, col, dtype, path, depth + 1)[0]
-                if if_cov or then_cov:
+                iv = self._branch_valid(cs.if_, col, dtype, path, depth + 1, cache)
+                if if_cov:
                     conds.append(iv)
+                if then_cov:
+                    # then donates only when it VALIDATES the value itself
+                    # (schema.js finish: zero-error subvalidators donate)
+                    tv = self._branch_valid(cs.then_, col, dtype, path, depth + 1, cache)
+                    conds.append(iv & tv)
                 if else_cov:
-                    conds.append(~iv)
+                    ev = self._branch_valid(cs.else_, col, dtype, path, depth + 1, cache)
+                    conds.append((~iv) & ev)
         subs = list(cs.all_of)
         if cs.ref is not None:
             subs.append(cs.resolve_ref())
         for s in subs:
-            c = self._conditionally_evaluated(s, nm, col, dtype, path, depth + 1)
+            c = self._conditionally_evaluated(s, nm, col, dtype, path, depth + 1, cache)
             if c is not None:
                 conds.append(c)
         if not conds:
@@ -725,6 +762,7 @@ class ColumnCompiler:
                     valids.append(F.when(present_k, dv).otherwise(F.lit(True)))
                     pieces.append(F.when(present_k, dp).otherwise(empty_violations()))
             # route fields (projection analog of initProperty, schema.js:1195-1224)
+            _cond_cache: dict = {}  # branch validity shared across fields
             for nm in names:
                 fpath = F.concat(path.cast("string"), F.lit("/" + nm))
                 routed_subs = []
@@ -747,7 +785,8 @@ class ColumnCompiler:
                     uv, up = self.compile_value(
                         cs.unevaluated_properties, col.getField(nm),
                         types[nm], fpath, depth + 1)
-                    dyn = self._conditionally_evaluated(cs, nm, col, dtype, path, depth)
+                    dyn = self._conditionally_evaluated(
+                        cs, nm, col, dtype, path, depth, _cond_cache)
                     if dyn is not None:
                         uv = F.when(dyn, F.lit(True)).otherwise(uv)
                         up = F.when(dyn, empty_violations()).otherwise(up)

@@ -21,6 +21,7 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..schema.compiler import CompiledSchema, compile_rules
 from .kernels import (
@@ -245,14 +246,19 @@ def validate_dataframe(
         key_cols = [df.columns[0]]
     key_cols = list(key_cols)
 
-    row_struct = F.struct(*[F.col(c) for c in df.columns])
+    # internal helper columns (e.g. checkpoint's _jsp_file) are NOT
+    # properties of the row object — they'd trip additionalProperties/
+    # unevaluatedProperties/maxProperties on the root schema
+    data_cols = [c for c in df.columns if not c.startswith("_jsp_")]
+    data_schema = T.StructType([df.schema[c] for c in data_cols])
+    row_struct = F.struct(*[F.col(c) for c in data_cols])
     compiler = ColumnCompiler(
         extensions=extensions, collect_field_fallbacks=(fallback != "never")
     )
     try:
         from .kernels import COMPACT_ARRAY
 
-        valid, viols = compiler.compile_value(cs, row_struct, df.schema, F.lit(""))
+        valid, viols = compiler.compile_value(cs, row_struct, data_schema, F.lit(""))
         viols = F.coalesce(viols, F.array().cast(COMPACT_ARRAY))
         cols = {VALID_COL: F.coalesce(valid, F.lit(True))}
         if max_violations_per_row is not None:

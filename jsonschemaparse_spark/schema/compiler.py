@@ -501,6 +501,30 @@ def _compile_regex(pattern: str):
         return "\\U%08x" % int(m.group(1), 16)
 
     translated = re.sub(r"\\u\{([0-9a-fA-F]+)\}", _u_brace, translated)
+    # ECMAScript '$' (no m-flag) matches ONLY at end of string; Python's '$'
+    # also matches before a final newline. Rewrite unescaped '$' outside
+    # character classes to '\Z' (Python's end-of-string-only anchor) — the
+    # same parity fix the JVM path applies via rlike_pattern ('$' -> '\z').
+    out: list[str] = []
+    in_class = esc = False
+    for ch in translated:
+        if esc:
+            out.append(ch)
+            esc = False
+        elif ch == "\\":
+            out.append(ch)
+            esc = True
+        elif in_class:
+            out.append(ch)
+            in_class = ch != "]"
+        elif ch == "[":
+            out.append(ch)
+            in_class = True
+        elif ch == "$":
+            out.append("\\Z")
+        else:
+            out.append(ch)
+    translated = "".join(out)
     # ECMAScript allows unescaped '/' and some constructs map 1:1.
     try:
         return re.compile(translated)

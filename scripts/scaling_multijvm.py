@@ -96,19 +96,27 @@ def _run_level(shards: list[str], pin: bool) -> dict:
     with tempfile.TemporaryDirectory() as bdir:
         procs = [_launch(i, shards[i], bdir, pin) for i in range(k)]
         deadline = time.time() + 900
-        while time.time() < deadline:
+        while True:
             ready = [f for f in os.listdir(bdir) if f.startswith("ready_")]
             if len(ready) == k:
                 break
             if any(p.poll() is not None for p in procs):
                 raise RuntimeError("a child JVM died before the barrier")
+            if time.time() >= deadline:
+                # a silent GO here would let fast children run outside the
+                # laggard's window and fake the overlap the protocol needs
+                for p in procs:
+                    p.kill()
+                raise RuntimeError(f"barrier timeout: {len(ready)}/{k} ready")
             time.sleep(0.1)
         open(os.path.join(bdir, "go"), "w").close()
         outs = []
         for p in procs:
             out, _ = p.communicate(timeout=900)
-            line = [l for l in out.splitlines() if l.startswith("{")][-1]
-            outs.append(json.loads(line))
+            lines = [l for l in out.splitlines() if l.startswith("{")]
+            if not lines:
+                raise RuntimeError(f"child produced no result (pid {p.pid})")
+            outs.append(json.loads(lines[-1]))
     n_total = sum(o["n_rows"] for o in outs)
     wall = max(o["wall_sec"] for o in outs)
     return {

@@ -463,3 +463,120 @@ def test_lsh_topk_multi_probe_recall(spark):
     assert 0 in one and 0 in multi  # the query vector is its own bucket-mate
     assert len(multi & exact) >= len(one & exact)
     assert len(multi & exact) >= 5
+
+
+# ---------------------------------------------------------------------------
+# review findings (round-2 self-review)
+# ---------------------------------------------------------------------------
+def test_hybrid_explicit_null_matches_arrow(spark):
+    """JSON null is NOT an absent property: the routed path must agree with
+    the evaluator on explicit-null fields (review finding #1)."""
+    from jsonschemaparse_spark.plans import validate_json_column
+
+    rules = {"type": "object",
+             "properties": {"k": {"type": "integer", "minimum": 0},
+                            "a": {"type": "array", "items": {"type": "integer"}}}}
+    df = spark.createDataFrame(
+        [(1, '{"k": 1}'), (2, '{"k": null}'), (3, '{}'),
+         (4, '{"a": [1, null]}'), (5, '{"a": null}')],
+        ["id", "props"],
+    )
+    def verdicts(engine):
+        res = validate_json_column(df, "props", rules, key_cols=["id"], engine=engine)
+        return {r["id"]: r["_jsp_valid"] for r in res.annotated.collect()}
+    arrow = verdicts("arrow")
+    auto = verdicts("auto")
+    assert arrow == auto == {1: True, 2: False, 3: True, 4: False, 5: False}
+
+
+def test_route_gate_rejects_unsafe_shapes():
+    from pyspark.sql import types as T
+    from jsonschemaparse_spark.plans.json_validator import _typed_route_schema
+
+    # integer hidden in a 6-type list is NOT unconstrained (finding #5)
+    six = {"type": "object", "properties": {
+        "a": {"type": ["integer", "string", "boolean", "null", "object", "array"]}}}
+    assert _typed_route_schema(compile_rules(six)) is None
+    # uniqueItems/contains over unconstrained (raw-text) items (finding #2)
+    uniq = {"type": "object", "properties": {
+        "a": {"type": "array", "items": {}, "uniqueItems": True}}}
+    assert _typed_route_schema(compile_rules(uniq)) is None
+    # nested objects need recursive null detection -> not routed (finding #1)
+    nested = {"type": "object", "properties": {
+        "o": {"type": "object", "properties": {"k": {"type": "integer"}}}}}
+    assert _typed_route_schema(compile_rules(nested)) is None
+    # flat numeric shape still routes
+    ok = {"type": "object", "properties": {"k": {"type": "integer"}}}
+    assert isinstance(_typed_route_schema(compile_rules(ok)), T.StructType)
+
+
+def test_evaluator_dollar_anchor_parity():
+    """'$' must mean end-of-string on the PYTHON path too (finding #3)."""
+    errs_nl = _eval_errors({"type": "string", "pattern": "a$"}, "a\n")
+    errs_ok = _eval_errors({"type": "string", "pattern": "a$"}, "a")
+    assert errs_nl and not errs_ok
+
+
+def test_then_branch_donates_only_when_passing(spark):
+    """if passes but then FAILS -> then's keys stay unevaluated on the
+    Column path, matching the evaluator (finding #6)."""
+    rules = {
+        "properties": {
+            "o": {
+                "if": {"properties": {"a": {"type": "integer"}}, "required": ["a"]},
+                "then": {"properties": {"b": {"type": "string", "minLength": 5}},
+                         "required": ["b"]},
+                "properties": {"a": {}},
+                "unevaluatedProperties": False,
+            }
+        }
+    }
+    df = spark.createDataFrame(
+        [(1, {"a": 1, "b": "long-enough"}),  # then passes -> b evaluated
+         (2, {"a": 1, "b": "x"})],           # then FAILS -> b unevaluated too
+        "id int, o struct<a:int, b:string>",
+    )
+    res = validate_dataframe(df, rules, key_cols=["id"], fallback="never")
+    got = {r["id"]: r[VALID_COL] for r in res.annotated.collect()}
+    assert got == {1: True, 2: False}
+    # evaluator agrees
+    from jsonschemaparse_spark import validate_instance
+    ok1, _ = validate_instance(rules["properties"]["o"], {"a": 1, "b": "long-enough"}, extensions=True)
+    ok2, e2 = validate_instance(rules["properties"]["o"], {"a": 1, "b": "x"}, extensions=True)
+    assert ok1 and not ok2
+    # and BOTH the then failure and the unevaluated violation are reported
+    kws = {e.keyword for e in e2}
+    assert "minLength" in kws
+
+
+def test_checkpoint_survives_arrow_fallback(spark, tmp_path):
+    """Rules that force the whole-row Arrow fallback must still checkpoint
+    per REAL file (finding #4: input_file_name above an exchange is '')."""
+    from jsonschemaparse_spark.plans.checkpoint import run_with_checkpoint
+
+    inp = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(f"u{i}", "look" * (i % 3)) for i in range(20)], "url string, text string"
+    ).repartition(3).write.parquet(inp)
+    # ECMAScript-only regex at the ROOT patternProperties -> whole-row fallback
+    rules = {"patternProperties": {"\\p{L}+": {}},
+             "properties": {"text": {"type": "string"}}}
+    state = str(tmp_path / "state")
+    run1 = run_with_checkpoint(spark, inp, rules, state, key_cols=["url"])
+    files = {r["file"] for r in run1.verdicts.collect()}
+    assert run1.n_files_skipped == 0 and "" not in files and len(files) >= 3
+    run2 = run_with_checkpoint(spark, inp, rules, state, key_cols=["url"])
+    assert run2.n_files_skipped == run2.n_files_total
+
+
+def test_pandas_cosine_null_and_ragged_vectors(spark):
+    from jsonschemaparse_spark.functions.similarity import brute_force_topk
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [1.0, 0.0, 5.0]), (4, [0.5, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    top = brute_force_topk(df, [1.0, 0.0], k=4, kernel="pandas").collect()
+    scores = {r["vec_id"]: r["score"] for r in top}
+    assert scores[1] == 1.0 and scores[4] == 1.0
+    assert scores[2] is None and scores[3] is None  # null/ragged -> NULL score
