@@ -367,37 +367,65 @@ def validate_json_hybrid(
     parse_schema = T.StructType(
         list(route_schema.fields) + [T.StructField("_jsp_corrupt", T.StringType(), True)]
     )
-    parsed = F.from_json(
+    parse_expr = F.from_json(
         F.col(json_col), parse_schema,
         {"columnNameOfCorruptRecord": "_jsp_corrupt"},
     )
+    # Materialize the parse ONCE per row behind a Generate barrier:
+    # JsonToStructs is CodegenFallback and common-subexpression elimination
+    # does not reliably dedupe it, so the dozens of field references below
+    # would each RE-PARSE the document (measured 4-7x slowdown on a
+    # 30-field schema). CollapseProject cannot cross Generate, and
+    # explode(array(e)) is a 1:1 row mapping.
+    narrowed = _ensure_parallelism(df.select(*key_cols, json_col))
+    mat = narrowed.select(
+        *key_cols,
+        F.col(json_col),
+        # json_object_keys rides in the same single-eval struct
+        F.explode(F.array(F.struct(
+            parse_expr.alias("p"),
+            F.json_object_keys(F.col(json_col)).alias("keys"),
+        ))).alias("_jsp_mat"),
+    )
+    parsed = F.col("_jsp_mat").getField("p")
     compiler = ColumnCompiler(extensions=extensions)
     valid, cviols = compiler.compile_value(cs, parsed, route_schema, F.lit(""))
     flagged = parsed.isNull() | parsed.getField("_jsp_corrupt").isNotNull()
     # EXPLICIT JSON null is invisible post-from_json (null field == absent
     # field), but the evaluator rejects null where a type is constrained —
     # flag those rows for Python re-evaluation. json_object_keys
-    # distinguishes present-with-null from absent; null ARRAY ELEMENTS show
-    # directly as null entries in the typed array.
-    keys_arr = F.json_object_keys(F.col(json_col))
+    # distinguishes present-with-null from absent: some constrained field
+    # is explicit-null exactly when MORE constrained keys are present in
+    # the doc than are non-null in the parsed struct (one array_intersect,
+    # O(fields) per row — per-field array_contains was O(fields^2) string
+    # scans and dominated wide schemas). Null ARRAY ELEMENTS show directly
+    # as null entries in the typed array.
+    keys_arr = F.col("_jsp_mat").getField("keys")
+    constrained = []
     for fld in route_schema.fields:
         sub = cs.properties.get(fld.name)
         if sub is None or _is_unconstrained(sub):
             continue
-        fcol = parsed.getField(fld.name)
-        flagged = flagged | F.coalesce(
-            F.array_contains(keys_arr, fld.name) & fcol.isNull(), F.lit(False)
-        )
+        constrained.append(fld.name)
         if isinstance(fld.dataType, T.ArrayType) and not isinstance(
             fld.dataType.elementType, T.StringType
         ):
             flagged = flagged | F.coalesce(
-                F.exists(fcol, lambda x: x.isNull()), F.lit(False)
+                F.exists(parsed.getField(fld.name), lambda x: x.isNull()),
+                F.lit(False),
             )
+    if constrained:
+        present = F.size(
+            F.array_intersect(keys_arr, F.array(*[F.lit(n) for n in constrained]))
+        )
+        nonnull = None
+        for n in constrained:
+            term = F.when(parsed.getField(n).isNotNull(), 1).otherwise(0)
+            nonnull = term if nonnull is None else (nonnull + term)
+        flagged = flagged | F.coalesce(present > nonnull, F.lit(False))
     needs_py = F.col(json_col).isNotNull() & flagged
-    narrowed = _ensure_parallelism(df.select(*key_cols, json_col))
     udf = _flagged_docs_udf(cs, extensions)
-    base = narrowed.select(
+    base = mat.select(
         *key_cols,
         F.when(needs_py, F.lit(True)).otherwise(F.lit(False)).alias("_jsp_needs_py"),
         F.when(needs_py, F.array().cast(COMPACT_ARRAY))
@@ -502,10 +530,17 @@ def validate_json_typed(
     parse_schema = T.StructType(
         list(spark_schema.fields) + [T.StructField("_jsp_corrupt", T.StringType(), True)]
     )
-    parsed = F.from_json(
+    parse_expr = F.from_json(
         F.col(json_col), parse_schema,
         {"columnNameOfCorruptRecord": "_jsp_corrupt"},
     )
+    # single-eval barrier: JsonToStructs is CodegenFallback and CSE does not
+    # reliably dedupe it across the per-field references (see
+    # validate_json_hybrid); Generate materializes the parse once per row
+    mat = df.select(
+        *df.columns, F.explode(F.array(parse_expr)).alias("_jsp_parsed")
+    )
+    parsed = F.col("_jsp_parsed")
     compiler = ColumnCompiler(extensions=extensions)
     # compile against the ORIGINAL schema: _jsp_corrupt is not a property
     valid, viols = compiler.compile_value(cs, parsed, spark_schema, F.lit(""))
@@ -520,7 +555,7 @@ def validate_json_typed(
         F.lit("").alias("path"),
         F.col(json_col).cast("string").alias("actual"),
     )
-    annotated = df.select(
+    annotated = mat.select(
         *key_cols,
         F.when(syntax_bad, F.lit(False)).otherwise(F.coalesce(valid, F.lit(True))).alias(VALID_COL),
         F.when(syntax_bad, F.array(syntax_piece))

@@ -94,6 +94,16 @@ def _concat(pieces: list[Column]) -> Column:
     return F.concat(*pieces)
 
 
+def _gather(spieces: list[Column], apieces: list[Column]) -> Column:
+    """Combine leaf struct-or-null pieces (one array_compact) with
+    composite array pieces (concat). Order = emission order."""
+    arrays: list[Column] = []
+    if spieces:
+        arrays.append(F.array_compact(F.array(*spieces)))
+    arrays.extend(apieces)
+    return _concat(arrays)
+
+
 def spark_json_type(dtype: T.DataType) -> Optional[str]:
     """Map a Spark column type onto the six JSON types (SURVEY.md §1.2)."""
     if isinstance(dtype, T.StringType):
@@ -208,13 +218,16 @@ class ColumnCompiler:
             self.rule_table = saved
 
     def emit(self, rule_id: int, cond_bad: Column, path: Column, actual: Column) -> Column:
-        """Compact violation piece: 3 small fields, static metadata by id."""
+        """Compact violation piece as STRUCT-OR-NULL: leaf pieces collect
+        into ONE array_compact(array(...)) per schema node instead of a
+        concat of N single-element arrays — fewer allocations, smaller
+        codegen (same array contents, same order)."""
         v = F.struct(
             F.lit(rule_id).alias("rule_id"),
             path.cast("string").alias("path"),
             actual.cast("string").alias("actual"),
         )
-        return F.when(cond_bad, F.array(v)).otherwise(empty_violations())
+        return F.when(cond_bad, v)
 
     # ------------------------------------------------------------------
     def compile_value(
@@ -250,13 +263,14 @@ class ColumnCompiler:
         depth: int,
     ) -> Tuple[Column, Column]:
         jtype = spark_json_type(dtype)
-        pieces: list[Column] = []
+        pieces: list[Column] = []   # composite ARRAY pieces (subtrees)
+        spieces: list[Column] = []  # leaf struct-or-null pieces
         valids: list[Column] = []
         sid = cs.id
 
         def leaf(cond_bad: Column, keyword: str, expected, actual: Column, message: str) -> None:
             rid = self.register_rule(sid, keyword, expected, message)
-            pieces.append(self.emit(rid, cond_bad, path, actual))
+            spieces.append(self.emit(rid, cond_bad, path, actual))
             valids.append(~cond_bad)
 
         # ---- type / const-type start checks --------------------------------
@@ -381,7 +395,7 @@ class ColumnCompiler:
             leaf(F.lit(True), "enum", getattr(cs, "enum_values", None), F.lit(jtype),
                  'Expected "enum" to have one matching value')
 
-        viols = _concat(pieces)
+        viols = _gather(spieces, pieces)
         valid = valids[0] if valids else F.lit(True)
         for v in valids[1:]:
             valid = valid & v
@@ -490,12 +504,13 @@ class ColumnCompiler:
     # ------------------------------------------------------------------
     def _array_kernels(self, cs, col: Column, dtype: T.ArrayType, path, depth):
         pieces: list[Column] = []
+        spieces: list[Column] = []
         valids: list[Column] = []
         sid = cs.id
 
         def leaf(cond_bad, keyword, expected, actual, message):
             rid = self.register_rule(sid, keyword, expected, message)
-            pieces.append(self.emit(rid, cond_bad, path, actual))
+            spieces.append(self.emit(rid, cond_bad, path, actual))
             valids.append(~cond_bad)
 
         n = F.size(col)
@@ -580,7 +595,7 @@ class ColumnCompiler:
                 valids.append(F.forall(per_elem, lambda s: s["ok"]))
                 pieces.append(F.flatten(F.transform(per_elem, lambda s: s["v"])))
 
-        viols = _concat(pieces)
+        viols = _gather(spieces, pieces)
         valid = valids[0] if valids else F.lit(True)
         for v in valids[1:]:
             valid = valid & v
@@ -710,17 +725,18 @@ class ColumnCompiler:
         """Struct columns: static key routing (properties -> fields).
         Map columns: dynamic keys via map HOFs (scalar subschemas only)."""
         pieces: list[Column] = []
+        spieces: list[Column] = []
         valids: list[Column] = []
         sid = cs.id
 
         def leaf(cond_bad, keyword, expected, actual, message):
             rid = self.register_rule(sid, keyword, expected, message)
-            pieces.append(self.emit(rid, cond_bad, path, actual))
+            spieces.append(self.emit(rid, cond_bad, path, actual))
             valids.append(~cond_bad)
 
         def leaf_at(fpath, cond_bad, keyword, expected, actual, message):
             rid = self.register_rule(sid, keyword, expected, message)
-            pieces.append(self.emit(rid, cond_bad, fpath, actual))
+            spieces.append(self.emit(rid, cond_bad, fpath, actual))
             valids.append(~cond_bad)
 
         if isinstance(dtype, T.StructType):
@@ -859,8 +875,8 @@ class ColumnCompiler:
                 jpat = rlike_pattern(pat)
                 matched_vals = F.map_values(
                     F.map_filter(col, lambda k, v: k.rlike(jpat)))
-                per_elem = F.transform(matched_vals, lambda x: self.compile_value(
-                    psub, x, vtype, path, depth + 1)[0])
+                per_elem = F.transform(matched_vals, lambda x: self.valid_only(
+                    psub, x, vtype, path, depth + 1))
                 leaf(~F.forall(per_elem, lambda ok: ok), "patternProperties",
                      pat, F.lit(None), "patternProperties mismatch")
             if cs.additional_properties is not None:
@@ -874,20 +890,20 @@ class ColumnCompiler:
                     return cond
 
                 extra_vals = F.map_values(F.map_filter(col, lambda k, v: is_additional(k)))
-                per_elem = F.transform(extra_vals, lambda x: self.compile_value(
-                    apsub, x, vtype, path, depth + 1)[0])
+                per_elem = F.transform(extra_vals, lambda x: self.valid_only(
+                    apsub, x, vtype, path, depth + 1))
                 leaf(~F.forall(per_elem, lambda ok: ok), "additionalProperties",
                      None, F.lit(None), "additionalProperties mismatch")
             if self.extensions and cs.property_names is not None:
                 pn = cs.property_names
-                per_key = F.transform(keys, lambda k: self.compile_value(
-                    pn, k, T.StringType(), path, depth + 1)[0])
+                per_key = F.transform(keys, lambda k: self.valid_only(
+                    pn, k, T.StringType(), path, depth + 1))
                 leaf(~F.forall(per_key, lambda ok: ok), "propertyNames",
                      None, F.lit(None), "propertyNames mismatch")
         else:
             raise ExpressionFallback(f"object keywords on {dtype.simpleString()}")
 
-        viols = _concat(pieces)
+        viols = _gather(spieces, pieces)
         valid = valids[0] if valids else F.lit(True)
         for v in valids[1:]:
             valid = valid & v
