@@ -63,6 +63,17 @@ def main() -> None:
         fn()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # Pre-fork the Python worker pool (one trivial Arrow batch) so per-query
+    # timings measure engine cost, not the one-time worker spawn. Noted in
+    # BASELINE.md: r1 numbers charged the spawn to the first Arrow query.
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s):
+        return s
+
+    spark.range(32).select(_warm("id")).collect()
+
     # flagship: synthesize + validate webpages (docs/sec basis)
     def flagship():
         pages = synthesize_webpages(spark, n_pages, partitions=CPUS * 2)
