@@ -34,8 +34,13 @@ def validate_stream(
     _jsp_violations. Pure projection — fully streaming-compatible, no state."""
     cs = _compiled(rules)
     compiler = ColumnCompiler(extensions=extensions)
-    row_struct = F.struct(*[F.col(c) for c in stream_df.columns])
-    valid, viols = compiler.compile_value(cs, row_struct, stream_df.schema, F.lit(""))
+    # internal helper columns are not properties of the row object
+    from pyspark.sql import types as T
+
+    data_cols = [c for c in stream_df.columns if not c.startswith("_jsp_")]
+    data_schema = T.StructType([stream_df.schema[c] for c in data_cols])
+    row_struct = F.struct(*[F.col(c) for c in data_cols])
+    valid, viols = compiler.compile_value(cs, row_struct, data_schema, F.lit(""))
     return stream_df.withColumns(
         {
             VALID_COL: F.coalesce(valid, F.lit(True)),
