@@ -59,16 +59,20 @@ def compile_rule_suite(ruleset: dict) -> CompiledRuleSuite:
         raise SchemaError(f"Unknown ruleset sections: {sorted(unknown)}")
     schema = compile_rules(ruleset["schema"]) if "schema" in ruleset else None
 
-    unique = list(ruleset.get("unique", []))
+    def _entries(section):
+        v = ruleset.get(section, [])
+        return [v] if isinstance(v, dict) else list(v)  # single entry ok
+
+    unique = _entries("unique")
     for u in unique:
         if not isinstance(u, dict) or not isinstance(u.get("keys"), list) or not u["keys"]:
             raise SchemaError('Each "unique" entry needs a non-empty "keys" list')
-    referential = list(ruleset.get("referential", []))
+    referential = _entries("referential")
     for r in referential:
         for k in ("child_key", "parent", "parent_key"):
             if not isinstance(r.get(k), str):
                 raise SchemaError(f'Each "referential" entry needs string "{k}"')
-    drift = list(ruleset.get("drift", []))
+    drift = _entries("drift")
     for d in drift:
         if d.get("test") not in ("ks", "chi2"):
             raise SchemaError('Each "drift" entry needs "test": "ks"|"chi2"')
