@@ -580,8 +580,9 @@ def validate_json_rows(
     if key_cols is None:
         key_cols = [df.columns[0]]
     key_cols = list(key_cols)
-    # internal helper columns are not properties of the row object
-    data_cols = [c for c in df.columns if not c.startswith("_jsp_")]
+    from .validator import data_columns
+
+    data_cols = data_columns(df)
     with_doc = df.select(
         *key_cols, F.to_json(F.struct(*[F.col(c) for c in data_cols])).alias("_jsp_doc")
     )

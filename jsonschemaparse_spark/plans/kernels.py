@@ -96,7 +96,11 @@ def _concat(pieces: list[Column]) -> Column:
 
 def _gather(spieces: list[Column], apieces: list[Column]) -> Column:
     """Combine leaf struct-or-null pieces (one array_compact) with
-    composite array pieces (concat). Order = emission order."""
+    composite array pieces (concat). NOTE: leaf checks of a node order
+    before its subtree pieces — intra-row violation ORDER is unspecified
+    and has never been a cross-engine contract (the Python evaluator's
+    emission order differs from the Column path's anyway); consumers must
+    match on content, as the report-parity suites do."""
     arrays: list[Column] = []
     if spieces:
         arrays.append(F.array_compact(F.array(*spieces)))
@@ -221,7 +225,8 @@ class ColumnCompiler:
         """Compact violation piece as STRUCT-OR-NULL: leaf pieces collect
         into ONE array_compact(array(...)) per schema node instead of a
         concat of N single-element arrays — fewer allocations, smaller
-        codegen (same array contents, same order)."""
+        codegen. Same array CONTENTS; intra-row order is unspecified
+        (see _gather)."""
         v = F.struct(
             F.lit(rule_id).alias("rule_id"),
             path.cast("string").alias("path"),

@@ -34,6 +34,16 @@ VALID_COL = "_jsp_valid"
 VIOLATIONS_COL = "_jsp_violations"
 PARTITION_COL = "_jsp_partition_id"
 
+# columns with this prefix are engine internals, never row properties
+INTERNAL_PREFIX = "_jsp_"
+
+
+def data_columns(df: DataFrame) -> list[str]:
+    """The columns that form the validated row object — internal helper
+    columns (checkpoint's _jsp_file, prior annotations) are excluded so
+    they never trip additionalProperties/maxProperties at the root."""
+    return [c for c in df.columns if not c.startswith(INTERNAL_PREFIX)]
+
 
 def _compiled(rules) -> CompiledSchema:
     return rules if isinstance(rules, CompiledSchema) else compile_rules(rules)
@@ -246,10 +256,7 @@ def validate_dataframe(
         key_cols = [df.columns[0]]
     key_cols = list(key_cols)
 
-    # internal helper columns (e.g. checkpoint's _jsp_file) are NOT
-    # properties of the row object — they'd trip additionalProperties/
-    # unevaluatedProperties/maxProperties on the root schema
-    data_cols = [c for c in df.columns if not c.startswith("_jsp_")]
+    data_cols = data_columns(df)
     data_schema = T.StructType([df.schema[c] for c in data_cols])
     row_struct = F.struct(*[F.col(c) for c in data_cols])
     compiler = ColumnCompiler(

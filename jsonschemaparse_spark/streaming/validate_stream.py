@@ -34,10 +34,11 @@ def validate_stream(
     _jsp_violations. Pure projection — fully streaming-compatible, no state."""
     cs = _compiled(rules)
     compiler = ColumnCompiler(extensions=extensions)
-    # internal helper columns are not properties of the row object
     from pyspark.sql import types as T
 
-    data_cols = [c for c in stream_df.columns if not c.startswith("_jsp_")]
+    from ..plans.validator import data_columns
+
+    data_cols = data_columns(stream_df)
     data_schema = T.StructType([stream_df.schema[c] for c in data_cols])
     row_struct = F.struct(*[F.col(c) for c in data_cols])
     valid, viols = compiler.compile_value(cs, row_struct, data_schema, F.lit(""))
