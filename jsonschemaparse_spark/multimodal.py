@@ -98,6 +98,55 @@ def extract_features(df: DataFrame, content_col: str = "content",
     return df.mapInPandas(run, schema=schema)
 
 
+def _resize_image_bytes(raw: bytes, w: int, h: int):  # pragma: no cover - stub
+    """REAL RESAMPLER GOES HERE (PIL Image.resize etc.). Not available in
+    this container."""
+    raise NotImplementedError("image codec not available in this environment")
+
+
+def resize_plan(df: DataFrame, max_w: int = 256, max_h: int = 256) -> DataFrame:
+    """Aspect-preserving resize TARGETS as pure expressions (codegen-side
+    math — no Python): adds (target_width, target_height) with
+    scale = min(max_w/w, max_h/h, 1) and floor-to-≥1 dims. The pixel
+    resample itself is the stubbed codec step (resize_images)."""
+    w = F.col("meta.width").cast("double")
+    h = F.col("meta.height").cast("double")
+    scale = F.least(F.lit(float(max_w)) / w, F.lit(float(max_h)) / h, F.lit(1.0))
+    tw = F.greatest(F.floor(w * scale), F.lit(1)).cast("int")
+    th = F.greatest(F.floor(h * scale), F.lit(1)).cast("int")
+    return df.withColumns({"target_width": tw, "target_height": th})
+
+
+def resize_images(df: DataFrame, max_w: int = 256, max_h: int = 256,
+                  use_codec: bool = False) -> DataFrame:
+    """Arrow-batched resize: target dims from resize_plan; use_codec=True
+    calls the real (stubbed) resampler per image; default keeps the bytes
+    and rewrites meta.width/height to the targets so schema/batch plumbing
+    is exercised end-to-end."""
+    planned = resize_plan(df, max_w, max_h)
+    schema = planned.schema
+    cols = planned.columns
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[cols].copy()
+            if use_codec:
+                out["content"] = [
+                    _resize_image_bytes(bytes(raw), tw, th)
+                    for raw, tw, th in zip(pdf["content"], pdf["target_width"],
+                                           pdf["target_height"])
+                ]
+            out["meta"] = [
+                {**(m if isinstance(m, dict) else m.asDict()),
+                 "width": int(tw), "height": int(th)}
+                for m, tw, th in zip(pdf["meta"], pdf["target_width"],
+                                     pdf["target_height"])
+            ]
+            yield out
+
+    return planned.mapInPandas(run, schema=schema)
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one row per (media_id, frame_ts_ms).
     The decode of each frame is the stubbed codec step; the fan-out and

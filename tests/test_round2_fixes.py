@@ -580,3 +580,21 @@ def test_pandas_cosine_null_and_ragged_vectors(spark):
     scores = {r["vec_id"]: r["score"] for r in top}
     assert scores[1] == 1.0 and scores[4] == 1.0
     assert scores[2] is None and scores[3] is None  # null/ragged -> NULL score
+
+
+def test_multimodal_resize_plumbing(spark):
+    """Aspect-preserving resize targets computed expression-side; the Arrow
+    pass rewrites meta dims (pixel resample is the stubbed codec)."""
+    from jsonschemaparse_spark.multimodal import resize_images, resize_plan, synthesize_media
+
+    media = synthesize_media(spark, 40)
+    planned = resize_plan(media, max_w=100, max_h=100)
+    for r in planned.select("meta.width", "meta.height",
+                            "target_width", "target_height").collect():
+        assert 1 <= r["target_width"] <= 100 and 1 <= r["target_height"] <= 100
+        if r["width"] <= 100 and r["height"] <= 100:
+            assert (r["target_width"], r["target_height"]) == (r["width"], r["height"])
+    resized = resize_images(media, max_w=100, max_h=100)
+    rows = resized.select("meta.width", "meta.height").collect()
+    assert all(r["width"] <= 100 and r["height"] <= 100 for r in rows)
+    assert resized.count() == 40
