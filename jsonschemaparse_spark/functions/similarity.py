@@ -179,6 +179,62 @@ def lsh_topk(
     )
 
 
+def ivf_index(
+    corpus: DataFrame,
+    n_lists: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_fraction: float | None = None,
+):
+    """IVF coarse quantizer: MLlib k-means centroids + per-vector list
+    assignment. Returns (listed_df with `_ivf_list` int column, centroids
+    ndarray). At corpus scale fit on a sample (sample_fraction) and write
+    listed_df partitioned by _ivf_list so probes become partition-pruned
+    scans — the IVF analog of the LSH bucket layout."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
+
+    assembled = corpus.withColumn(
+        "_ivf_v", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    fit_on = assembled if sample_fraction is None else assembled.sample(
+        fraction=sample_fraction, seed=seed)
+    model = KMeans(k=n_lists, seed=seed, featuresCol="_ivf_v",
+                   predictionCol="_ivf_list").fit(fit_on)
+    listed = model.transform(assembled).drop("_ivf_v")
+    centroids = np.asarray([np.asarray(c) for c in model.clusterCenters()])
+    return listed, centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    kernel: str = "expr",
+    index=None,
+) -> DataFrame:
+    """IVF approximate top-k (the brief's IVF scale path): score only the
+    n_probe inverted lists whose centroids are nearest the query — a
+    fraction n_probe/n_lists of the corpus, exact within it. Pass a
+    prebuilt `index` (from ivf_index) to amortize training across queries;
+    recall grows with n_probe (n_probe == n_lists degenerates to exact)."""
+    import numpy as np
+
+    listed, centroids = index if index is not None else ivf_index(
+        corpus, n_lists, vec_col, seed)
+    q = np.asarray(list(query), dtype=np.float64)
+    d = ((centroids - q) ** 2).sum(axis=1)
+    probes = [int(i) for i in np.argsort(d)[:n_probe]]
+    cands = listed.filter(F.col("_ivf_list").isin(probes))
+    return brute_force_topk(cands, query, k, id_col, vec_col, kernel=kernel)
+
+
 def _dim_of(corpus: DataFrame, vec_col: str, dim: int | None) -> int:
     """Vector dimensionality. Pass `dim` explicitly to keep plan construction
     action-free (ArrayType carries no static length, so the fallback is one

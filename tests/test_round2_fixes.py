@@ -598,3 +598,28 @@ def test_multimodal_resize_plumbing(spark):
     rows = resized.select("meta.width", "meta.height").collect()
     assert all(r["width"] <= 100 and r["height"] <= 100 for r in rows)
     assert resized.count() == 40
+
+
+def test_ivf_topk(spark):
+    """IVF probe finds the exact nearest neighbours when their list is
+    probed; n_probe == n_lists degenerates to exact top-k."""
+    from jsonschemaparse_spark.functions.similarity import (
+        brute_force_topk,
+        ivf_index,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    exact = [r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()]
+    index = ivf_index(emb, n_lists=8)
+    # full probe == exact
+    full = [r["vec_id"] for r in
+            ivf_topk(emb, q, k=10, n_lists=8, n_probe=8, index=index).collect()]
+    assert full == exact
+    # partial probe: the query's own list is always probed -> vec 0 found,
+    # and a reasonable share of the true top-k survives
+    part = {r["vec_id"] for r in
+            ivf_topk(emb, q, k=10, n_lists=8, n_probe=3, index=index).collect()}
+    assert 0 in part
+    assert len(part & set(exact)) >= 4
