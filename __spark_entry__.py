@@ -204,6 +204,18 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", F.round("score", 4).alias("score"))
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF path probed at n_probe == n_lists: provably identical to the
+    exact top-k, so the brute-force SQL oracle verifies the whole IVF
+    plumbing (k-means listing, probe selection, per-list scoring)."""
+    from jsonschemaparse_spark.functions.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    top = ivf_topk(emb, qvec, k=10, n_lists=8, n_probe=8)
+    return top.select("vec_id", F.round("score", 4).alias("score"))
+
+
 def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     base = emb.filter(F.col("vec_id") < 50)
@@ -342,6 +354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         "ann_topk": q_ann_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "lineitem_pricing": q_lineitem_pricing,
         "events_json_validation": q_events_json_validation,
@@ -552,6 +565,15 @@ SELECT doc_id,
 FROM documents
 """,
         "ann_topk": """
+SELECT e.vec_id,
+       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(q.embedding AS DOUBLE[])), 4) AS score
+FROM embeddings e,
+     (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+ORDER BY score DESC, e.vec_id ASC
+LIMIT 10
+""",
+        "ann_ivf_topk": """
 SELECT e.vec_id,
        round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
                                     CAST(q.embedding AS DOUBLE[])), 4) AS score
