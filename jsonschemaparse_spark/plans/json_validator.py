@@ -356,6 +356,13 @@ def validate_json_hybrid(
     rows only, distinguishing real syntax errors from type mismatches with
     the reference's exact keyword/message. Python cost is O(flagged docs);
     clean rows never leave the JVM.
+
+    Report-parity caveat (documented path difference, not hybrid-specific):
+    clean rows report `required` PER MISSING KEY (the Column path's
+    table-scope convention) while evaluator-handled rows report one
+    `required` row per object with the missing-key list (reference parity,
+    schema.js:1321-1325). Verdicts and every other keyword row agree
+    exactly (randomized differential in test_differential).
     """
     from .kernels import ColumnCompiler
 

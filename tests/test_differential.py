@@ -332,3 +332,87 @@ def test_incremental_matches_oneshot(value, chunk):
     for i in range(0, len(data), chunk):
         p.write(data[i:i + chunk])
     assert p.end() == loads_strict(text)
+
+
+# ---------------- hybrid JSON route vs Arrow evaluator (randomized) ----------
+def _random_routed_rules(rnd):
+    """Rules that pass the typed-route gate: flat object, numeric/boolean/
+    unconstrained leaves, numeric arrays."""
+    props = {}
+    for name in ("a", "b", "c"):
+        roll = rnd.random()
+        if roll < 0.4:
+            s = {"type": "integer"}
+            if rnd.random() < 0.6:
+                s["minimum"] = rnd.choice([0, 2])
+            if rnd.random() < 0.4:
+                s["maximum"] = rnd.choice([50, 10])
+        elif roll < 0.6:
+            s = {"type": "number", "multipleOf": rnd.choice([1, 0.5])}
+        elif roll < 0.75:
+            s = {"type": "boolean"}
+        elif roll < 0.9:
+            s = {"type": "array", "items": {"type": "integer", "minimum": 0},
+                 "minItems": rnd.randint(0, 2)}
+        else:
+            s = {}
+        props[name] = s
+    rules = {"type": "object", "properties": props}
+    req = [n for n in props if rnd.random() < 0.3]
+    if req:
+        rules["required"] = req
+    return rules
+
+
+def _random_doc(rnd):
+    if rnd.random() < 0.05:
+        return None
+    if rnd.random() < 0.05:
+        return '{"a": 1,,}'  # malformed
+    obj = {}
+    for name in ("a", "b", "c"):
+        r = rnd.random()
+        if r < 0.2:
+            continue  # absent
+        obj[name] = rnd.choice(
+            [1, 7, 55, -3, 1.0, 2.5, True, False, None, "str", [1, 2],
+             [1, None], [-1], {"x": 1}]
+        )
+    return json.dumps(obj)
+
+
+@pytest.mark.parametrize("trial", range(6))
+def test_hybrid_route_differential(spark, trial):
+    """engine='auto' must agree with engine='arrow' on verdicts AND
+    violation rows for any routed-safe ruleset (random docs incl. explicit
+    nulls, wrong types, malformed JSON, null array elements)."""
+    from jsonschemaparse_spark.plans import validate_json_column
+    from jsonschemaparse_spark.plans.json_validator import _typed_route_schema
+    from jsonschemaparse_spark import compile_rules as _cr
+
+    rnd = random.Random(SEED * 31 + trial)
+    rules = _random_routed_rules(rnd)
+    assert _typed_route_schema(_cr(rules)) is not None, rules
+    docs = [(i, _random_doc(rnd)) for i in range(80)]
+    df = spark.createDataFrame(docs, ["id", "props"])
+
+    def snap(engine):
+        res = validate_json_column(df, "props", rules, key_cols=["id"], engine=engine)
+        verd = {r["id"]: r["_jsp_valid"] for r in res.annotated.collect()}
+        # `required` multiplicity is a DOCUMENTED path difference: the
+        # Column path emits per-missing-key rows (table-scope reporting),
+        # the evaluator one row per object with the key list (reference
+        # parity, schema.js:1321-1325) — normalize to presence
+        rows = sorted(
+            {
+                (r["id"], r["path"], r["keyword"],
+                 None if r["keyword"] == "required" else r["message"])
+                for r in res.violations().collect()
+            }
+        )
+        return verd, rows
+
+    arrow = snap("arrow")
+    auto = snap("auto")
+    assert auto[0] == arrow[0], f"verdicts differ: rules={json.dumps(rules)}"
+    assert auto[1] == arrow[1], f"violations differ: rules={json.dumps(rules)}"
