@@ -195,6 +195,10 @@ def validate_json_column(
     from ..schema.evaluate import check_limits
     from ..schema.relaxed_json import BigNumberError, loads_relaxed
 
+    if engine not in ("auto", "arrow", "typed"):
+        raise ValueError(
+            f"engine must be one of 'auto', 'arrow', 'typed'; got {engine!r}"
+        )
     relaxed = syntax is not None or big_number != "default" or interoperable
 
     cs = rules if isinstance(rules, CompiledSchema) else compile_rules(rules)
@@ -409,12 +413,19 @@ def validate_json_hybrid(
     # as null entries in the typed array.
     keys_arr = F.col("_jsp_mat").getField("keys")
     constrained = []
+    # REQUIRED keys join the null-detection list even when their subschema
+    # is unconstrained ({}): post-from_json an explicit null on such a key
+    # is indistinguishable from absence, so the Column required check would
+    # fire where the evaluator (key present, {} passes) accepts — the row
+    # must route to Python (ADVICE r2 high: required + {} + explicit null).
+    required_keys = set(cs.required or ())
     for fld in route_schema.fields:
         sub = cs.properties.get(fld.name)
-        if sub is None or _is_unconstrained(sub):
+        sub_constrained = sub is not None and not _is_unconstrained(sub)
+        if not sub_constrained and fld.name not in required_keys:
             continue
         constrained.append(fld.name)
-        if isinstance(fld.dataType, T.ArrayType) and not isinstance(
+        if sub_constrained and isinstance(fld.dataType, T.ArrayType) and not isinstance(
             fld.dataType.elementType, T.StringType
         ):
             flagged = flagged | F.coalesce(

@@ -691,26 +691,46 @@ class ColumnCompiler:
             return None
         if cache is None:
             cache = {}
+
+        def coverage(s: CompiledSchema):
+            """Coverage of `nm` INSIDE branch `s`: True (python bool) when
+            statically evaluated; else a Column from s's own nested
+            conditionals (ADVICE r2 medium: a conditional nested inside a
+            passing conditional branch also donates — mirrors the
+            evaluator's recursive in-place evaluated-set union); else
+            None."""
+            if self._statically_evaluated(s, nm, depth + 1):
+                return True
+            return self._conditionally_evaluated(
+                s, nm, col, dtype, path, depth + 1, cache
+            )
+
+        def gated(base: Column, cov) -> Column:
+            return base if cov is True else base & cov
+
         conds: list[Column] = []
         for s in list(cs.any_of) + list(cs.one_of):
-            if self._statically_evaluated(s, nm, depth + 1):
-                conds.append(self._branch_valid(s, col, dtype, path, depth + 1, cache))
+            cov = coverage(s)
+            if cov is not None:
+                conds.append(
+                    gated(self._branch_valid(s, col, dtype, path, depth + 1, cache), cov)
+                )
         if cs.if_ is not None:
-            if_cov = self._statically_evaluated(cs.if_, nm, depth + 1)
-            then_cov = cs.then_ is not None and self._statically_evaluated(cs.then_, nm, depth + 1)
-            else_cov = cs.else_ is not None and self._statically_evaluated(cs.else_, nm, depth + 1)
-            if if_cov or then_cov or else_cov:
+            if_cov = coverage(cs.if_)
+            then_cov = coverage(cs.then_) if cs.then_ is not None else None
+            else_cov = coverage(cs.else_) if cs.else_ is not None else None
+            if if_cov is not None or then_cov is not None or else_cov is not None:
                 iv = self._branch_valid(cs.if_, col, dtype, path, depth + 1, cache)
-                if if_cov:
-                    conds.append(iv)
-                if then_cov:
+                if if_cov is not None:
+                    conds.append(gated(iv, if_cov))
+                if then_cov is not None:
                     # then donates only when it VALIDATES the value itself
                     # (schema.js finish: zero-error subvalidators donate)
                     tv = self._branch_valid(cs.then_, col, dtype, path, depth + 1, cache)
-                    conds.append(iv & tv)
-                if else_cov:
+                    conds.append(gated(iv & tv, then_cov))
+                if else_cov is not None:
                     ev = self._branch_valid(cs.else_, col, dtype, path, depth + 1, cache)
-                    conds.append((~iv) & ev)
+                    conds.append(gated((~iv) & ev, else_cov))
         subs = list(cs.all_of)
         if cs.ref is not None:
             subs.append(cs.resolve_ref())

@@ -301,6 +301,21 @@ def validate_dataframe(
                 .withColumn(PY_VIOLS_COL, py_viols)
                 .drop(*tmp_cols)
             )
+            if max_violations_per_row is not None:
+                # the cap applies to the MERGED report: per-column fallback
+                # violations get whatever budget the expression-path rows
+                # left over (ADVICE r2 low: py_viols were uncapped)
+                budget = F.greatest(
+                    F.lit(0),
+                    F.lit(max_violations_per_row) - F.size(F.col(VIOLATIONS_COL)),
+                )
+                annotated = annotated.withColumn(
+                    "_jsp_violations_truncated",
+                    F.col("_jsp_violations_truncated")
+                    | F.coalesce(F.size(F.col(PY_VIOLS_COL)) > budget, F.lit(False)),
+                ).withColumn(
+                    PY_VIOLS_COL, F.slice(F.col(PY_VIOLS_COL), F.lit(1), budget)
+                )
             py_viols_col = PY_VIOLS_COL
         return ValidationResult(
             annotated=annotated, key_cols=key_cols, compiled=cs,
