@@ -269,10 +269,19 @@ def q_ks_drift_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WEBPAGES_ORACLE_PATH = "/tmp/jsp_oracle_webpages"
+
+
 def q_webpages_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf = 0.01 if "0.01" in sf_dir else (0.1 if "0.1" in sf_dir else 0.001)
     n = int(50000 * sf / 0.01)
     pages = synthesize_webpages(spark, n)
+    # materialize the synthesized input so the DuckDB oracle aggregates the
+    # SAME rows (VERDICT r2 #2: flips the last rows-only row to hash-match);
+    # html is dropped — it is unconstrained by WEBPAGE_RULES and its seeded
+    # invalid-UTF-8 tails are exercised by the charset tests instead
+    pages.drop("html").write.mode("overwrite").parquet(WEBPAGES_ORACLE_PATH)
+    pages = spark.read.parquet(WEBPAGES_ORACLE_PATH)
     res = validate_dataframe(pages, WEBPAGE_RULES, key_cols=["url"])
     return res.annotated.select(
         F.count(F.lit(1)).alias("n_rows"),
@@ -462,9 +471,28 @@ FROM (
 )
 """.format(langs=", ".join("'" + l + "'" for l in LANGS))
 
+    webpages_flagship = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN bad > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_failed_rows,
+       CAST(sum(bad) AS BIGINT) AS n_violations
+FROM (
+  SELECT (CASE WHEN url IS NULL THEN 1 ELSE 0 END)
+       + (CASE WHEN warc_ts IS NULL THEN 1 ELSE 0 END)
+       + (CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+       + (CASE WHEN lang IS NULL THEN 1 ELSE 0 END)
+       + (CASE WHEN url IS NOT NULL AND NOT regexp_matches(url, '^https?://') THEN 1 ELSE 0 END)
+       + (CASE WHEN url IS NOT NULL AND length(url) > 2048 THEN 1 ELSE 0 END)
+       + (CASE WHEN text IS NOT NULL AND length(text) < 1 THEN 1 ELSE 0 END)
+       + (CASE WHEN lang IS NOT NULL AND lang NOT IN ({langs}) THEN 1 ELSE 0 END) AS bad
+  FROM read_parquet('{path}/*.parquet')
+)
+""".format(langs=", ".join("'" + l + "'" for l in LANGS),
+           path=WEBPAGES_ORACLE_PATH)
+
     return {
         "validate_documents": viol,
         "verdict_documents": verdict,
+        "webpages_flagship": webpages_flagship,
         "stats_documents": """
 SELECT CAST(count(*) AS BIGINT) AS n_rows,
        CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text,
@@ -550,9 +578,19 @@ FROM q
 """,
         "lang_id": f"""
 SELECT doc_id,
-       CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS lang_pred
+       CASE
+         WHEN kana > 0 AND kana + han > lat THEN 'ja'
+         WHEN han > lat THEN 'zh'
+         WHEN cyr > lat THEN 'ru'
+         WHEN best.score > 0 THEN best.lang
+         ELSE 'und'
+       END AS lang_pred
 FROM (
   SELECT doc_id,
+         len(regexp_extract_all(text, '[\\p{{Hiragana}}\\p{{Katakana}}]')) AS kana,
+         len(regexp_extract_all(text, '\\p{{Han}}')) AS han,
+         len(regexp_extract_all(text, '\\p{{Cyrillic}}')) AS cyr,
+         len(regexp_extract_all(text, '[A-Za-z]')) AS lat,
          list_max([
            {", ".join(f"struct_pack(score := {_lang_score(lang)}, lang := '{lang}')" for lang in sorted(STOPWORDS))}
          ]) AS best

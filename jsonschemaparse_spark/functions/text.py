@@ -14,7 +14,9 @@ from pyspark.sql import functions as F
 # BPE-ish token regex: word pieces or single non-space punctuation.
 TOKEN_RE = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
 
-# Tiny per-language stopword profiles for n-gram/stopword language ID.
+# Tiny per-language stopword profiles for n-gram/stopword language ID
+# (Latin-script languages; non-Latin scripts are detected by Unicode-script
+# histogram first — see detect_language).
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
     "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
@@ -22,7 +24,17 @@ STOPWORDS = {
     "es": ["el", "la", "los", "de", "que", "es", "una", "por", "con", "para"],
     "it": ["il", "la", "che", "di", "non", "una", "per", "con", "sono", "del"],
     "pt": ["o", "a", "que", "de", "nao", "uma", "para", "com", "os", "do"],
+    "nl": ["de", "het", "een", "en", "van", "niet", "dat", "op", "te", "zijn"],
 }
+
+# Unicode-script character classes (Java regex spelling for Spark; the
+# DuckDB oracle twin uses RE2's \p{Han} spelling — same semantics, verified
+# count-identical). Hiragana/Katakana are uniquely Japanese; Han alone is
+# Chinese; Cyrillic is Russian in this corpus's 10-language universe.
+SCRIPT_KANA = r"[\p{IsHiragana}\p{IsKatakana}]"
+SCRIPT_HAN = r"\p{IsHan}"
+SCRIPT_CYRILLIC = r"\p{IsCyrillic}"
+SCRIPT_LATIN = r"[A-Za-z]"
 
 
 def token_count(text: Column) -> Column:
@@ -94,14 +106,32 @@ def lang_scores(text: Column) -> dict[str, Column]:
 
 def detect_language(df: DataFrame, text_col: str = "text",
                     out_col: str = "lang_pred") -> DataFrame:
-    """Stopword-profile language ID: argmax over per-language hit counts;
+    """Two-stage language ID, all whole-stage codegen (zero Python).
+
+    Stage 1 — Unicode-script histogram (VERDICT r2 #3: covers the non-Latin
+    languages stopwords cannot): a script wins when its character count
+    beats the Latin letter count; any Kana presence marks Japanese (Kana is
+    unique to it, and ja text freely mixes Han).
+    Stage 2 — Latin-script stopword argmax over the 7 STOPWORDS profiles;
     'und' (undetermined) when nothing matches. Deterministic tie-break by
-    language code order."""
-    scores = lang_scores(F.col(text_col))
+    language code order. SQL-reproducible: the DuckDB twin in
+    __spark_entry__.oracle_sql() mirrors the same CASE ladder."""
+    t = F.col(text_col)
+    kana = F.coalesce(F.regexp_count(t, F.lit(SCRIPT_KANA)), F.lit(0))
+    han = F.coalesce(F.regexp_count(t, F.lit(SCRIPT_HAN)), F.lit(0))
+    cyr = F.coalesce(F.regexp_count(t, F.lit(SCRIPT_CYRILLIC)), F.lit(0))
+    lat = F.coalesce(F.regexp_count(t, F.lit(SCRIPT_LATIN)), F.lit(0))
+    scores = lang_scores(t)
     pairs = [F.struct(c.alias("score"), F.lit(lang).alias("lang"))
              for lang, c in sorted(scores.items())]
     best = F.greatest(*pairs) if len(pairs) > 1 else pairs[0]
-    pred = F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+    stop_pred = F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+    pred = (
+        F.when((kana > 0) & (kana + han > lat), F.lit("ja"))
+        .when(han > lat, F.lit("zh"))
+        .when(cyr > lat, F.lit("ru"))
+        .otherwise(stop_pred)
+    )
     return df.withColumn(out_col, pred)
 
 

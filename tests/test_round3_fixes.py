@@ -215,3 +215,106 @@ def test_violation_cap_includes_fallback_rows(spark):
     # and without a cap the same row reports more than 2 total
     res_full = validate_dataframe(df, rules, key_cols=["id"])
     assert len(res_full.violations().collect()) > 2
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r2 #3: language ID must detect all 10 corpus languages.
+# The driver testdata's documents.text is synthetic English-vocab for every
+# lang label (verified: identical 31-word vocabulary per label), so agreement
+# with that column cannot measure detection; this fixture holds real
+# sentences per language instead.
+# ---------------------------------------------------------------------------
+_LANG_SENTENCES = {
+    "en": [
+        "the cat and the dog were in the house that was built for it",
+        "it is clear that the results of the study were good for everyone",
+        "this is the best way to learn and it was fun for all of us",
+    ],
+    "de": [
+        "der Hund und die Katze sind nicht mit dem Auto auf der Strasse",
+        "das ist ein gutes Buch und es ist nicht zu schwer zu lesen",
+        "die Kinder spielen mit einem Ball auf der Wiese und sind froh",
+    ],
+    "fr": [
+        "le chat et le chien sont dans la maison pour les enfants",
+        "ce n'est pas une bonne idee et il est tard dans la nuit",
+        "les resultats sont bons et une solution est possible pour tous",
+    ],
+    "es": [
+        "el perro y el gato estan en la casa de los vecinos",
+        "es una buena idea que los estudiantes estudien para el examen",
+        "los resultados son buenos y es por eso que estamos con ellos",
+    ],
+    "it": [
+        "il gatto che vive nella casa non e una minaccia per nessuno",
+        "sono contento del lavoro che una persona per bene sa fare",
+        "non e facile ma il risultato che otteniamo e una vittoria",
+    ],
+    "pt": [
+        "o gato que mora na casa nao e uma ameaca para os vizinhos",
+        "os resultados do estudo sao bons para quem trabalha com dados",
+        "nao e facil mas o resultado que temos e uma grande vitoria",
+    ],
+    "nl": [
+        "de kat en de hond zijn niet in het huis van de buren",
+        "het is een goed idee dat de studenten op tijd komen",
+        "de resultaten zijn goed en dat is niet te ontkennen",
+    ],
+    "ru": [
+        "кошка и собака живут в доме у соседей",
+        "это очень хорошая книга для всех студентов",
+        "результаты исследования очень хорошие",
+    ],
+    "zh": [
+        "这是一个关于数据处理的文档",
+        "我们的研究结果非常好",
+        "学生们在图书馆里认真学习",
+    ],
+    "ja": [
+        "これはデータ処理についての文書です",
+        "私たちの研究結果はとても良かったです",
+        "学生たちは図書館で勉強しています",
+    ],
+}
+
+
+def test_lang_id_detects_all_ten_languages(spark):
+    from jsonschemaparse_spark.functions.text import detect_language
+
+    rows = []
+    i = 0
+    for lang, sents in _LANG_SENTENCES.items():
+        for s in sents:
+            rows.append((i, lang, s))
+            i += 1
+    df = spark.createDataFrame(rows, ["id", "lang", "text"])
+    got = detect_language(df).collect()
+    per_lang_hits = {}
+    n_ok = 0
+    for r in got:
+        ok = r["lang_pred"] == r["lang"]
+        n_ok += ok
+        per_lang_hits.setdefault(r["lang"], []).append(r["lang_pred"])
+    acc = n_ok / len(got)
+    assert acc > 0.9, per_lang_hits
+    # every language detected at least once (no script left behind)
+    for lang, preds in per_lang_hits.items():
+        assert lang in preds, (lang, preds)
+
+
+def test_lang_id_script_priority(spark):
+    """Kana beats Han (ja mixes both); scripts beat stopwords only when
+    they dominate the Latin letter count."""
+    from jsonschemaparse_spark.functions.text import detect_language
+
+    df = spark.createDataFrame(
+        [
+            (1, "これは漢字交じり"),   # kana+han -> ja
+            (2, "纯汉字文档"),                      # han only -> zh
+            (3, "the data pipeline 中 one hanzi"),                  # latin dominates -> en
+            (4, ""),                                                      # empty -> und
+        ],
+        ["id", "text"],
+    )
+    got = {r["id"]: r["lang_pred"] for r in detect_language(df).collect()}
+    assert got == {1: "ja", 2: "zh", 3: "en", 4: "und"}
