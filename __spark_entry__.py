@@ -256,7 +256,7 @@ def q_events_json_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ks_drift_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binned two-sample KS statistic; the bucket arithmetic in _hist is
+    """Binned two-sample KS statistic; the bucket arithmetic in _bucket_expr is
     spelled out so the DuckDB oracle reproduces it bit-for-bit (the
     `drifted` p-value verdict stays in DriftResult, exercised by pytest —
     the incomplete-gamma/Kolmogorov tails aren't SQL)."""
@@ -347,6 +347,28 @@ def q_chi2_drift_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MEDIA_N = 300  # fixed, sf-independent: dims are arithmetic in media_id
+
+
+def q_media_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image-codec path end-to-end (VERDICT r2 #4): synthesize actual
+    24-bit BMPs (dims arithmetic in media_id), aspect-preserving resize to
+    a 16x16 box through decode->nn-resample->re-encode (pure numpy, Arrow
+    batches), then read the dims back out of the RE-ENCODED BYTES.
+    The oracle recomputes the expected dims from media_id arithmetic alone
+    (double-precision scale math matches IEEE-for-IEEE), so a hash-match
+    proves the bytes really were resized."""
+    from jsonschemaparse_spark.multimodal import (
+        decoded_dims,
+        resize_images,
+        synthesize_bmp_media,
+    )
+
+    media = synthesize_bmp_media(spark, MEDIA_N)
+    resized = resize_images(media, max_w=16, max_h=16, use_codec=True)
+    return decoded_dims(resized)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_documents": q_validate_documents,
@@ -375,6 +397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "events_json_typed": q_events_json_typed,
         "chi2_drift_lang": q_chi2_drift_lang,
+        "media_resize_dims": q_media_resize_dims,
     }
 
 
@@ -716,7 +739,7 @@ packed AS (
 SELECT d.doc_id, CAST(coalesce(p.simhash, 0) AS BIGINT) AS simhash
 FROM d LEFT JOIN packed p USING (doc_id)
 """,
-        # binned two-sample KS: identical bucket arithmetic to integrity._hist
+        # binned two-sample KS: identical bucket arithmetic to integrity._bucket_expr
         # (least/greatest/floor with the same IEEE-754 op order)
         "ks_drift_nchars": """
 WITH ln AS (SELECT CAST(n_chars AS DOUBLE) AS x FROM documents WHERE n_chars IS NOT NULL),
@@ -762,5 +785,19 @@ SELECT round(sum(
          ELSE 0 END), 4) AS statistic,
        CAST(n1 AS BIGINT) AS n_left, CAST(n2 AS BIGINT) AS n_right
 FROM cats, tot GROUP BY n1, n2
+""",
+        # expected resize dims recomputed arithmetically from media_id —
+        # the Spark side reads them from the re-encoded BMP bytes
+        "media_resize_dims": f"""
+WITH ids AS (SELECT range AS media_id FROM range(0, {MEDIA_N})),
+     dims AS (SELECT media_id,
+                     CAST(media_id % 61 + 4 AS DOUBLE) AS w,
+                     CAST(media_id % 37 + 4 AS DOUBLE) AS h
+              FROM ids),
+     s AS (SELECT media_id, w, h, least(16.0 / w, 16.0 / h, 1.0) AS sc FROM dims)
+SELECT media_id,
+       CAST(greatest(floor(w * sc), 1) AS INT) AS out_w,
+       CAST(greatest(floor(h * sc), 1) AS INT) AS out_h
+FROM s
 """,
     }

@@ -137,6 +137,17 @@ def main() -> None:
 
     bench("dedup_minhash", dedup)
 
+    # same pipeline, xxhash64 shingle hashing (the at-scale configuration:
+    # skips shingle-string construction; not DuckDB-reproducible, hence
+    # benched but not oracled — VERDICT r2 #6)
+    def dedup_fast():
+        from jsonschemaparse_spark.functions.dedup import minhash_near_duplicates
+
+        df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        minhash_near_duplicates(df, "doc_id", threshold=0.8, hash_mode="fast").count()
+
+    bench("dedup_minhash_fast", dedup_fast)
+
     # simhash fingerprints (pure Column expression since r2)
     def simhash_bench():
         from jsonschemaparse_spark.functions.dedup import simhash

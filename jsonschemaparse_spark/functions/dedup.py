@@ -145,6 +145,33 @@ def minhash_signature(text: Column, num_hashes: int = 8, k: int = 3,
     )
 
 
+def minhash_signatures_hof(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 8,
+    k: int = 3,
+    hash_mode: str = "portable",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(doc, sig array) via the per-row HOF expression (minhash_signature).
+
+    The round-1 execution shape, kept selectable for A/B adjudication
+    against minhash_signatures_agg (VERDICT r2 #1): one repartition spreads
+    the narrow (id, text) projection, a second (tiny, num_hashes longs per
+    row) barrier stops CollapseProject from inlining the signature
+    aggregate into every band reference. The per-element lambda is
+    CodegenFallback — interpreted per shingle — which is why the agg shape
+    exists; whether that matters at a given scale is what the paired bench
+    measures (scripts/minhash_ab.py)."""
+    spark = df.sparkSession
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    raw = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_t")).repartition(n_parts)
+    return raw.select(
+        F.col("doc"), minhash_signature(F.col("_t"), num_hashes, k, hash_mode).alias("_sig")
+    ).repartition(n_parts)
+
+
 def minhash_signatures_agg(
     df: DataFrame,
     id_col: str,
@@ -224,6 +251,7 @@ def minhash_candidates(
     k: int = 3,
     num_partitions: int | None = None,
     hash_mode: str = "portable",
+    sig_mode: str = "agg",
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b, band_hits). rows/band = H/bands.
 
@@ -235,9 +263,17 @@ def minhash_candidates(
     the agg exchange doubles as the anti-CollapseProject barrier the HOF
     version needed twice. Band extraction reads plain agg attributes
     (SimplifyExtractValueOps: element_at(array(_h...), i) -> _hi).
+
+    sig_mode: 'agg' (default, explode + codegen aggregate) or 'hof'
+    (per-row HOF expression behind repartition barriers). Values are
+    identical; only the execution shape differs — see scripts/minhash_ab.py
+    for the paired-run adjudication of which wins at a given scale.
     """
+    if sig_mode not in ("agg", "hof"):
+        raise ValueError(f"sig_mode must be 'agg' or 'hof', got {sig_mode!r}")
     rows_per_band = num_hashes // bands
-    with_sig = minhash_signatures_agg(
+    sig_fn = minhash_signatures_agg if sig_mode == "agg" else minhash_signatures_hof
+    with_sig = sig_fn(
         df, id_col, text_col, num_hashes, k, hash_mode, num_partitions
     )
     banded = with_sig.select(
@@ -285,13 +321,15 @@ def minhash_near_duplicates(
     bands: int = 4,
     k: int = 3,
     hash_mode: str = "portable",
+    sig_mode: str = "agg",
 ) -> DataFrame:
     """Candidates from LSH, verified with exact Jaccard >= threshold.
     (id_a, id_b, jaccard). Verification joins texts back for candidate ids
     only — at 100 TB that's the crucial asymmetry: the full corpus is
     scanned once to build signatures; texts are re-read just for the
     (tiny) candidate set."""
-    cands = minhash_candidates(df, id_col, text_col, num_hashes, bands, k, hash_mode=hash_mode)
+    cands = minhash_candidates(df, id_col, text_col, num_hashes, bands, k,
+                               hash_mode=hash_mode, sig_mode=sig_mode)
     texts = df.select(F.col(id_col), F.col(text_col))
     a = texts.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta"))
     b = texts.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb"))

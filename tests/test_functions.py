@@ -117,6 +117,41 @@ def test_ks_drift(spark, documents):
     assert diff.drifted and diff.p_value < 0.01
 
 
+def test_ks_drift_two_jobs_and_bounds_param(spark, documents):
+    """VERDICT r2 #5: the statistic costs exactly two driver actions
+    (union'd bounds agg + side-tagged histogram agg); passing bounds=
+    drops to one. Verified via job-group job counts, and the statistic is
+    invariant to how the grid was obtained."""
+    from jsonschemaparse_spark.functions.integrity import ks_drift
+
+    shifted = documents.withColumn("n_chars", F.col("n_chars") + 200)
+    sc = spark.sparkContext
+
+    # AQE materializes each shuffle stage as its own job, hiding the
+    # action count; with it off, jobs == driver actions.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        sc.setJobGroup("ksd2", "ks two-action check")
+        full = ks_drift(documents, shifted, "n_chars")
+        sc.setJobGroup("", "")
+        assert len(sc.statusTracker().getJobIdsForGroup("ksd2")) <= 2
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    lo = documents.agg(F.min("n_chars")).first()[0]
+    hi = shifted.agg(F.max("n_chars")).first()[0]
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        sc.setJobGroup("ksd1", "ks one-action check")
+        pre = ks_drift(documents, shifted, "n_chars", bounds=(float(lo), float(hi)))
+        sc.setJobGroup("", "")
+        assert len(sc.statusTracker().getJobIdsForGroup("ksd1")) == 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert pre.statistic == full.statistic
+    assert (pre.n_left, pre.n_right) == (full.n_left, full.n_right)
+
+
 def test_chi2_drift(spark, documents):
     from jsonschemaparse_spark.functions.integrity import chi2_drift
 
@@ -300,9 +335,9 @@ def test_multimodal_plumbing(spark):
     assert frames.columns == ["media_id", "frame_ts_ms"]
 
 
-def test_multimodal_codec_stub_raises(spark):
-    from py4j.protocol import Py4JJavaError
-
+def test_multimodal_codec_rejects_compressed_content(spark):
+    """Non-BMP bytes (synthesize_media's fake blobs) hit the PIL swap point
+    and raise — the real-codec happy path lives in tests/test_codecs.py."""
     from jsonschemaparse_spark.multimodal import extract_features, synthesize_media
 
     media = synthesize_media(spark, 3)
