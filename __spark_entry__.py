@@ -369,6 +369,20 @@ def q_media_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded_dims(resized)
 
 
+def q_audio_resample_ms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio twin of media_resize_dims: real PCM16 WAVs decoded, resampled
+    16k->8k, re-encoded; durations read back from the re-encoded bytes.
+    Oracle is pure arithmetic: out_ms = (media_id % 50 + 1) * 10."""
+    from jsonschemaparse_spark.multimodal import (
+        decoded_duration_ms,
+        resample_audio,
+        synthesize_wav_media,
+    )
+
+    media = synthesize_wav_media(spark, MEDIA_N)
+    return decoded_duration_ms(resample_audio(media, target_rate=8000))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_documents": q_validate_documents,
@@ -398,6 +412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_typed": q_events_json_typed,
         "chi2_drift_lang": q_chi2_drift_lang,
         "media_resize_dims": q_media_resize_dims,
+        "audio_resample_ms": q_audio_resample_ms,
     }
 
 
@@ -799,5 +814,11 @@ SELECT media_id,
        CAST(greatest(floor(w * sc), 1) AS INT) AS out_w,
        CAST(greatest(floor(h * sc), 1) AS INT) AS out_h
 FROM s
+""",
+        # 16k->8k nearest-neighbor resample halves (id%50+1)*160 samples
+        # exactly; duration_ms of the re-encoded WAV is then (id%50+1)*10
+        "audio_resample_ms": f"""
+SELECT range AS media_id, CAST((range % 50 + 1) * 10 AS BIGINT) AS out_ms
+FROM range(0, {MEDIA_N})
 """,
     }

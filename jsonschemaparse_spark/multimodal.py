@@ -221,6 +221,77 @@ def resize_images(df: DataFrame, max_w: int = 256, max_h: int = 256,
     return planned.mapInPandas(run, schema=schema)
 
 
+def synthesize_wav_media(spark, n: int, partitions: int | None = None,
+                         sample_rate: int = 16000) -> DataFrame:
+    """Deterministic REAL-WAV media table: each row's content is a valid
+    PCM16 mono WAV whose duration derives from media_id
+    (n_samples = (id % 50 + 1) * sample_rate // 100, i.e. 10ms steps) with
+    an integer-sine sample pattern. meta.duration_ms records the true
+    encoded duration for oracle arithmetic. Generation runs in executors."""
+    base = spark.range(0, n, 1, partitions or 8)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].to_numpy():
+                n_samples = int((i % 50 + 1) * sample_rate // 100)
+                t = np.arange(n_samples)
+                samples = (10000 * np.sin(t * (0.01 + (i % 7) * 0.005))).astype(np.int16)
+                rows.append(
+                    {
+                        "media_id": int(i),
+                        "url": f"https://cdn.example/a/{int(i)}",
+                        "kind": "audio",
+                        "content": codecs.encode_wav(samples, sample_rate),
+                        "meta": {"width": 0, "height": 0,
+                                 "duration_ms": n_samples * 1000 // sample_rate,
+                                 "mime": "audio/wav"},
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return base.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def resample_audio(df: DataFrame, target_rate: int = 8000) -> DataFrame:
+    """Real audio resample: decode WAV -> nearest-neighbor resample to
+    target_rate -> re-encode. Arrow-batched mapInPandas, same partition
+    hygiene as resize_images; a production stack would swap the
+    nearest-neighbor kernel for libav/soxr at the same point."""
+    schema = df.schema
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+
+            def _resample(raw: bytes) -> bytes:
+                samples, rate = codecs.decode_wav(bytes(raw))
+                n_out = max(int(round(samples.shape[0] * target_rate / rate)), 1)
+                return codecs.encode_wav(codecs.nn_resample(samples, n_out),
+                                         target_rate)
+
+            out["content"] = pdf["content"].map(_resample)
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def decoded_duration_ms(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """(media_id, out_ms) read from the actual WAV bytes. Twin of
+    decoded_dims for the audio path."""
+    schema = "media_id long, out_ms long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ms = []
+            for raw in pdf[content_col]:
+                samples, rate = codecs.decode_wav(bytes(raw))
+                ms.append(samples.shape[0] * 1000 // rate)
+            yield pd.DataFrame({"media_id": pdf["media_id"], "out_ms": ms})
+
+    return df.mapInPandas(run, schema=schema)
+
+
 def decoded_dims(df: DataFrame, content_col: str = "content") -> DataFrame:
     """(media_id, out_w, out_h) read from the actual image BYTES (BMP header
     walk — no pixel decode), not from metadata. Pairs with the

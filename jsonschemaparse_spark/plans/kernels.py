@@ -253,7 +253,9 @@ class ColumnCompiler:
 
         prev_rbase = self._recursive_base
         if cs.recursive_anchor and self._recursive_base is None:
-            self._recursive_base = cs
+            # same dynamic-base rule as the evaluator: first anchor in
+            # scope donates its resource ROOT (schema.js:1066, 1125-1127)
+            self._recursive_base = cs.recursive_anchor_root()
         try:
             return self._compile_value_inner(cs, col, dtype, path, depth)
         finally:
@@ -775,13 +777,21 @@ class ColumnCompiler:
             if cs.max_properties is not None:
                 leaf(n_present > F.lit(int(cs.max_properties)), "maxProperties",
                      cs.max_properties, n_present, "Too many properties")
-            if cs.required is not None:
-                for k in sorted(cs.required):
-                    if k in types:
-                        leaf(col.getField(k).isNull(), "required", 0, F.lit(1),
-                             "Required property missing")
-                    else:
-                        leaf(F.lit(True), "required", 0, F.lit(1), "Required property missing")
+            if cs.required:
+                # ONE row per object with actual = missing-key count —
+                # unified with the evaluator's endObject form
+                # (schema.js:1321-1325; VERDICT r2 #8 replaced the old
+                # per-missing-key rows)
+                miss = [
+                    (F.when(col.getField(k).isNull(), 1).otherwise(0)
+                     if k in types else F.lit(1))
+                    for k in sorted(cs.required)
+                ]
+                n_missing = miss[0]
+                for m in miss[1:]:
+                    n_missing = n_missing + m
+                leaf(n_missing > F.lit(0), "required", 0, n_missing,
+                     "Required property missing")
             if cs.const_properties is not None:
                 # const-object keys must ALL be present (constRemain,
                 # schema.js:1360-1364)
@@ -867,10 +877,18 @@ class ColumnCompiler:
             if cs.max_properties is not None:
                 leaf(n > F.lit(int(cs.max_properties)), "maxProperties",
                      cs.max_properties, n, "Too many properties")
-            if cs.required is not None:
-                for k in sorted(cs.required):
-                    leaf(~F.array_contains(keys, k), "required", 0, F.lit(1),
-                         "Required property missing")
+            if cs.required:
+                # one row per object, actual = missing count (see struct
+                # path above / schema.js:1321-1325)
+                miss = [
+                    F.when(F.array_contains(keys, k), 0).otherwise(1)
+                    for k in sorted(cs.required)
+                ]
+                n_missing = miss[0]
+                for m in miss[1:]:
+                    n_missing = n_missing + m
+                leaf(n_missing > F.lit(0), "required", 0, n_missing,
+                     "Required property missing")
             if self.extensions and cs.dependent_required:
                 for k, reqs in sorted(cs.dependent_required.items()):
                     present_k = F.array_contains(keys, k)

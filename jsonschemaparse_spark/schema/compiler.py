@@ -465,6 +465,19 @@ class CompiledSchema:
         assert self.ref is not None
         return self.registry.lookup(self.ref)
 
+    def recursive_anchor_root(self) -> "CompiledSchema":
+        """The dynamic base this $recursiveAnchor establishes. The reference
+        stores the anchored schema's id and later uriResolve(base, '#')
+        strips any fragment (schema.js:1066, 1125-1127), so an anchored
+        SUBSCHEMA without its own $id donates its enclosing resource ROOT
+        as the recursion target — not itself. Falls back to self when the
+        fragmentless id isn't registered (anonymous root schemas)."""
+        base = self.id.split("#", 1)[0]
+        try:
+            return self.registry.lookup(base)
+        except SchemaError:
+            return self
+
     def __repr__(self) -> str:  # pragma: no cover
         return f"CompiledSchema(<{self.id}>)"
 

@@ -90,9 +90,11 @@ class Evaluator:
         sid = schema.id
         t = json_type(value)
 
-        # dynamic scope for $recursiveRef (schema.js:1060-1072)
+        # dynamic scope for $recursiveRef (schema.js:1060-1072): the FIRST
+        # anchor in dynamic scope wins, and it donates its enclosing
+        # resource ROOT (fragment-stripped id), not the subschema itself
         if schema.recursive_anchor and recursive_base is None:
-            recursive_base = schema
+            recursive_base = schema.recursive_anchor_root()
 
         def E(message: str, keyword: str, expected: Any = None, actual: Any = None):
             err(

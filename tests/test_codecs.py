@@ -155,6 +155,26 @@ def test_extract_features_real_codec(spark):
         assert abs(sum(f[4:]) - 1.0) < 1e-6
 
 
+def test_resample_audio_real_codec(spark):
+    from jsonschemaparse_spark.multimodal import (
+        decoded_duration_ms,
+        resample_audio,
+        synthesize_wav_media,
+    )
+
+    media = synthesize_wav_media(spark, 20, sample_rate=16000)
+    out = resample_audio(media, target_rate=8000)
+    rows = decoded_duration_ms(out).collect()
+    assert len(rows) == 20
+    for r in rows:
+        # halving the rate preserves duration: (id%50+1)*10 ms
+        assert r["out_ms"] == (r["media_id"] % 50 + 1) * 10
+    # the re-encoded bytes carry the new rate
+    raw = bytes(out.filter(out.media_id == 3).first()["content"])
+    samples, rate = codecs.decode_wav(raw)
+    assert rate == 8000 and samples.shape[0] == (3 % 50 + 1) * 80
+
+
 def test_compressed_formats_still_raise(spark):
     from jsonschemaparse_spark.multimodal import _decode_image_bytes
 

@@ -399,14 +399,12 @@ def test_hybrid_route_differential(spark, trial):
     def snap(engine):
         res = validate_json_column(df, "props", rules, key_cols=["id"], engine=engine)
         verd = {r["id"]: r["_jsp_valid"] for r in res.annotated.collect()}
-        # `required` multiplicity is a DOCUMENTED path difference: the
-        # Column path emits per-missing-key rows (table-scope reporting),
-        # the evaluator one row per object with the key list (reference
-        # parity, schema.js:1321-1325) — normalize to presence
+        # r3 (VERDICT r2 #8): the Column kernels now emit the evaluator's
+        # one-row-per-object `required` form too, so the multiplicity
+        # assertion is un-relaxed — full message parity across paths
         rows = sorted(
             {
-                (r["id"], r["path"], r["keyword"],
-                 None if r["keyword"] == "required" else r["message"])
+                (r["id"], r["path"], r["keyword"], r["message"])
                 for r in res.violations().collect()
             }
         )

@@ -61,7 +61,11 @@ def test_violation_cap(spark):
         },
     }
     full = validate_dataframe(df, rules, key_cols=["id"])
-    assert full.violations().count() == 5
+    # 3 per-property rows + ONE `required` row for both missing keys
+    # (r3 unified multiplicity with the evaluator, schema.js:1321-1325)
+    assert full.violations().count() == 4
+    req = [r for r in full.violations().collect() if r["keyword"] == "required"]
+    assert len(req) == 1 and req[0]["actual"] == "2"
     capped = validate_dataframe(df, rules, key_cols=["id"], max_violations_per_row=2)
     row = capped.annotated.collect()[0]
     assert len(row["_jsp_violations"]) == 2

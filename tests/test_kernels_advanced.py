@@ -63,9 +63,17 @@ def test_property_names_struct_static(spark):
 
 
 def test_recursive_ref_column_path(spark):
+    """$recursiveRef under an anchored property subschema resolves to the
+    DOCUMENT ROOT (fragment-stripped base — schema.js:1066, 1125-1127), so
+    child={"v":-1} is valid (root only constrains "o") while a nested "o"
+    re-enters the constrained subschema. Verdicts captured by executing the
+    reference under node (r3: replaced the pre-fix expectation that
+    recursion targeted the anchored subschema itself)."""
     df = spark.createDataFrame(
-        [(1, {"v": 5, "child": {"v": -1, "child": None}})],
-        "id int, o struct<v:int, child:struct<v:int, child:string>>",
+        [(1, {"v": 5, "child": {"v": -1, "o": None}}),
+         (2, {"v": -2, "child": None}),
+         (3, {"v": 5, "child": {"v": None, "o": {"v": -1}}})],
+        "id int, o struct<v:int, child:struct<v:int, o:struct<v:int>>>",
     )
     rules = {
         "properties": {
@@ -79,8 +87,11 @@ def test_recursive_ref_column_path(spark):
         }
     }
     res = validate_dataframe(df, rules, key_cols=["id"])
-    v = res.violations().collect()
-    assert len(v) == 1 and v[0]["path"] == "/o/child/v" and v[0]["keyword"] == "minimum"
+    got = {r["id"]: r["_jsp_valid"] for r in res.annotated.collect()}
+    assert got == {1: True, 2: False, 3: False}
+    v = {(r["id"], r["path"], r["keyword"]) for r in res.violations().collect()}
+    assert (2, "/o/v", "minimum") in v
+    assert (3, "/o/child/o/v", "minimum") in v
 
 
 def test_validate_json_typed_fast_path(spark):
