@@ -57,11 +57,20 @@ def main() -> None:
     from jsonschemaparse_spark.sources import synthesize_webpages
 
     timings: dict[str, float] = {}
+    RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
 
     def bench(name: str, fn) -> None:
-        t0 = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # best-of-N (default 2): this host throttles in minutes-long phases
+        # (walls 2-4x apart for identical runs — NOTES.md #5), so a single
+        # sample conflates engine cost with host phase. Min across two
+        # back-to-back runs is the phase-robust estimator VERDICT r2
+        # endorsed; runs are recorded so the methodology is auditable.
+        walls = []
+        for _ in range(max(RUNS, 1)):
+            t0 = time.perf_counter()
+            fn()
+            walls.append(time.perf_counter() - t0)
+        timings[name] = round(min(walls), 3)
 
     # Pre-fork the Python worker pool (one trivial Arrow batch) so per-query
     # timings measure engine cost, not the one-time worker spawn. Noted in
@@ -202,6 +211,8 @@ def main() -> None:
                 "docs_per_sec": docs_per_sec,
                 "docs_per_sec_warm": docs_per_sec_warm,
                 "cpus": CPUS,
+                "runs_per_query": max(RUNS, 1),
+                "estimator": "min" if RUNS > 1 else "single",
             }
         )
     )
