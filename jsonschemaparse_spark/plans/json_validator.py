@@ -443,6 +443,16 @@ def validate_json_hybrid(
         flagged = flagged | F.coalesce(present > nonnull, F.lit(False))
     needs_py = F.col(json_col).isNotNull() & flagged
     udf = _flagged_docs_udf(cs, extensions)
+    # flagged-count observation (VERDICT r2 stretch #9): piggybacks on
+    # whatever action consumes the result — no extra job. A rerun that saw
+    # jsp_flagged == 0 can switch to engine='typed' and skip the UDF stage.
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    mat = mat.observe(
+        obs, F.sum(needs_py.cast("long")).alias("jsp_flagged"),
+        F.count(F.lit(1)).alias("jsp_rows"),
+    )
     base = mat.select(
         *key_cols,
         F.when(needs_py, F.lit(True)).otherwise(F.lit(False)).alias("_jsp_needs_py"),
@@ -463,6 +473,7 @@ def validate_json_hybrid(
     return ValidationResult(
         annotated=annotated, key_cols=key_cols, compiled=cs,
         rule_table=compiler.rule_table, py_viols_col=PY_VIOLS_COL,
+        flagged_observation=obs,
     )
 
 

@@ -69,6 +69,14 @@ class ValidationResult:
     # from Arrow-evaluated columns live in this extra array column; verdict
     # and report methods merge both encodings
     py_viols_col: Optional[str] = None
+    # hybrid path (VERDICT r2 stretch #9): Observation whose metrics report
+    # how many rows were routed to the Python rescue UDF in the SAME action
+    # that consumed `annotated` (zero extra jobs). After any action,
+    # flagged_observation.get["jsp_flagged"] == 0 proves the corpus was
+    # fully JVM-validated — checkpoint/resume reruns over the same data may
+    # then use engine='typed' and skip the UDF stage entirely (identical
+    # results by construction when nothing is flagged).
+    flagged_observation: Optional[object] = None
 
     def annotations(self) -> DataFrame:
         """(key..., constraint_id, keyword, value) — title/description
