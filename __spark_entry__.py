@@ -383,6 +383,28 @@ def q_audio_resample_ms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded_duration_ms(resample_audio(media, target_rate=8000))
 
 
+def q_bucketed_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exchange-free exact-dup groups over a bucketed layout (the 100-TB
+    shuffle-elimination design, plans/bucketing.py): 1000 synthetic docs
+    bucketed by content_key (id % 100) at write time; the groupBy then
+    aggregates without any Exchange (plan-asserted in tests/test_bucketing).
+    Oracle recomputes the groups arithmetically."""
+    from jsonschemaparse_spark.plans.bucketing import (
+        bucketed_exact_duplicate_groups,
+        write_bucketed,
+    )
+
+    docs = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 100).cast("string").alias("content_key"),
+    )
+    write_bucketed(docs, "jsp_oracle_docs_bucketed", "content_key", 4)
+    out = bucketed_exact_duplicate_groups(
+        spark, "jsp_oracle_docs_bucketed", "doc_id")
+    return out.select("content_key", F.col("n_docs").cast("long").alias("n_docs"),
+                      F.col("keep_id").cast("long").alias("keep_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_documents": q_validate_documents,
@@ -413,6 +435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_drift_lang": q_chi2_drift_lang,
         "media_resize_dims": q_media_resize_dims,
         "audio_resample_ms": q_audio_resample_ms,
+        "bucketed_dup_groups": q_bucketed_dup_groups,
     }
 
 
@@ -820,5 +843,13 @@ FROM s
         "audio_resample_ms": f"""
 SELECT range AS media_id, CAST((range % 50 + 1) * 10 AS BIGINT) AS out_ms
 FROM range(0, {MEDIA_N})
+""",
+        # 1000 ids, content_key = id % 100 -> 100 groups of 10; keep_id is
+        # the min doc_id of the group == the key value itself
+        "bucketed_dup_groups": """
+SELECT CAST(range AS VARCHAR) AS content_key,
+       CAST(10 AS BIGINT) AS n_docs,
+       range AS keep_id
+FROM range(0, 100)
 """,
     }
