@@ -27,7 +27,21 @@ def write_bucketed(df: DataFrame, table: str, key: str, n_buckets: int,
                    sort: bool = True) -> None:
     """Persist as a bucketed (optionally bucket-sorted) managed table.
     Sorting within buckets additionally enables exchange-AND-sort-free
-    sort-merge joins."""
+    sort-merge joins.
+
+    Idempotent across sessions: a non-Hive catalog is in-memory, so a
+    fresh session can find the managed-table LOCATION on disk without the
+    table being in the catalog — overwrite then fails with
+    LOCATION_ALREADY_EXISTS. Drop both the catalog entry and any orphaned
+    location first."""
+    import shutil
+    from pathlib import Path
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = Path(wh.removeprefix("file:")) / table.split(".")[-1].lower()
+    shutil.rmtree(loc, ignore_errors=True)
     w = df.write.mode("overwrite").bucketBy(n_buckets, key)
     if sort:
         w = w.sortBy(key)

@@ -792,13 +792,10 @@ class ColumnCompiler:
                     n_missing = n_missing + m
                 leaf(n_missing > F.lit(0), "required", 0, n_missing,
                      "Required property missing")
-            if cs.const_properties is not None:
-                # const-object keys must ALL be present (constRemain,
-                # schema.js:1360-1364)
-                for k in sorted(cs.const_properties):
-                    k_missing = col.getField(k).isNull() if k in types else F.lit(True)
-                    leaf(k_missing, "const", sorted(cs.const_properties), F.lit(k),
-                         "Required properties missing")
+            # const objects: NO missing-key leaf — the reference's
+            # constRemain branch (schema.js:1360, "FIXME") is dead code, so
+            # only constLength + per-present-key equality apply (absent
+            # const keys validate vacuously via the routed subschemas)
             if self.extensions and cs.dependent_required:
                 for k, reqs in sorted(cs.dependent_required.items()):
                     present_k = col.getField(k).isNotNull() if k in types else F.lit(False)
@@ -903,11 +900,10 @@ class ColumnCompiler:
                 valids.append(v2)
                 pieces.append(p2)
             if cs.const_properties is not None:
+                # no missing-key leaf: reference constRemain is dead code
+                # (schema.js:1360) — absent keys validate vacuously
                 for key, csub in sorted(cs.const_properties.items()):
                     fpath = F.concat(path.cast("string"), F.lit("/" + key))
-                    leaf(~F.array_contains(keys, key), "const",
-                         sorted(cs.const_properties), F.lit(key),
-                         "Required properties missing")
                     v2, p2 = self.compile_value(
                         csub, F.element_at(col, F.lit(key)), vtype, fpath, depth + 1)
                     valids.append(v2)

@@ -69,9 +69,58 @@ class Evaluator:
     def validate(
         self, schema: CompiledSchema, value: Any, path: str = ""
     ) -> tuple[list[ValidationRecord], list[AnnotationRecord]]:
+        self._check_ref_closure(schema)
         annotations: list[AnnotationRecord] = []
         errors = self._val(schema, value, path, annotations, None, 0)
         return errors, annotations
+
+    def _check_ref_closure(self, schema: CompiledSchema) -> None:
+        """Fail fast on dangling $refs: resolve every $ref reachable from
+        the schema once, up front, and raise SchemaError before touching a
+        single row. Memoized on the schema object; cycle-safe.
+
+        Reference timing differs by DESIGN here, strictly for broken
+        schemas: the reference errors lazily, at layer construction —
+        combinator-position refs on every instance (schema.js:1077-1131),
+        property-position refs only when that key appears in the instance
+        (initProperty, all branches in parallel). Which rows 'work' under a
+        schema with a dangling ref is load-order happenstance, and the
+        reference itself exposes registry.getUnresolved() (schema.js:219-223)
+        so callers can reject eagerly; at 10^12 rows a config error must
+        kill the job at submit, not hours in. The randomized reference
+        differential classifies this as a documented timing difference
+        (scripts/reference_differential.py `dangling_timing`)."""
+        if getattr(schema, "_jsp_refs_checked", False):
+            return
+        seen: set[int] = set()
+        stack = [schema]
+        while stack:
+            s = stack.pop()
+            if id(s) in seen:
+                continue
+            seen.add(id(s))
+            subs = [*s.all_of, *s.any_of, *s.one_of]
+            for c in (s.not_, s.if_, s.then_, s.else_, s.additional_properties,
+                      s.property_names, s.unevaluated_properties, s.items_all,
+                      s.additional_items, s.contains, s.unevaluated_items):
+                if c is not None and not isinstance(c, bool):
+                    subs.append(c)
+            subs.extend(s.properties.values())
+            subs.extend(p for _, _, p in s.pattern_properties)
+            if s.items_tuple:
+                subs.extend(s.items_tuple)
+            if s.dependent_schemas:
+                subs.extend(s.dependent_schemas.values())
+            if s.enum_schemas:
+                subs.extend(s.enum_schemas)
+            if s.const_properties:
+                subs.extend(s.const_properties.values())
+            if s.const_items:
+                subs.extend(s.const_items)
+            if s.ref is not None:
+                subs.append(s.resolve_ref())  # raises SchemaError if dangling
+            stack.extend(subs)
+        schema._jsp_refs_checked = True
 
     # ------------------------------------------------------------------
     def _val(
@@ -235,13 +284,13 @@ class Evaluator:
             remain = sum(1 for k in schema.required if k not in value)
             if remain:
                 E("Required property missing", "required", 0, remain)
-        if schema.const_properties is not None:
-            # const-object keys must ALL be present (constRemain,
-            # schema.js:1360-1364 'Required properties missing')
-            missing = [k for k in schema.const_properties if k not in value]
-            if missing:
-                E("Required properties missing", "const",
-                  sorted(schema.const_properties), missing)
+        # NOTE deliberately NO missing-key check for const objects: the
+        # reference's constRemain branch (schema.js:1360-1364, flagged
+        # "FIXME is this right?") is dead code — constRemain is never
+        # assigned — so a same-key-count object whose keys are disjoint
+        # from the const's keys VALIDATES (constLength + per-present-key
+        # checks only). Verified by executing the reference under node
+        # (scripts/reference_differential.py found the divergence).
 
         if self.extensions and schema.dependent_required:
             for key, reqs in schema.dependent_required.items():

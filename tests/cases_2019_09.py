@@ -569,7 +569,9 @@ CASES += [
      "schema": {"const": {"a": 1}},
      "tests": [
         {"description": "matching object", "data": {"a": 1}, "valid": True},
-        {"description": "same size, different key", "data": {"b": 1}, "valid": False},
+        # r3 correction (node-executed reference): constRemain is dead code
+        # (schema.js:1360 'FIXME'), so disjoint same-count keys VALIDATE
+        {"description": "same size, different key", "data": {"b": 1}, "valid": True},
         {"description": "same size, wrong value", "data": {"a": 2}, "valid": False},
     ]},
     {"description": "nested items",
@@ -668,7 +670,12 @@ REPORT_CASES = [
     # container const/enum reductions (schema.js:797-804, 833-838, 813-820)
     ({"const": {"a": 1, "b": 2}}, {"a": 1}, "const", "Incorrect number of properties"),
     ({"const": [1, 2]}, [1], "const", "Incorrect number of items"),
-    ({"enum": [{"a": 1}]}, {"b": 2}, "enum", 'Expected "enum" to have one matching value'),
     ({"enum": [[1]]}, [2], "enum", 'Expected "enum" to have one matching value'),
-    ({"const": {"a": 1}}, {"b": 1}, "const", "Required properties missing"),
+    # r3 corrections (node-executed reference): same-key-count objects with
+    # disjoint keys VALIDATE against object const/enum — constRemain
+    # (schema.js:1360 'FIXME') is dead code. The two removed cases here
+    # ({"enum":[{"a":1}]} vs {"b":2}; {"const":{"a":1}} vs {"b":1}) were
+    # authored from reading that branch and contradicted the executable;
+    # their valid-verdict replacements live in
+    # test_evaluator.test_const_object_same_length_different_keys.
 ]

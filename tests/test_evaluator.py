@@ -95,14 +95,25 @@ def test_recursive_ref_depth_guard():
 
 
 def test_const_object_same_length_different_keys():
-    """constRemain semantics (schema.js:1360-1364): same property COUNT but
-    different keys must fail const."""
-    ok, errs = validate_instance({"const": {"a": 1}}, {"b": 1})
-    assert not ok and errs[0].message == "Required properties missing"
+    """Reference-executed semantics (r3 correction): the reference's
+    constRemain missing-key branch (schema.js:1360, 'FIXME is this right?')
+    is DEAD CODE — constRemain is never assigned — so a same-key-count
+    object with disjoint keys VALIDATES. Verdicts below captured by running
+    the reference under node (scripts/reference_differential.py caught the
+    old, stricter expectation diverging)."""
+    ok, _ = validate_instance({"const": {"a": 1}}, {"b": 1})
+    assert ok  # count matches, 'b' unconstrained, dead constRemain
     ok, _ = validate_instance({"const": {"a": 1, "c": 2}}, {"a": 1, "b": 2})
-    assert not ok
+    assert ok  # count 2==2, 'a' matches, 'b' unconstrained
     ok, _ = validate_instance({"const": {"a": 1}}, {"a": 1})
     assert ok
-    # flows through structural enum members too
+    ok, _ = validate_instance({"const": {"a": 1}}, {"a": 2})
+    assert not ok  # present key mismatch still fails
+    ok, _ = validate_instance({"const": {"a": 1}}, {"a": 1, "b": 2})
+    assert not ok  # count mismatch still fails
+    # flows through structural enum members too (each enum container value
+    # is a {const: v} subschema — same dead-constRemain semantics)
     ok, _ = validate_instance({"enum": [{"a": 1}]}, {"c": 3})
+    assert ok
+    ok, _ = validate_instance({"enum": [{"a": 1}]}, {"a": 2})
     assert not ok
