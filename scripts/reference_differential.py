@@ -62,7 +62,8 @@ def _rand_scalar(rnd: random.Random):
 
 
 def _rand_schema(rnd: random.Random, depth: int = 0) -> dict:
-    opts = ["type", "range", "length", "enum", "const", "object", "array"]
+    opts = ["type", "range", "length", "enum", "const", "object", "array",
+            "typelist", "propcount", "tuple", "patternprops", "boolsub"]
     if depth < 2:
         opts += ["allOf", "anyOf", "oneOf", "not", "ifthen"]
     if depth == 0:
@@ -76,6 +77,40 @@ def _rand_schema(rnd: random.Random, depth: int = 0) -> dict:
     if kind == "type":
         return {"type": rnd.choice(
             ["string", "integer", "number", "boolean", "object", "array", "null"])}
+    if kind == "typelist":
+        n = rnd.randint(1, 3)
+        return {"type": rnd.sample(
+            ["string", "integer", "number", "boolean", "object", "array", "null"],
+            k=n)}
+    if kind == "propcount":
+        s = {"minProperties": rnd.randint(0, 2)}
+        if rnd.random() < 0.6:
+            s["maxProperties"] = rnd.randint(1, 4)
+        return s
+    if kind == "tuple":
+        s = {"items": [_rand_schema(rnd, depth + 1)
+                       for _ in range(rnd.randint(1, 3))]}
+        if rnd.random() < 0.6:
+            s["additionalItems"] = rnd.choice(
+                [False, True, {"type": "integer"}, {"type": "string"}])
+        return s
+    if kind == "patternprops":
+        s = {"patternProperties": {
+            rnd.choice(["^a", "^[kv]$", "n"]): _rand_schema(rnd, depth + 1)}}
+        if rnd.random() < 0.5:
+            s["properties"] = {"k": _rand_schema(rnd, depth + 1)}
+        if rnd.random() < 0.4:
+            s["additionalProperties"] = rnd.choice(
+                [False, {"type": "integer"}])
+        return s
+    if kind == "boolsub":
+        # boolean schemas in subschema positions
+        return rnd.choice([
+            {"properties": {"k": rnd.choice([True, False])}},
+            {"items": rnd.choice([True, False])},
+            {"not": rnd.choice([True, False])},
+            {"anyOf": [rnd.choice([True, False]), _rand_schema(rnd, depth + 1)]},
+        ])
     if kind == "range":
         lo = rnd.randint(-5, 5)
         s = {"minimum": lo} if rnd.random() < 0.7 else {"exclusiveMinimum": lo}
@@ -151,16 +186,102 @@ def _rand_instance(rnd: random.Random, depth: int = 0):
     return [_rand_instance(rnd, depth + 1) for _ in range(rnd.randint(0, 3))]
 
 
+def _instance_for(rnd: random.Random, schema, depth: int = 0):
+    """Schema-aware instance: aims NEAR validity so deep branches get
+    exercised (pure random instances mostly die at the type check)."""
+    if not isinstance(schema, dict) or depth > 3:
+        return _rand_scalar(rnd)
+    if "const" in schema:
+        return schema["const"]
+    if "enum" in schema and schema["enum"]:
+        return rnd.choice(schema["enum"])
+    t = schema.get("type")
+    if isinstance(t, list):
+        t = rnd.choice(t)
+    if t is None:
+        for kw, ty in (("properties", "object"), ("required", "object"),
+                       ("items", "array"), ("minimum", "number"),
+                       ("minLength", "string"), ("pattern", "string"),
+                       ("minProperties", "object"), ("minItems", "array")):
+            if kw in schema:
+                t = ty
+                break
+    if t in ("integer", "number"):
+        lo = schema.get("minimum", schema.get("exclusiveMinimum", 0))
+        v = lo + rnd.randint(0, 3)
+        return v if t == "integer" else v + rnd.choice([0, 0.5])
+    if t == "string":
+        n = schema.get("minLength", rnd.randint(0, 4))
+        base = rnd.choice(["a", "b", "l", "0", "x"]) * max(n, 1)
+        return base[: schema.get("maxLength", len(base))]
+    if t == "boolean":
+        return rnd.choice([True, False])
+    if t == "null":
+        return None
+    if t == "array":
+        items = schema.get("items")
+        if isinstance(items, list):
+            return [_instance_for(rnd, s, depth + 1) for s in items]
+        n = schema.get("minItems", rnd.randint(0, 2))
+        return [_instance_for(rnd, items if items is not None else {},
+                              depth + 1) for _ in range(max(n, 1))]
+    if t == "object":
+        props = schema.get("properties", {})
+        keys = set(schema.get("required", [])) | set(
+            rnd.sample(list(props), k=rnd.randint(0, len(props)))
+            if props else [])
+        return {k: _instance_for(rnd, props.get(k, {}), depth + 1)
+                for k in keys}
+    # combinators: follow a random branch
+    for kw in ("allOf", "anyOf", "oneOf"):
+        if schema.get(kw):
+            return _instance_for(rnd, rnd.choice(schema[kw]), depth + 1)
+    if "then" in schema:
+        return _instance_for(rnd, schema["then"], depth + 1)
+    return _rand_scalar(rnd)
+
+
+def _mutate(rnd: random.Random, value):
+    """One random structural/value mutation — turns near-valid into
+    near-miss instances."""
+    if isinstance(value, dict) and value:
+        v = dict(value)
+        k = rnd.choice(list(v))
+        op = rnd.random()
+        if op < 0.4:
+            v[k] = _rand_scalar(rnd)
+        elif op < 0.7:
+            del v[k]
+        else:
+            v["zz"] = _rand_scalar(rnd)
+        return v
+    if isinstance(value, list):
+        v = list(value)
+        if v and rnd.random() < 0.5:
+            v[rnd.randrange(len(v))] = _rand_scalar(rnd)
+        else:
+            v.append(_rand_scalar(rnd))
+        return v
+    return _rand_scalar(rnd)
+
+
 def generate_groups(n_schemas: int, seed: int, cases_per_schema: int = 6):
     rnd = random.Random(seed)
     groups = []
     for i in range(n_schemas):
         schema = _rand_schema(rnd)
         sid = f"http://diff.local/{seed}/{i}"
+        cases = [_rand_instance(rnd) for _ in range(cases_per_schema // 3)]
+        # schema-aware near-valid + mutated near-miss instances
+        while len(cases) < cases_per_schema:
+            inst = _instance_for(rnd, schema)
+            cases.append(inst)
+            if len(cases) < cases_per_schema:
+                cases.append(_mutate(rnd, inst))
         groups.append({
             "name": f"g{i}", "root": sid,
             "schemas": [{"id": sid, "schema": schema}],
-            "cases": [_rand_instance(rnd) for _ in range(cases_per_schema)],
+            "cases": cases,
         })
     return groups
 
