@@ -502,14 +502,20 @@ WITH v AS (
          'Number under/equal to maximum'
     FROM documents WHERE n_chars IS NOT NULL AND n_chars > 500
   UNION ALL
-  SELECT doc_id, '/doc_id', 'required', '0', '1', 'Required property missing'
-    FROM documents WHERE doc_id IS NULL
+  SELECT doc_id, '', 'required', '0',
+         CAST((CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+            + (CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+            + (CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS VARCHAR),
+         'Required property missing'
+    FROM documents WHERE doc_id IS NULL OR text IS NULL OR lang IS NULL
   UNION ALL
-  SELECT doc_id, '/text', 'required', '0', '1', 'Required property missing'
-    FROM documents WHERE text IS NULL
-  UNION ALL
-  SELECT doc_id, '/lang', 'required', '0', '1', 'Required property missing'
-    FROM documents WHERE lang IS NULL
+  SELECT doc_id, '', 'required',
+         '[' || concat_ws(', ',
+           CASE WHEN doc_id IS NULL THEN '''doc_id''' END,
+           CASE WHEN text IS NULL THEN '''text''' END,
+           CASE WHEN lang IS NULL THEN '''lang''' END) || ']',
+         NULL, 'Required properties missing'
+    FROM documents WHERE doc_id IS NULL OR text IS NULL OR lang IS NULL
 )
 SELECT * FROM v
 """

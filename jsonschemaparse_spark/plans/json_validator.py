@@ -583,6 +583,7 @@ def validate_json_typed(
         F.lit(syntax_rule).alias("rule_id"),
         F.lit("").alias("path"),
         F.col(json_col).cast("string").alias("actual"),
+        F.lit(None).cast("string").alias("exp"),
     )
     annotated = mat.select(
         *key_cols,

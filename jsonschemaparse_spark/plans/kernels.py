@@ -46,6 +46,10 @@ COMPACT_STRUCT = T.StructType(
         T.StructField("rule_id", T.IntegerType(), False),
         T.StructField("path", T.StringType(), True),
         T.StructField("actual", T.StringType(), True),
+        # per-row expected override for rules whose expected value is
+        # dynamic (e.g. required's missing-key list); NULL means use the
+        # rule table's static expected
+        T.StructField("exp", T.StringType(), True),
     ]
 )
 COMPACT_ARRAY = T.ArrayType(COMPACT_STRUCT, True)
@@ -221,16 +225,19 @@ class ColumnCompiler:
         finally:
             self.rule_table = saved
 
-    def emit(self, rule_id: int, cond_bad: Column, path: Column, actual: Column) -> Column:
+    def emit(self, rule_id: int, cond_bad: Column, path: Column, actual: Column,
+             exp: Optional[Column] = None) -> Column:
         """Compact violation piece as STRUCT-OR-NULL: leaf pieces collect
         into ONE array_compact(array(...)) per schema node instead of a
         concat of N single-element arrays — fewer allocations, smaller
         codegen. Same array CONTENTS; intra-row order is unspecified
-        (see _gather)."""
+        (see _gather). `exp` optionally overrides the rule table's static
+        expected with a per-row dynamic value."""
         v = F.struct(
             F.lit(rule_id).alias("rule_id"),
             path.cast("string").alias("path"),
             actual.cast("string").alias("actual"),
+            (exp if exp is not None else F.lit(None)).cast("string").alias("exp"),
         )
         return F.when(cond_bad, v)
 
@@ -778,20 +785,34 @@ class ColumnCompiler:
                 leaf(n_present > F.lit(int(cs.max_properties)), "maxProperties",
                      cs.max_properties, n_present, "Too many properties")
             if cs.required:
-                # ONE row per object with actual = missing-key count —
-                # unified with the evaluator's endObject form
-                # (schema.js:1321-1325; VERDICT r2 #8 replaced the old
-                # per-missing-key rows)
-                miss = [
-                    (F.when(col.getField(k).isNull(), 1).otherwise(0)
-                     if k in types else F.lit(1))
-                    for k in sorted(cs.required)
+                # the reference emits BOTH rows per object (r3): the
+                # endObject count check (schema.js:810) and the
+                # finish()-time missing-key list in declaration order
+                # (schema.js:1322-1324) — the list rides the dynamic-
+                # expected slot of the compact encoding
+                miss_flags = [
+                    (col.getField(k).isNull() if k in types else F.lit(True))
+                    for k in cs.required
                 ]
+                miss = [F.when(f, 1).otherwise(0) for f in miss_flags]
                 n_missing = miss[0]
                 for m in miss[1:]:
                     n_missing = n_missing + m
                 leaf(n_missing > F.lit(0), "required", 0, n_missing,
                      "Required property missing")
+                miss_list = F.concat(
+                    F.lit("["),
+                    F.concat_ws(", ", F.array_compact(F.array(*[
+                        F.when(f, F.lit(f"'{k}'"))
+                        for f, k in zip(miss_flags, cs.required)
+                    ]))),
+                    F.lit("]"),
+                )
+                rid2 = self.register_rule(sid, "required", None,
+                                          "Required properties missing")
+                spieces.append(self.emit(rid2, n_missing > F.lit(0), path,
+                                         F.lit(None), exp=miss_list))
+                valids.append(~(n_missing > F.lit(0)))
             # const objects: NO missing-key leaf — the reference's
             # constRemain branch (schema.js:1360, "FIXME") is dead code, so
             # only constLength + per-present-key equality apply (absent
@@ -875,17 +896,28 @@ class ColumnCompiler:
                 leaf(n > F.lit(int(cs.max_properties)), "maxProperties",
                      cs.max_properties, n, "Too many properties")
             if cs.required:
-                # one row per object, actual = missing count (see struct
-                # path above / schema.js:1321-1325)
-                miss = [
-                    F.when(F.array_contains(keys, k), 0).otherwise(1)
-                    for k in sorted(cs.required)
-                ]
+                # both reference rows, as in the struct path above
+                miss_flags = [~F.coalesce(F.array_contains(keys, k), F.lit(False))
+                              for k in cs.required]
+                miss = [F.when(f, 1).otherwise(0) for f in miss_flags]
                 n_missing = miss[0]
                 for m in miss[1:]:
                     n_missing = n_missing + m
                 leaf(n_missing > F.lit(0), "required", 0, n_missing,
                      "Required property missing")
+                miss_list = F.concat(
+                    F.lit("["),
+                    F.concat_ws(", ", F.array_compact(F.array(*[
+                        F.when(f, F.lit(f"'{k}'"))
+                        for f, k in zip(miss_flags, cs.required)
+                    ]))),
+                    F.lit("]"),
+                )
+                rid2 = self.register_rule(sid, "required", None,
+                                          "Required properties missing")
+                spieces.append(self.emit(rid2, n_missing > F.lit(0), path,
+                                         F.lit(None), exp=miss_list))
+                valids.append(~(n_missing > F.lit(0)))
             if self.extensions and cs.dependent_required:
                 for k, reqs in sorted(cs.dependent_required.items()):
                     present_k = F.array_contains(keys, k)

@@ -115,10 +115,15 @@ class ValidationResult:
                 F.col("v.rule_id").alias("rule_id"),
                 F.col("v.path").alias("path"),
                 F.col("v.actual").alias("actual"),
+                F.col("v.exp").alias("_dyn_expected"),
             )
             out = exploded.join(F.broadcast(rules_df), "rule_id").select(
                 *self.key_cols,
-                "constraint_id", "path", "keyword", "expected", "actual", "message",
+                "constraint_id", "path", "keyword",
+                # dynamic per-row expected (required's missing-key list)
+                # overrides the rule table's static value
+                F.coalesce(F.col("_dyn_expected"), F.col("expected")).alias("expected"),
+                "actual", "message",
             )
         else:
             out = self.annotated.select(*self.key_cols, v).select(

@@ -251,7 +251,10 @@ class CompiledSchema:
             for k in req:
                 if not isinstance(k, str):
                     raise SchemaError('Expected "required" to be an array of strings')
-            self.required: Optional[frozenset] = frozenset(req)
+            # order-preserving dedupe: the reference stores required in a
+            # Set built in DECLARATION order (schema.js:807) and reports
+            # missing keys in that order (Array.from, schema.js:1323)
+            self.required: Optional[tuple] = tuple(dict.fromkeys(req))
         else:
             self.required = None
 

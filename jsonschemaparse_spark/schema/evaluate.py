@@ -281,9 +281,13 @@ class Evaluator:
         if schema.const_type == "object" and schema.const_length is not None and n != schema.const_length:
             E("Incorrect number of properties", "const", schema.const_length, n)
         if schema.required is not None:
-            remain = sum(1 for k in schema.required if k not in value)
-            if remain:
-                E("Required property missing", "required", 0, remain)
+            missing = [k for k in schema.required if k not in value]
+            if missing:
+                # the reference emits BOTH rows per object: the endObject
+                # count check (schema.js:810) and the finish()-time
+                # missing-key list (schema.js:1322-1324, declaration order)
+                E("Required property missing", "required", 0, len(missing))
+                E("Required properties missing", "required", missing, None)
         # NOTE deliberately NO missing-key check for const objects: the
         # reference's constRemain branch (schema.js:1360-1364, flagged
         # "FIXME is this right?") is dead code — constRemain is never

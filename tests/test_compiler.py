@@ -128,7 +128,7 @@ def test_compiled_schema_is_picklable_for_broadcast():
     )
     blob = pickle.dumps(cs)
     cs2 = pickle.loads(blob)
-    assert cs2.required == frozenset(["n"])
+    assert cs2.required == ("n",)  # declaration-order tuple since r3
     assert cs2.properties["n"].resolve_ref().allow_number
 
 

@@ -61,11 +61,14 @@ def test_violation_cap(spark):
         },
     }
     full = validate_dataframe(df, rules, key_cols=["id"])
-    # 3 per-property rows + ONE `required` row for both missing keys
-    # (r3 unified multiplicity with the evaluator, schema.js:1321-1325)
-    assert full.violations().count() == 4
-    req = [r for r in full.violations().collect() if r["keyword"] == "required"]
-    assert len(req) == 1 and req[0]["actual"] == "2"
+    # 3 per-property rows + TWO `required` rows (reference emits both the
+    # endObject count, schema.js:810, and the missing-key list,
+    # schema.js:1322-1324)
+    assert full.violations().count() == 5
+    req = sorted((r["message"], r["expected"], r["actual"])
+                 for r in full.violations().collect() if r["keyword"] == "required")
+    assert req == [("Required properties missing", "['missing1', 'missing2']", None),
+                   ("Required property missing", "0", "2")]
     capped = validate_dataframe(df, rules, key_cols=["id"], max_violations_per_row=2)
     row = capped.annotated.collect()[0]
     assert len(row["_jsp_violations"]) == 2

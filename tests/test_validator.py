@@ -103,7 +103,13 @@ def test_required_null_column(spark):
     df = spark.createDataFrame([(1, "x"), (2, None)], ["id", "text"])
     res = validate_dataframe(df, {"required": ["text"]}, key_cols=["id"])
     bad = res.violations().collect()
-    assert len(bad) == 1 and bad[0]["keyword"] == "required" and bad[0]["id"] == 2
+    # r3: the reference emits BOTH rows per failing object — the endObject
+    # count (schema.js:810) and the missing-key list (schema.js:1322-1324)
+    assert len(bad) == 2 and all(b["keyword"] == "required" and b["id"] == 2
+                                 for b in bad)
+    by_msg = {b["message"]: b for b in bad}
+    assert by_msg["Required property missing"]["actual"] == "1"
+    assert by_msg["Required properties missing"]["expected"] == "['text']"
 
 
 def test_message_parity_table_path(spark):
