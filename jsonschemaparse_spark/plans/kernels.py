@@ -532,7 +532,7 @@ class ColumnCompiler:
             leaf(n < F.lit(int(cs.min_items)), "minItems", cs.min_items, n, "Too few items")
         if cs.max_items is not None:
             leaf(n > F.lit(int(cs.max_items)), "maxItems", cs.max_items, n, "Too many items")
-        if cs.const_type == "array" and cs.const_length is not None:
+        if cs.const_length is not None:  # any const type incl. string length (schema.js:833-838)
             leaf(n != F.lit(int(cs.const_length)), "const", cs.const_length, n,
                  "Incorrect number of items")
 
@@ -784,6 +784,10 @@ class ColumnCompiler:
             if cs.max_properties is not None:
                 leaf(n_present > F.lit(int(cs.max_properties)), "maxProperties",
                      cs.max_properties, n_present, "Too many properties")
+            if cs.const_length is not None:
+                # any const type incl. string length (schema.js:798-803)
+                leaf(n_present != F.lit(int(cs.const_length)), "const",
+                     cs.const_length, n_present, "Incorrect number of properties")
             if cs.required:
                 # the reference emits BOTH rows per object (r3): the
                 # endObject count check (schema.js:810) and the
@@ -895,6 +899,9 @@ class ColumnCompiler:
             if cs.max_properties is not None:
                 leaf(n > F.lit(int(cs.max_properties)), "maxProperties",
                      cs.max_properties, n, "Too many properties")
+            if cs.const_length is not None:
+                leaf(n != F.lit(int(cs.const_length)), "const",
+                     cs.const_length, n, "Incorrect number of properties")
             if cs.required:
                 # both reference rows, as in the struct path above
                 miss_flags = [~F.coalesce(F.array_contains(keys, k), F.lit(False))

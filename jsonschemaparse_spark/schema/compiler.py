@@ -370,8 +370,14 @@ class CompiledSchema:
             self.enum_literals = set()
             self.enum_schemas = []
             self.enum_values = ev
+            # scalar subset in declaration order: the reference reports
+            # enumLiterals (the scalar Set, containers excluded) as the
+            # error's expected value (schema.js:540-545, 889/947/969/986)
+            self.enum_scalars: list = []
             for i, v in enumerate(ev):
                 if isinstance(v, (str, bool)) or v is None or isinstance(v, (int, float)):
+                    if enum_key(v) not in self.enum_literals:
+                        self.enum_scalars.append(v)
                     self.enum_literals.add(enum_key(v))
                 else:
                     self.enum_schemas.append(sub({"const": v}, f"enum/{i}"))

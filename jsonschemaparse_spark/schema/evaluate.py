@@ -158,7 +158,9 @@ class Evaluator:
             E(expected_type(t, schema.allowed_types), "type", schema.allowed_types, t)
         if schema.const_type is not None and schema.const_type != t:
             E(expected_type(t, [schema.const_type]), "const", schema.const_type, t)
-            # reference still runs end-event const equality; ours subsumes it
+            # the reference ALSO runs the end-event const equality check on
+            # type mismatch (constValue is type-strict JS !==) — emitted
+            # below in the per-type sections (r3 report-parity fix)
 
         # --- per-type keywords ---
         if t == "object":
@@ -175,8 +177,12 @@ class Evaluator:
                 # search-not-match semantics (RegExp.test, schema.js:884)
                 E("String does not match /" + schema.pattern + "/", "pattern", schema.pattern)
             if schema.enum_literals is not None and enum_key(value) not in schema.enum_literals:
-                E("String does not match one of the enumerated values", "enum", schema.enum_values)
-            if schema.const_type == "string" and schema.const_value != value:
+                E("String does not match one of the enumerated values", "enum", schema.enum_scalars)
+            if schema.has_const and not (
+                schema.const_type == "string" and schema.const_value == value
+            ):
+                # fires for non-string consts too (JS constValue!==str,
+                # schema.js:892-894)
                 E("String does not match constant", "const", schema.const_value, value)
             if self.enforce_formats and schema.format is not None:
                 from ..functions.formats import format_ok
@@ -186,9 +192,12 @@ class Evaluator:
                       "format", schema.format, value)
         elif t == "number":
             n = value
-            if schema.const_type == "number" and not (
-                not isinstance(schema.const_value, bool) and float(schema.const_value) == float(n)
+            if schema.has_const and not (
+                schema.const_type == "number"
+                and not isinstance(schema.const_value, bool)
+                and float(schema.const_value) == float(n)
             ):
+                # fires for non-number consts too (schema.js:910-912)
                 E("const number mismatch", "const", schema.const_value, n)
             if schema.exclusive_minimum is not None and n <= schema.exclusive_minimum:
                 E("Number under minimum", "exclusiveMinimum", schema.exclusive_minimum, n)
@@ -201,21 +210,26 @@ class Evaluator:
             if schema.multiple_of is not None and not _is_multiple(n, schema.multiple_of):
                 E("Number not multiple of", "multipleOf", schema.multiple_of, n)
             if schema.allow_number and not schema.allow_fraction and math.fmod(float(n), 1.0):
-                E("Expected an integer", "type", schema.allowed_types, "integer")
+                E("Expected an integer", "type",
+                  schema.allowed_types[0] if len(schema.allowed_types) == 1
+                  else schema.allowed_types, "integer")
             if schema.enum_literals is not None and enum_key(
                 float(n) if not isinstance(n, bool) else n
             ) not in schema.enum_literals:
-                E("Number does not match one of the enumerated values", "enum", schema.enum_values)
+                E("Number does not match one of the enumerated values", "enum", schema.enum_scalars)
         elif t == "boolean":
-            if schema.const_type == "boolean" and schema.const_value is not value:
+            if schema.has_const and not (
+                schema.const_type == "boolean" and schema.const_value is value
+            ):
+                # fires for non-boolean consts too (schema.js:962-964)
                 E("const mismatch", "const", schema.const_value, value)
             if schema.enum_literals is not None and enum_key(value) not in schema.enum_literals:
-                E("Boolean does not match one of the enumerated values", "enum", schema.enum_values)
+                E("Boolean does not match one of the enumerated values", "enum", schema.enum_scalars)
         elif t == "null":
             if schema.enum_literals is not None and enum_key(None) not in schema.enum_literals:
-                E("Null does not match one of the enumerated values", "enum", schema.enum_values)
+                E("Null does not match one of the enumerated values", "enum", schema.enum_scalars)
             if schema.has_const and schema.const_value is not None:
-                E("const mismatch", "const", schema.const_value, value)
+                E("const mismatch", "const", schema.const_value, None)
 
         # --- structural enum members (EndObject/EndArray testEnum,
         #     schema.js:813-820, 851-858) ---
@@ -278,7 +292,10 @@ class Evaluator:
             E("Too few properties", "minProperties", schema.min_properties, n)
         if schema.max_properties is not None and n > schema.max_properties:
             E("Too many properties", "maxProperties", schema.max_properties, n)
-        if schema.const_type == "object" and schema.const_length is not None and n != schema.const_length:
+        # fires for STRING consts too — constLength is the string's length
+        # and the endObject/endArray count validators gate only on
+        # constLength being a number (schema.js:577-578, 798-803, 833-838)
+        if schema.const_length is not None and n != schema.const_length:
             E("Incorrect number of properties", "const", schema.const_length, n)
         if schema.required is not None:
             missing = [k for k in schema.required if k not in value]
@@ -393,7 +410,8 @@ class Evaluator:
     # ------------------------------------------------------------------
     def _array_keywords(self, schema, value: list, path, E, annotations, rbase, depth):
         n = len(value)
-        if schema.const_type == "array" and schema.const_length is not None and n != schema.const_length:
+        # constLength of any const type (incl. string length) — see object note
+        if schema.const_length is not None and n != schema.const_length:
             E("Incorrect number of items", "const", schema.const_length, n)
         if schema.min_items is not None and n < schema.min_items:
             E("Too few items", "minItems", schema.min_items, n)
