@@ -306,7 +306,9 @@ class ColumnCompiler:
             # integer keyword on a fractional column
             if base == "number" and jtype == "number" and cs.allow_number and not cs.allow_fraction:
                 frac = (col.cast("double") % F.lit(1.0)) != F.lit(0.0)
-                leaf(frac, "type", cs.allowed_types, col, "Expected an integer")
+                leaf(frac, "type",
+                     cs.allowed_types[0] if len(cs.allowed_types) == 1
+                     else cs.allowed_types, col, "Expected an integer")
 
         # ---- per-type keyword kernels --------------------------------------
         if jtype in ("integer", "number"):
@@ -406,7 +408,7 @@ class ColumnCompiler:
                  'Expected "enum" to have one matching value')
         elif jtype in ("object", "array") and cs.enum_literals is not None and not cs.enum_schemas:
             # enum of scalars only: a container value can never match
-            leaf(F.lit(True), "enum", getattr(cs, "enum_values", None), F.lit(jtype),
+            leaf(F.lit(True), "enum", 1, F.lit(0),
                  'Expected "enum" to have one matching value')
 
         viols = _gather(spieces, pieces)
@@ -501,9 +503,9 @@ class ColumnCompiler:
                 test_col = col
             if lits:
                 # Catalyst OptimizeIn turns this into an InSet hash probe
-                leaf(~test_col.isin(lits), "enum", cs.enum_values, col, msg)
+                leaf(~test_col.isin(lits), "enum", getattr(cs, "enum_scalars", cs.enum_values), col, msg)
             else:
-                leaf(F.lit(True), "enum", getattr(cs, "enum_values", None), col, msg)
+                leaf(F.lit(True), "enum", getattr(cs, "enum_scalars", None), col, msg)
 
         if cs.const_type is not None:
             if cs.const_type == "string" and jtype == "string":
@@ -512,7 +514,26 @@ class ColumnCompiler:
             elif cs.const_type == "number" and jtype in ("integer", "number"):
                 leaf(col.cast("double") != F.lit(float(cs.const_value)), "const",
                      cs.const_value, col, "const number mismatch")
-            # boolean handled in _boolean_kernels; object/array via
+            elif (
+                jtype in ("string", "integer", "number", "boolean")
+                and cs.const_type != jtype
+                and not (cs.const_type == "number" and jtype == "integer")
+                and not (cs.const_type == "boolean" and jtype == "boolean")
+            ):
+                # TYPE-MISMATCHED const only (same-type string/number are
+                # the two branches above; same-type boolean lives in
+                # _boolean_kernels): the reference still runs the
+                # end-event value check (JS !== is type-strict, so it
+                # always fires — schema.js:892/910/962) with the
+                # INSTANCE-type message; mirrors the evaluator (r3)
+                end_msg = {
+                    "string": "String does not match constant",
+                    "integer": "const number mismatch",
+                    "number": "const number mismatch",
+                    "boolean": "const mismatch",
+                }[jtype]
+                leaf(F.lit(True), "const", cs.const_value, col, end_msg)
+            # boolean same-type handled in _boolean_kernels; object/array via
             # const_length + const_properties/const_items in container kernels
 
     # ------------------------------------------------------------------
