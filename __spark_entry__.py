@@ -269,7 +269,10 @@ def q_ks_drift_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-WEBPAGES_ORACLE_PATH = "/tmp/jsp_oracle_webpages"
+# per-sf snapshot paths so a run at one scale can never clobber the
+# snapshot another scale's oracle is about to read (review r3 finding);
+# oracle_sql() pins the sf0.01 path — the driver's correctness gate scale
+WEBPAGES_ORACLE_PATH = "/tmp/jsp_oracle_webpages_sf{sf}"
 
 
 def q_webpages_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -280,8 +283,9 @@ def q_webpages_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SAME rows (VERDICT r2 #2: flips the last rows-only row to hash-match);
     # html is dropped — it is unconstrained by WEBPAGE_RULES and its seeded
     # invalid-UTF-8 tails are exercised by the charset tests instead
-    pages.drop("html").write.mode("overwrite").parquet(WEBPAGES_ORACLE_PATH)
-    pages = spark.read.parquet(WEBPAGES_ORACLE_PATH)
+    path = WEBPAGES_ORACLE_PATH.format(sf=sf)
+    pages.drop("html").write.mode("overwrite").parquet(path)
+    pages = spark.read.parquet(path)
     res = validate_dataframe(pages, WEBPAGE_RULES, key_cols=["url"])
     return res.annotated.select(
         F.count(F.lit(1)).alias("n_rows"),
@@ -511,9 +515,9 @@ WITH v AS (
   UNION ALL
   SELECT doc_id, '', 'required',
          '[' || concat_ws(', ',
-           CASE WHEN doc_id IS NULL THEN '''doc_id''' END,
-           CASE WHEN text IS NULL THEN '''text''' END,
-           CASE WHEN lang IS NULL THEN '''lang''' END) || ']',
+           CASE WHEN doc_id IS NULL THEN '"doc_id"' END,
+           CASE WHEN text IS NULL THEN '"text"' END,
+           CASE WHEN lang IS NULL THEN '"lang"' END) || ']',
          NULL, 'Required properties missing'
     FROM documents WHERE doc_id IS NULL OR text IS NULL OR lang IS NULL
 )
@@ -543,10 +547,8 @@ SELECT CAST(count(*) AS BIGINT) AS n_rows,
        CAST(sum(CASE WHEN bad > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_failed_rows,
        CAST(sum(bad) AS BIGINT) AS n_violations
 FROM (
-  SELECT (CASE WHEN url IS NULL THEN 1 ELSE 0 END)
-       + (CASE WHEN warc_ts IS NULL THEN 1 ELSE 0 END)
-       + (CASE WHEN text IS NULL THEN 1 ELSE 0 END)
-       + (CASE WHEN lang IS NULL THEN 1 ELSE 0 END)
+  SELECT (CASE WHEN url IS NULL OR warc_ts IS NULL OR text IS NULL
+                    OR lang IS NULL THEN 2 ELSE 0 END)
        + (CASE WHEN url IS NOT NULL AND NOT regexp_matches(url, '^https?://') THEN 1 ELSE 0 END)
        + (CASE WHEN url IS NOT NULL AND length(url) > 2048 THEN 1 ELSE 0 END)
        + (CASE WHEN text IS NOT NULL AND length(text) < 1 THEN 1 ELSE 0 END)
@@ -554,7 +556,9 @@ FROM (
   FROM read_parquet('{path}/*.parquet')
 )
 """.format(langs=", ".join("'" + l + "'" for l in LANGS),
-           path=WEBPAGES_ORACLE_PATH)
+           # pinned to sf0.01 — the scale the driver's correctness gate
+           # runs at; each scale's query writes its own snapshot
+           path=WEBPAGES_ORACLE_PATH.format(sf=0.01))
 
     return {
         "validate_documents": viol,

@@ -39,8 +39,11 @@ def write_bucketed(df: DataFrame, table: str, key: str, n_buckets: int,
 
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    loc = Path(wh.removeprefix("file:")) / table.split(".")[-1].lower()
+    wh = Path(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+              .removeprefix("file:"))
+    parts = [p.lower() for p in table.split(".")]
+    # db-qualified names live under <warehouse>/<db>.db/<table>
+    loc = wh / parts[-1] if len(parts) == 1 else wh / f"{parts[-2]}.db" / parts[-1]
     shutil.rmtree(loc, ignore_errors=True)
     w = df.write.mode("overwrite").bucketBy(n_buckets, key)
     if sort:

@@ -361,12 +361,12 @@ def validate_json_hybrid(
     the reference's exact keyword/message. Python cost is O(flagged docs);
     clean rows never leave the JVM.
 
-    Report-parity caveat (documented path difference, not hybrid-specific):
-    clean rows report `required` PER MISSING KEY (the Column path's
-    table-scope convention) while evaluator-handled rows report one
-    `required` row per object with the missing-key list (reference parity,
-    schema.js:1321-1325). Verdicts and every other keyword row agree
-    exactly (randomized differential in test_differential).
+    Report parity is exact across paths since r3: both the Column kernels
+    and the evaluator emit the reference's TWO `required` rows per failing
+    object (endObject count, schema.js:810, + missing-key list,
+    schema.js:1322-1324) with byte-identical expected strings; the
+    randomized hybrid-vs-arrow differential asserts full message parity
+    (test_differential, multiplicity assertion un-relaxed).
     """
     from .kernels import ColumnCompiler
 

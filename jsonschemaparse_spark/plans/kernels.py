@@ -26,6 +26,7 @@ Arrow-batched evaluator kernel instead.
 
 from __future__ import annotations
 
+import json
 from typing import Optional, Tuple
 
 from pyspark.sql import Column
@@ -518,7 +519,6 @@ class ColumnCompiler:
                 jtype in ("string", "integer", "number", "boolean")
                 and cs.const_type != jtype
                 and not (cs.const_type == "number" and jtype == "integer")
-                and not (cs.const_type == "boolean" and jtype == "boolean")
             ):
                 # TYPE-MISMATCHED const only (same-type string/number are
                 # the two branches above; same-type boolean lives in
@@ -825,10 +825,13 @@ class ColumnCompiler:
                     n_missing = n_missing + m
                 leaf(n_missing > F.lit(0), "required", 0, n_missing,
                      "Required property missing")
+                # json.dumps-style per-key literals (escaped at compile
+                # time — keys are static), so the report string is byte-
+                # identical to the evaluator's _show(json.dumps) form
                 miss_list = F.concat(
                     F.lit("["),
                     F.concat_ws(", ", F.array_compact(F.array(*[
-                        F.when(f, F.lit(f"'{k}'"))
+                        F.when(f, F.lit(json.dumps(k, ensure_ascii=False)))
                         for f, k in zip(miss_flags, cs.required)
                     ]))),
                     F.lit("]"),
@@ -933,10 +936,13 @@ class ColumnCompiler:
                     n_missing = n_missing + m
                 leaf(n_missing > F.lit(0), "required", 0, n_missing,
                      "Required property missing")
+                # json.dumps-style per-key literals (escaped at compile
+                # time — keys are static), so the report string is byte-
+                # identical to the evaluator's _show(json.dumps) form
                 miss_list = F.concat(
                     F.lit("["),
                     F.concat_ws(", ", F.array_compact(F.array(*[
-                        F.when(f, F.lit(f"'{k}'"))
+                        F.when(f, F.lit(json.dumps(k, ensure_ascii=False)))
                         for f, k in zip(miss_flags, cs.required)
                     ]))),
                     F.lit("]"),

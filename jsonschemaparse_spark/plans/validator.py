@@ -71,11 +71,13 @@ class ValidationResult:
     py_viols_col: Optional[str] = None
     # hybrid path (VERDICT r2 stretch #9): Observation whose metrics report
     # how many rows were routed to the Python rescue UDF in the SAME action
-    # that consumed `annotated` (zero extra jobs). After any action,
-    # flagged_observation.get["jsp_flagged"] == 0 proves the corpus was
-    # fully JVM-validated — checkpoint/resume reruns over the same data may
-    # then use engine='typed' and skip the UDF stage entirely (identical
-    # results by construction when nothing is flagged).
+    # that consumed `annotated` (zero extra jobs). After a FULL-SCAN action
+    # (count/collect/write — NOT first()/limit()/show(), which observe only
+    # the rows actually scanned), jsp_flagged == 0 with jsp_rows == the
+    # table's row count proves the corpus was fully JVM-validated —
+    # checkpoint/resume reruns over the same data may then use
+    # engine='typed' and skip the UDF stage (identical results by
+    # construction when nothing is flagged).
     flagged_observation: Optional[object] = None
 
     def annotations(self) -> DataFrame:

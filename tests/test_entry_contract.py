@@ -67,7 +67,7 @@ def test_violation_cap(spark):
     assert full.violations().count() == 5
     req = sorted((r["message"], r["expected"], r["actual"])
                  for r in full.violations().collect() if r["keyword"] == "required")
-    assert req == [("Required properties missing", "['missing1', 'missing2']", None),
+    assert req == [("Required properties missing", '["missing1", "missing2"]', None),
                    ("Required property missing", "0", "2")]
     capped = validate_dataframe(df, rules, key_cols=["id"], max_violations_per_row=2)
     row = capped.annotated.collect()[0]

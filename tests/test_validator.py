@@ -109,7 +109,7 @@ def test_required_null_column(spark):
                                  for b in bad)
     by_msg = {b["message"]: b for b in bad}
     assert by_msg["Required property missing"]["actual"] == "1"
-    assert by_msg["Required properties missing"]["expected"] == "['text']"
+    assert by_msg["Required properties missing"]["expected"] == '["text"]'  # json.dumps form, both paths
 
 
 def test_message_parity_table_path(spark):
