@@ -446,7 +446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect, same table names, same column aliases)
 # ---------------------------------------------------------------------------
-_ENUM_EXPECTED = str(LANGS)  # kernels stringify expected via json/str — keep in sync
+_ENUM_EXPECTED = __import__("json").dumps(LANGS)  # kernels stringify expected via _show/json.dumps — keep in sync
 
 _NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 _WORDS = f"string_split({_NORM}, ' ')"
@@ -490,7 +490,7 @@ WITH v AS (
          'String does not match one of the enumerated values'
     FROM documents WHERE lang IS NOT NULL AND lang NOT IN ({", ".join("'" + l + "'" for l in LANGS)})
   UNION ALL
-  SELECT doc_id, '/source', 'pattern', '^src', CAST(source AS VARCHAR),
+  SELECT doc_id, '/source', 'pattern', '"^src"', CAST(source AS VARCHAR),
          'String does not match /^src/'
     FROM documents WHERE source IS NOT NULL AND NOT regexp_matches(source, '^src')
   UNION ALL

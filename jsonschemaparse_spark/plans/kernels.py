@@ -200,13 +200,18 @@ class ColumnCompiler:
 
     # ------------------------------------------------------------------
     def register_rule(self, constraint_id: str, keyword: str, expected, message: str) -> int:
+        from ..errors import _show
+
         rule_id = len(self.rule_table)
         self.rule_table.append(
             {
                 "rule_id": rule_id,
                 "constraint_id": constraint_id,
                 "keyword": keyword,
-                "expected": None if expected is None else str(expected),
+                # same serialization as the evaluator's as_row (_show =
+                # json.dumps) so a report that mixes compact and Arrow
+                # fallback rows formats `expected` identically (r3)
+                "expected": None if expected is None else _show(expected),
                 "message": message,
             }
         )
