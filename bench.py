@@ -65,6 +65,10 @@ def main() -> None:
         # sample conflates engine cost with host phase. Min across two
         # back-to-back runs is the phase-robust estimator VERDICT r2
         # endorsed; runs are recorded so the methodology is auditable.
+        # inter-query GC: earlier queries' humongous allocations otherwise
+        # bleed GC pressure into later entries (dedup_minhash measured
+        # ~2.8 s in a fresh session vs ~7 s late in a bench session)
+        spark._jvm.System.gc()
         walls = []
         for _ in range(max(RUNS, 1)):
             t0 = time.perf_counter()
