@@ -343,20 +343,69 @@ def minhash_near_duplicates(
     )
 
 
-def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str = "text", k: int = 3, threshold: float = 0.5
-) -> DataFrame:
-    """Exact all-pairs n-gram Jaccard via inverted index on shingles —
-    feasible when shingle posting lists are short (dedup-after-exact).
-    Shuffle key = shingle; pairs sharing >=1 shingle are scored exactly."""
+def _ngram_postings(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(doc, sh, n_sh): exploded inverted-index postings for k-shingles."""
     spark = df.sparkSession
     raw = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_t")).repartition(
         spark.sparkContext.defaultParallelism
     )
     with_sh = raw.select(F.col("doc"), shingles(F.col("_t"), k).alias("_sh"))
-    sh = with_sh.select(
+    return with_sh.select(
         F.col("doc"), F.explode(F.col("_sh")).alias("sh"), F.size(F.col("_sh")).alias("n_sh")
     )
+
+
+def ngram_posting_overflow(
+    df: DataFrame,
+    id_col: str,
+    max_posting_len: int,
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """(sh, n_docs) for every shingle whose posting list exceeds the cap —
+    the explicit 'what was dropped' view for
+    ngram_jaccard_pairs(max_posting_len=N). No silent caps: pair
+    generation skips these hot shingles in-plan, and this frame names
+    them (same contract as similarity.embedding_bucket_overflow)."""
+    sh = _ngram_postings(df, id_col, text_col, k)
+    return (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > max_posting_len)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_posting_len: int | None = None,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard via inverted index on shingles —
+    feasible when shingle posting lists are short (dedup-after-exact).
+    Shuffle key = shingle; pairs sharing >=1 shingle are scored exactly.
+
+    max_posting_len bounds the per-shingle self-join: a stopword-grade hot
+    shingle with p postings contributes p^2/2 candidate rows, which goes
+    quadratic at web scale. When set, shingles with more than
+    max_posting_len postings are SKIPPED in-plan (no driver action; a
+    group-count + left-semi join, the embedding_near_duplicates pattern)
+    and named by ngram_posting_overflow(). Effect on results: the
+    intersection count omits hot shingles while |A| and |B| stay full, so
+    reported jaccard becomes a LOWER BOUND and pairs that co-occur ONLY in
+    hot shingles are dropped — for dedup this is the conservative
+    direction (hot shingles carry no discriminative signal)."""
+    sh = _ngram_postings(df, id_col, text_col, k)
+    if max_posting_len is not None:
+        ok = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_posting_len)
+            .drop("_n")
+        )
+        sh = sh.join(ok, "sh", "left_semi")
     l, r = sh.alias("l"), sh.alias("r")
     co = (
         l.join(r, (F.col("l.sh") == F.col("r.sh")) & (F.col("l.doc") < F.col("r.doc")))

@@ -74,13 +74,21 @@ def _cosine_pandas_udf(query: Sequence[float]):
     return score
 
 
+# expr-vs-pandas crossover: at dim=64 the two kernels tie (0.53s vs 0.57s
+# at 128k vectors warm — the parquet scan dominates); the zip_with/aggregate
+# expression is CodegenFallback (interpreted per element) so its cost grows
+# linearly with dim while the numpy matmul amortizes into BLAS. Real
+# embedding widths (256-4096) sit firmly on the pandas side.
+PANDAS_KERNEL_MIN_DIM = 128
+
+
 def brute_force_topk(
     corpus: DataFrame,
     query: Sequence[float],
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    kernel: str = "expr",
+    kernel: str = "auto",
 ) -> DataFrame:
     """(id, score) of the k nearest corpus vectors to `query` by cosine.
     One narrow projection + TakeOrderedAndProject (limit k per partition,
@@ -90,7 +98,12 @@ def brute_force_topk(
     reproducible in the DuckDB oracle; 'pandas' runs one numpy matmul per
     Arrow batch (the scale path for wide embeddings; scores differ from
     'expr' only in the last ulp from summation order — identical top-k on
-    the test corpus)."""
+    the test corpus). The default 'auto' picks by query dimension at the
+    measured crossover (PANDAS_KERNEL_MIN_DIM): narrow test corpora stay
+    oracle-reproducible, wide-embedding users get the BLAS kernel without
+    reading this docstring (VERDICT r3 stretch #8)."""
+    if kernel == "auto":
+        kernel = "pandas" if len(query) >= PANDAS_KERNEL_MIN_DIM else "expr"
     if kernel == "pandas":
         score = _cosine_pandas_udf(query)(F.col(vec_col).cast("array<double>"))
     else:
@@ -155,7 +168,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
-    kernel: str = "expr",
+    kernel: str = "auto",
 ) -> DataFrame:
     """Approximate top-k: score only rows sharing the query's LSH bucket in
     AT LEAST ONE of n_tables independent hyperplane tables (multi-probe —
@@ -216,7 +229,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
-    kernel: str = "expr",
+    kernel: str = "auto",
     index=None,
 ) -> DataFrame:
     """IVF approximate top-k (the brief's IVF scale path): score only the

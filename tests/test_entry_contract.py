@@ -17,6 +17,10 @@ def test_contract_shape():
     rows_only = set(qs) - set(oracles)
     assert rows_only <= {
         "ks_drift_nchars", "webpages_flagship", "simhash_sample", "chi2_drift_lang",
+        # genuinely approximate by design: result depends on the k-means
+        # listing — graded by recall floors + deterministic snapshot in
+        # tests/test_round4_fixes.py instead of SQL reproduction
+        "ann_ivf_partial",
     }
 
 
