@@ -603,6 +603,7 @@ def validate_json_rows(
     rules,
     key_cols: Optional[Sequence[str]] = None,
     extensions: bool = False,
+    big_number: str = "default",
 ) -> ValidationResult:
     """Whole-row fallback: serialize each row to a JSON object (JVM-side
     to_json — cheap, columnar) and validate with the Python evaluator.
@@ -616,4 +617,5 @@ def validate_json_rows(
     with_doc = df.select(
         *key_cols, F.to_json(F.struct(*[F.col(c) for c in data_cols])).alias("_jsp_doc")
     )
-    return validate_json_column(with_doc, "_jsp_doc", rules, key_cols=key_cols, extensions=extensions)
+    return validate_json_column(with_doc, "_jsp_doc", rules, key_cols=key_cols,
+                                extensions=extensions, big_number=big_number)

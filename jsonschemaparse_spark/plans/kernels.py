@@ -179,8 +179,21 @@ class ColumnCompiler:
     table for report reconstruction."""
 
     def __init__(self, extensions: bool = True, enforce_formats: bool = False,
-                 collect_field_fallbacks: bool = False):
+                 collect_field_fallbacks: bool = False,
+                 big_number: str = "default"):
         self.extensions = extensions
+        # bigNumber policy surface for high-precision columns (reference
+        # README.md:128-137, parse.js:1135-1205). On a TYPED DataFrame only
+        # 'error' has validation semantics: long/decimal columns already
+        # hold exact values (there is no parse step producing a binary64),
+        # so the value-transforming policies (string/json/intstr/fraction/
+        # properfraction/float64) are no-ops here — they shape the PARSED
+        # value on the api.parse / validate_json_column paths
+        # (schema/relaxed_json.make_number_hooks).
+        if big_number not in ("default", "float64", "error", "json", "string",
+                              "intstr", "fraction", "properfraction"):
+            raise ValueError(f"Unknown bigNumber policy: {big_number}")
+        self.big_number = big_number
         # format is annotation-only in the reference (schema.js:691, no
         # exportRules entry); enforcement is an opt-in extension
         self.enforce_formats = enforce_formats
@@ -318,7 +331,7 @@ class ColumnCompiler:
 
         # ---- per-type keyword kernels --------------------------------------
         if jtype in ("integer", "number"):
-            self._number_kernels(cs, col, path, leaf)
+            self._number_kernels(cs, col, dtype, path, leaf)
         elif jtype == "string":
             scol = col.cast("string") if not isinstance(dtype, T.StringType) else col
             self._string_kernels(cs, scol, path, leaf)
@@ -427,7 +440,24 @@ class ColumnCompiler:
         return valid, viols
 
     # ------------------------------------------------------------------
-    def _number_kernels(self, cs: CompiledSchema, col: Column, path, leaf) -> None:
+    def _number_kernels(self, cs: CompiledSchema, col: Column, dtype, path, leaf) -> None:
+        # bigNumber 'error': a long/decimal value that cannot round-trip
+        # through binary64 emits the reference's validation row
+        # (parse.js:1180-1186 badCase -> ResourceLimitError "Number too
+        # precise"; README.md:130 'error: Treat as a validation error').
+        # Lossiness test = EXACT double round-trip, the same rule as
+        # schema/relaxed_json._is_lossy on the parse/Arrow paths (strictly
+        # sharper than the reference's <16-digit heuristic — documented
+        # divergence, consistent across all three engine paths). The
+        # round-trip stays in codegen: cast to double and back, unequal or
+        # overflow-null => lossy. Float/double columns are binary64 already.
+        if self.big_number == "error" and isinstance(dtype, (T.DecimalType, T.LongType)):
+            back = "decimal(38,0)" if isinstance(dtype, T.LongType) else dtype
+            rt = col.cast("double").cast(back)
+            orig = col.cast(back) if isinstance(dtype, T.LongType) else col
+            lossy = F.coalesce(rt != orig, F.lit(True))
+            leaf(lossy, "bigNumber", None, col, "Number too precise")
+
         # Compare in the column's own numeric type (Catalyst coerces the
         # literal): keeps full precision for long/decimal columns — the
         # bignum suite cases (optional/bignum.json) would corrupt at the

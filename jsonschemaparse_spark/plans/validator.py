@@ -209,16 +209,22 @@ class ValidationResult:
 PY_VIOLS_COL = "_jsp_violations_py"
 
 
-def _column_fallback_udf(sub, nm: str, extensions: bool):
+def _column_fallback_udf(sub, nm: str, extensions: bool, big_number: str = "default"):
     """Arrow-batched pandas UDF evaluating ONE column's subschema in Python.
     Input is to_json(struct(col)) — Arrow ships just that column; null
     fields are omitted by to_json, matching absent-property semantics.
-    Returns struct<valid boolean, v array<full violation>>."""
+    Returns struct<valid boolean, v array<full violation>>.
+
+    big_number != 'default' parses the doc with the relaxed loader so a
+    decimal column's full-precision to_json digits hit the same policy
+    table as api.parse (json.loads would silently collapse them to
+    binary64 before the evaluator ever saw the loss)."""
     import json as _json
 
     from pyspark.sql import types as T
 
     from ..schema.evaluate import Evaluator
+    from ..schema.relaxed_json import BigNumberError, loads_relaxed
     from .kernels import VIOLATION_ARRAY
 
     out_type = T.StructType([
@@ -231,7 +237,21 @@ def _column_fallback_udf(sub, nm: str, extensions: bool):
         ev = Evaluator(extensions=extensions)
         valids, viols = [], []
         for doc in docs.to_numpy():
-            obj = _json.loads(doc) if doc is not None else {}
+            try:
+                if doc is None:
+                    obj = {}
+                elif big_number != "default":
+                    obj = loads_relaxed(doc, big_number=big_number)
+                else:
+                    obj = _json.loads(doc)
+            except BigNumberError as e:
+                valids.append(False)
+                viols.append([{
+                    "constraint_id": sub.id, "path": f"/{nm}",
+                    "keyword": "bigNumber", "expected": None,
+                    "actual": None, "message": str(e),
+                }])
+                continue
             if nm not in obj:  # NULL column => absent property => vacuous
                 valids.append(True)
                 viols.append([])
@@ -251,6 +271,7 @@ def validate_dataframe(
     extensions: bool = True,
     fallback: str = "auto",
     max_violations_per_row: Optional[int] = None,
+    big_number: str = "default",
 ) -> ValidationResult:
     """Single-pass table validation.
 
@@ -275,7 +296,8 @@ def validate_dataframe(
     data_schema = T.StructType([df.schema[c] for c in data_cols])
     row_struct = F.struct(*[F.col(c) for c in data_cols])
     compiler = ColumnCompiler(
-        extensions=extensions, collect_field_fallbacks=(fallback != "never")
+        extensions=extensions, collect_field_fallbacks=(fallback != "never"),
+        big_number=big_number,
     )
     try:
         from .kernels import COMPACT_ARRAY
@@ -301,7 +323,7 @@ def validate_dataframe(
                 tmp = f"_jsp_py_{i}"
                 annotated = annotated.withColumn(
                     tmp,
-                    _column_fallback_udf(sub, nm, extensions)(
+                    _column_fallback_udf(sub, nm, extensions, big_number)(
                         F.to_json(F.struct(F.col(nm)))
                     ),
                 )
@@ -341,7 +363,8 @@ def validate_dataframe(
             raise
         from .json_validator import validate_json_rows
 
-        return validate_json_rows(df, cs, key_cols=key_cols, extensions=extensions)
+        return validate_json_rows(df, cs, key_cols=key_cols, extensions=extensions,
+                                  big_number=big_number)
 
 
 def strict_first_error(result: ValidationResult):

@@ -281,7 +281,8 @@ def make_number_hooks(big_number: str = "default", max_number_length: int | None
         if big_number == "float64":
             return float(raw)  # the reference's `default` (JSON.parse)
         if big_number == "error":
-            raise BigNumberError("Number cannot be represented without precision loss")
+            # the reference's exact string (parse.js:1183 ResourceLimitError)
+            raise BigNumberError("Number too precise")
         if big_number == "json":
             return raw
         if big_number == "string":

@@ -244,3 +244,172 @@ def test_ivf_partial_driver_query_shape(spark):
     rows = df.collect()
     assert len(rows) == 10
     assert df.columns == ["vec_id", "score"]
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r3 #4: bigNumber policies surfaced on the Column path
+# ---------------------------------------------------------------------------
+BIGNUM_MSG = "Number too precise"  # parse.js:1183 ResourceLimitError string
+
+
+def test_bignumber_error_decimal_column(spark):
+    from decimal import Decimal
+
+    from jsonschemaparse_spark.plans import validate_dataframe
+
+    df = spark.createDataFrame(
+        [(1, Decimal("42")), (2, Decimal("12345678901234567890123")), (3, None)],
+        "id long, n decimal(38,0)",
+    )
+    rules = {"properties": {"n": {"type": "number"}}}
+    res = validate_dataframe(df, rules, key_cols=["id"], big_number="error")
+    rows = res.violations().collect()
+    assert [(r["id"], r["keyword"], r["message"]) for r in rows] == [
+        (2, "bigNumber", BIGNUM_MSG)
+    ]
+    assert rows[0]["path"] == "/n"
+    got = {r["id"]: r["_jsp_valid"] for r in res.annotated.collect()}
+    assert got == {1: True, 2: False, 3: True}  # NULL stays vacuous
+
+
+def test_bignumber_error_long_column_exact_roundtrip(spark):
+    """Lossiness = exact binary64 round-trip (relaxed_json._is_lossy rule):
+    2^53 is representable, 2^53+1 and Long.MaxValue are not."""
+    from jsonschemaparse_spark.plans import validate_dataframe
+
+    df = spark.createDataFrame(
+        [(1, 1 << 53), (2, (1 << 53) + 1), (3, 9223372036854775807)],
+        "id long, n long",
+    )
+    rules = {"properties": {"n": {"type": "integer"}}}
+    res = validate_dataframe(df, rules, key_cols=["id"], big_number="error")
+    flagged = sorted(r["id"] for r in res.violations().collect())
+    assert flagged == [2, 3]
+
+
+def test_bignumber_default_unchanged(spark):
+    """Policy 'default' (and absent) leaves high-precision columns alone —
+    the pre-r4 behavior, and the oracle-gated queries' configuration."""
+    from decimal import Decimal
+
+    from jsonschemaparse_spark.plans import validate_dataframe
+
+    df = spark.createDataFrame(
+        [(1, Decimal("12345678901234567890123"))], "id long, n decimal(38,0)"
+    )
+    rules = {"properties": {"n": {"type": "number"}}}
+    assert validate_dataframe(df, rules, key_cols=["id"]).violations().count() == 0
+    assert (
+        validate_dataframe(df, rules, key_cols=["id"], big_number="default")
+        .violations().count() == 0
+    )
+
+
+def test_bignumber_unknown_policy_rejected(spark):
+    import pytest as _pytest
+
+    from jsonschemaparse_spark.plans import validate_dataframe
+
+    df = spark.createDataFrame([(1, 2)], "id long, n long")
+    with _pytest.raises(ValueError, match="bigNumber"):
+        validate_dataframe(df, {"properties": {"n": {}}}, key_cols=["id"],
+                           big_number="bogus")
+
+
+def test_bignumber_error_json_path_parity(spark):
+    """The SAME lossy literal through validate_json_column(big_number=
+    'error') produces the same keyword + message (the parse aborts at the
+    number, so the row is document-scoped there — path '' vs the Column
+    path's '/n')."""
+    from jsonschemaparse_spark.plans import validate_json_column
+
+    j = spark.createDataFrame(
+        [(1, '{"n": 42}'), (2, '{"n": 12345678901234567890123}')],
+        "id long, doc string",
+    )
+    rules = {"properties": {"n": {"type": "number"}}}
+    res = validate_json_column(j, "doc", rules, key_cols=["id"], big_number="error")
+    rows = res.violations().collect()
+    assert [(r["id"], r["keyword"], r["message"], r["path"]) for r in rows] == [
+        (2, "bigNumber", BIGNUM_MSG, "")
+    ]
+
+
+def test_bignumber_error_differential_vs_node():
+    """Executed-reference differential for the bigNumber 'error' policy:
+    each literal through node StreamParser({bigNumber:'error'}) vs
+    api.parse_info(big_number='error').
+
+    Known divergence class (documented, not copied): the reference's
+    plain-integer digit count does `buf.indexOf('.') ? 1 : 0` — indexOf
+    returns -1 (truthy) when there is NO decimal point, so every integer
+    gets one free digit and 16-digit lossy integers (e.g. 2^53+1) slip
+    through (parse.js:1174-1176). Our rule is the exact binary64
+    round-trip, so we flag them. Second divergence class, found by
+    EXECUTING the reference: exponent-form literals crash it with a
+    TypeError under any non-default bigNumber policy — parse.js:1146 does
+    `value.split(/e\\+?/i)` on `value`, which was already JSON.parsed to a
+    NUMBER two lines earlier (the intended receiver is `buf`). We
+    implement the intended semantics (exponent > 307 or precision >= 16
+    flags). The assertion: whenever the reference flags, we flag too;
+    where the heuristics agree the verdicts match; crash-class literals
+    get pinned intended-semantics verdicts."""
+    import json
+    import shutil
+    import subprocess
+    from pathlib import Path
+
+    if shutil.which("node") is None or not Path("/root/reference").exists():
+        pytest.skip("node or reference unavailable")
+
+    literals = [
+        "42", "-7", "0", "3.25", "-0.5",
+        "9007199254740992",          # 2^53: exactly representable
+        "9007199254740993",          # 2^53+1: lossy, 16 digits (quirk class)
+        "12345678901234567890123",   # 23 digits: both flag
+        "1.2345678901234567890123",  # long fraction: both flag
+        "0.1", "0.5",
+        "123456789.123456789",       # 18 digits: both flag
+        "99999999999999999999",      # 20 digits: both flag
+        # exponent forms: reference crash class (TypeError, parse.js:1146)
+        "1e3", "2.5e-3", "1e400",
+    ]
+    crash_class = {"1e3", "2.5e-3", "1e400"}
+    intended = {"1e3": False, "2.5e-3": False, "1e400": True}
+    driver = (
+        "const lib = require('/root/reference/index.js');\n"
+        "const lits = JSON.parse(process.argv[1]);\n"
+        "const out = [];\n"
+        "for (const t of lits) {\n"
+        "  try {\n"
+        "    const p = new lib.StreamParser({schema: new lib.Schema('http://x/',"
+        " {type:['number','integer']}), parseValue:true, bigNumber:'error'});\n"
+        "    p.parse(t);\n"
+        "    out.push(false);\n"
+        "  } catch (e) {\n"
+        "    if (e.constructor.name === 'ResourceLimitError') out.push(true);\n"
+        "    else if (e.constructor.name === 'TypeError') out.push('crash');\n"
+        "    else throw e;\n"
+        "  }\n"
+        "}\n"
+        "console.log(JSON.stringify(out));\n"
+    )
+    ref_flags = json.loads(subprocess.run(
+        ["node", "-e", driver, json.dumps(literals)],
+        capture_output=True, text=True, check=True,
+    ).stdout)
+
+    from jsonschemaparse_spark.api import parse_info
+
+    for lit, ref_flagged in zip(literals, ref_flags):
+        info = parse_info(lit, {"type": ["number", "integer"]}, big_number="error")
+        ours = any(e.keyword == "bigNumber" for e in info.errors)
+        if lit in crash_class:
+            assert ref_flagged == "crash", f"reference no longer crashes on {lit!r}"
+            assert ours == intended[lit], f"intended-semantics verdict on {lit!r}"
+        elif ref_flagged is True:
+            assert ours, f"reference flags {lit!r}, we do not"
+        elif lit == "9007199254740993":
+            assert ours, "the quirk-class literal must still be flagged by our exact rule"
+        else:
+            assert ours == ref_flagged, f"verdict mismatch on {lit!r}"
