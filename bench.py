@@ -58,17 +58,28 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    WARMUP = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1"))
 
     def bench(name: str, fn) -> None:
-        # best-of-N (default 2): this host throttles in minutes-long phases
-        # (walls 2-4x apart for identical runs — NOTES.md #5), so a single
-        # sample conflates engine cost with host phase. Min across two
-        # back-to-back runs is the phase-robust estimator VERDICT r2
-        # endorsed; runs are recorded so the methodology is auditable.
-        # inter-query GC: earlier queries' humongous allocations otherwise
-        # bleed GC pressure into later entries (dedup_minhash measured
-        # ~2.8 s in a fresh session vs ~7 s late in a bench session)
+        # Methodology (VERDICT r3 #1, adjudicated by scripts/warm_ab.py):
+        # 1. One forced full GC FIRST: earlier queries' humongous
+        #    allocations otherwise bleed GC pressure into later entries.
+        #    (scripts/warm_ab.py adjudicated the r3 warm regression: 8
+        #    interleaved paired rounds, gc-then-timed vs gc-warmup-timed,
+        #    paired delta median 0.087 s ~ 0 — the forced GC does NOT
+        #    penalize the timed run; the r3 1.49 s sample was JIT tiering
+        #    depth + host phase, both conditions converge to ~0.98 s.)
+        # 2. WARMUP untimed passes (default 1) after the GC so timed runs
+        #    measure steady state — cold first samples charge C2 tiering
+        #    to the engine (warm_ab round 1 read 3.0-3.9 s vs the ~1.0 s
+        #    steady state; dedup_minhash read 4.3 s cold vs ~2.8 s).
+        # 3. best-of-N timed runs (default 2): this host throttles in
+        #    minutes-long phases (walls 2-4x apart for identical runs —
+        #    NOTES.md #5); min is the phase-robust estimator VERDICT r2
+        #    endorsed. Reported figures are steady-state engine cost.
         spark._jvm.System.gc()
+        for _ in range(max(WARMUP, 0)):
+            fn()
         walls = []
         for _ in range(max(RUNS, 1)):
             t0 = time.perf_counter()
@@ -216,7 +227,9 @@ def main() -> None:
                 "docs_per_sec_warm": docs_per_sec_warm,
                 "cpus": CPUS,
                 "runs_per_query": max(RUNS, 1),
-                "estimator": "min" if RUNS > 1 else "single",
+                "warmup_per_query": max(WARMUP, 0),
+                "estimator": ("min" if RUNS > 1 else "single")
+                             + ("+warmup" if WARMUP > 0 else ""),
             }
         )
     )

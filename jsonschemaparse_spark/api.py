@@ -42,7 +42,33 @@ class ParseValidationError(ValueError):
 
 
 class ParseSyntaxError(ValueError):
-    """Malformed JSON input (reference SyntaxError, error.js:1-10)."""
+    """Malformed JSON input (reference SyntaxError, error.js:1-10).
+
+    `position` — when available — is {'line', 'column'} in the reference's
+    convention (err.position, test/SyntaxError.test.js:12-15): 0-based
+    line, column anchored on the offending character. None when the error
+    came from a layer with no position tracking (UTF-8 decode, relaxed
+    dialects)."""
+
+    def __init__(self, message: str, position: "dict | None" = None):
+        super().__init__(message)
+        self.position = position
+
+
+def _positioned_syntax_error(text: str) -> ParseSyntaxError:
+    """Re-parse a known-bad document with the incremental FSM to recover
+    the reference-convention (line, column) — error-path only, so the
+    strict fast path (json.loads C scanner) stays untaxed. Falls back to
+    a position-less error if the two parsers disagree on acceptance."""
+    from .schema.incremental import IncrementalJSONParser, IncrementalSyntaxError
+
+    p = IncrementalJSONParser()
+    try:
+        p.write(text)
+        p.end()
+    except IncrementalSyntaxError as ie:
+        return ParseSyntaxError(str(ie), position=ie.position)
+    return ParseSyntaxError("Malformed JSON (no position available)")
 
 
 @dataclass
@@ -141,6 +167,10 @@ def parse_info(text: str | bytes, schema=None, annotations: bool = True,
             _VR(str(e), "", "bigNumber", "", None, None)
         ])
     except ValueError as e:
+        if syntax is None and big_number == "default" and not interoperable \
+                and not max_number_length:
+            # strict path: recover reference-convention position via the FSM
+            raise _positioned_syntax_error(text) from e
         raise ParseSyntaxError(str(e)) from e
     limit_errors: list[ValidationRecord] = []
     if limits is not None:
@@ -188,7 +218,7 @@ class StreamParser:
         try:
             self._parser.write(chunk)
         except IncrementalSyntaxError as e:
-            raise ParseSyntaxError(str(e)) from None
+            raise ParseSyntaxError(str(e), position=e.position) from None
         return self
 
     def end(self) -> ParseInfo:
@@ -198,7 +228,7 @@ class StreamParser:
         try:
             self.value = self._parser.end()
         except IncrementalSyntaxError as e:
-            raise ParseSyntaxError(str(e)) from None
+            raise ParseSyntaxError(str(e), position=e.position) from None
         if self._schema is not None:
             ev = Evaluator(extensions=self._extensions, annotations=True)
             self.errors, self.annotations = ev.validate(self._schema, self.value)

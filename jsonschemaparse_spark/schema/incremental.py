@@ -35,12 +35,100 @@ _NUMCHARS = set("0123456789+-.eE")
 _LITERALS = {"true": True, "false": False, "null": None}
 
 
+def _scan_number(raw: str) -> tuple[str, int]:
+    """Char-level JSON-number FSM (the reference's NUMBER1-8,
+    parse.js number states). Returns one of:
+
+    - ('complete', len): all of raw is a valid number;
+    - ('split', i):      raw[:i] is a complete number and raw[i] cannot
+                         extend it (maximal munch — '01' splits at 1);
+    - ('char', i):       raw[i] is invalid mid-number ('1..5' at 2);
+    - ('end', len):      raw is a valid-but-incomplete prefix ('1.', '-').
+    """
+    # states: 0 start, 1 after '-', 2 int-zero, 3 int-digits, 4 after '.',
+    # 5 frac-digits, 6 after e/E, 7 after exp sign, 8 exp-digits
+    accepting = {2, 3, 5, 8}
+    st = 0
+    for i, c in enumerate(raw):
+        if st == 0:
+            st = 1 if c == "-" else (2 if c == "0" else 3)
+            # (outer loop only dispatches on '-' and digits)
+            continue
+        if st == 1:
+            if c == "0":
+                st = 2
+            elif c.isdigit():
+                st = 3
+            else:
+                return ("char", i)
+        elif st == 2:
+            if c == ".":
+                st = 4
+            elif c in "eE":
+                st = 6
+            else:
+                return ("split", i)
+        elif st == 3:
+            if c.isdigit():
+                pass
+            elif c == ".":
+                st = 4
+            elif c in "eE":
+                st = 6
+            else:
+                return ("split", i)
+        elif st == 4:
+            if c.isdigit():
+                st = 5
+            else:
+                return ("char", i)
+        elif st == 5:
+            if c.isdigit():
+                pass
+            elif c in "eE":
+                st = 6
+            else:
+                return ("split", i)
+        elif st == 6:
+            if c in "+-":
+                st = 7
+            elif c.isdigit():
+                st = 8
+            else:
+                return ("char", i)
+        elif st == 7:
+            if c.isdigit():
+                st = 8
+            else:
+                return ("char", i)
+        elif st == 8:
+            if not c.isdigit():
+                return ("split", i)
+    return ("complete" if st in accepting else "end", len(raw))
+
+
 class IncrementalSyntaxError(ValueError):
-    def __init__(self, message: str, line: int, column: int):
+    """Syntax error carrying BOTH position conventions:
+
+    - line/column: this engine's historical 1-based convention;
+    - position: {'line', 'column'} in the REFERENCE's convention
+      (SyntaxError.position, parse.js/test/SyntaxError.test.js:12-15) —
+      0-based line; column = offending-char offset within the line, where
+      the reference counts the newline itself as column 0 of the NEXT
+      line, so columns on lines > 0 are effectively 1-based (verified by
+      executing the reference, r4 syntax-position differential).
+    """
+
+    def __init__(self, message: str, line: int, column: int,
+                 ref_line: int | None = None, ref_column: int | None = None):
         super().__init__(f"{message} at line {line} column {column}")
         self.message = message
         self.line = line
         self.column = column
+        self.position = (
+            {"line": ref_line, "column": ref_column}
+            if ref_line is not None else None
+        )
 
 
 class IncrementalJSONParser:
@@ -57,6 +145,11 @@ class IncrementalJSONParser:
         self._pos = 0              # consumed offset within _buf
         self._line = 1
         self._column = 1
+        # reference-convention tracking: absolute chars consumed, absolute
+        # index of the last consumed '\n' (None on line 0), 0-based line
+        self._abs = 0
+        self._last_nl_abs: Optional[int] = None
+        self._ref_line = 0
         self._stack: list[tuple] = []   # ('O', dict, pending_key) | ('A', list)
         self._expect = "value"          # value|key|key_or_close|colon|after
         self._root: Any = None
@@ -74,8 +167,52 @@ class IncrementalJSONParser:
         for fn in self._handlers.get(name, ()):
             fn(*args)
 
-    def _err(self, message: str) -> IncrementalSyntaxError:
-        return IncrementalSyntaxError(message, self._line, self._column)
+    def _ref_pos(self, k: int) -> tuple[int, int]:
+        """Reference-convention (line, column) of the char at in-buffer
+        index k (k >= self._pos; k == len(buf) addresses end-of-input).
+        Column rule, pinned by executing the reference: on line 0 the
+        column is the absolute offset; after a newline the '\\n' itself
+        counts as column 0 of the next line, so column = offset - index
+        of the last '\\n'."""
+        seg = self._buf[self._pos:k]
+        absk = self._abs + (k - self._pos)
+        nl = seg.count("\n")
+        line = self._ref_line + nl
+        if nl:
+            last_nl = self._abs + seg.rfind("\n")
+        else:
+            last_nl = self._last_nl_abs
+        if last_nl is None:
+            return line, absk
+        return line, absk - last_nl
+
+    def _err(self, message: str, at: Optional[int] = None,
+             col_plus: int = 0) -> IncrementalSyntaxError:
+        """Error anchored at in-buffer index `at` (default: the consume
+        pointer). col_plus encodes the reference's EOF-in-plain-string
+        off-by-one (see _take_string)."""
+        rl, rc = self._ref_pos(self._pos if at is None else at)
+        rc += col_plus
+        # legacy 1-based convention at the same char: reference columns on
+        # lines > 0 are already 1-based (the \n-is-column-0 rule)
+        legacy_col = rc + 1 if rl == 0 else rc
+        return IncrementalSyntaxError(message, rl + 1, legacy_col, rl, rc)
+
+    def _err_char(self, at: int, detail: str = "") -> IncrementalSyntaxError:
+        """'Unexpected "<c>"' at the offending char — the reference's
+        message head (JSON.stringify quoting: \\n, \\t, \\u0001...)."""
+        ch = self._buf[at] if at < len(self._buf) else ""
+        # ensure_ascii=False matches JS JSON.stringify: non-ASCII chars stay
+        # raw while control chars escape identically (backslash-n, u-hex)
+        return self._err(
+            f"Unexpected {json.dumps(ch, ensure_ascii=False)}{detail}", at=at
+        )
+
+    def _err_eof(self, at: Optional[int] = None,
+                 col_plus: int = 0) -> IncrementalSyntaxError:
+        return self._err("Unexpected end of document",
+                         at=len(self._buf) if at is None else at,
+                         col_plus=col_plus)
 
     # ------------------------------------------------------------------
     def write(self, chunk: str | bytes) -> None:
@@ -103,7 +240,7 @@ class IncrementalJSONParser:
             self._buf += tail
         self._drain(eof=True)
         if not self._have_root or self._stack or self._expect != "after":
-            raise self._err("Unexpected end of document")
+            raise self._err_eof()
         self._ended = True
         self._emit("end")  # arity matches api.iter_events
         return self._root
@@ -116,8 +253,11 @@ class IncrementalJSONParser:
         if nl:
             self._line += nl
             self._column = n - seg.rfind("\n")
+            self._ref_line += nl
+            self._last_nl_abs = self._abs + seg.rfind("\n")
         else:
             self._column += n
+        self._abs += n
         self._pos += n
         if self._pos > 65536:  # keep the carry buffer bounded
             self._buf = self._buf[self._pos:]
@@ -142,7 +282,7 @@ class IncrementalJSONParser:
                     self._close_container("O")
                     continue
                 if ch != '"':
-                    raise self._err(f"Unexpected token: {ch!r} (expected a key)")
+                    raise self._err_char(pos, " (expected a key)")
                 tok = self._take_string(eof)
                 if tok is None:
                     return
@@ -153,7 +293,7 @@ class IncrementalJSONParser:
 
             if self._expect == "colon":
                 if ch != ":":
-                    raise self._err(f"Unexpected token: {ch!r} (expected ':')")
+                    raise self._err_char(pos, " (expected ':')")
                 self._advance(1)
                 self._expect = "value"
                 continue
@@ -161,7 +301,7 @@ class IncrementalJSONParser:
             if self._expect == "after":
                 top = self._stack[-1] if self._stack else None
                 if top is None:
-                    raise self._err(f"Unexpected token after document: {ch!r}")
+                    raise self._err_char(pos, " after document")
                 if ch == ",":
                     self._advance(1)
                     self._expect = "key" if top[0] == "O" else "value"
@@ -174,7 +314,7 @@ class IncrementalJSONParser:
                     self._advance(1)
                     self._close_container("A")
                     continue
-                raise self._err(f"Unexpected token: {ch!r}")
+                raise self._err_char(pos)
 
             # expect == 'value'
             if ch == "{":
@@ -222,46 +362,87 @@ class IncrementalJSONParser:
                 self._emit("number", val)
                 self._finish_value(val)
                 continue
-            raise self._err(f"Unexpected token: {ch!r}")
+            raise self._err_char(pos)
 
     # ------------------------------------------------------------------
     def _take_string(self, eof: bool) -> Optional[str]:
         """Return the decoded string if its closing quote is buffered,
-        else None (wait for more input). Escape/surrogate validation via
-        loads_strict on the raw token."""
+        else None (wait for more input). Bad escapes / bad \\u hex /
+        control chars error AT THE OFFENDING CHAR (reference STRING2-6
+        anchoring); decode of a clean token goes through loads_strict."""
         buf, start = self._buf, self._pos
         i = start + 1
         n = len(buf)
+        mid_escape = False  # at buffer end: inside \x / \uXXXX (STRING2-6)?
         while i < n:
             c = buf[i]
             if c == "\\":
-                i += 2  # skip escaped char (may run past end -> incomplete)
+                j = i + 1
+                if j >= n:
+                    mid_escape = True
+                    break
+                e = buf[j]
+                if e == "u":
+                    k = j + 1
+                    hex_end = min(k + 4, n)
+                    for h in range(k, hex_end):
+                        if buf[h] not in "0123456789abcdefABCDEF":
+                            raise self._err_char(h, " (bad \\u escape)")
+                    if hex_end - k < 4:
+                        mid_escape = True
+                        break
+                    i = hex_end
+                    continue
+                if e not in '"\\/bfnrt':
+                    raise self._err_char(j, " (bad escape)")
+                i = j + 1
                 continue
             if c == '"':
                 raw = buf[start:i + 1]
                 try:
                     val = loads_strict(raw)
                 except ValueError as e:
-                    raise self._err(f"Bad string: {e}") from None
+                    raise self._err(f"Bad string: {e}", at=start) from None
                 self._advance(i + 1 - start)
                 return val
+            if ord(c) < 0x20:
+                raise self._err_char(i)  # raw control char (STRING1 reject)
             i += 1
         if eof:
-            raise self._err("Unexpected end of string")
+            # Reference EOF-in-string columns (r4 position differential):
+            # plain STRING1 reports end-of-doc column PLUS ONE once at
+            # least one string char (or complete escape) was consumed — a
+            # bare '"' reports the plain column, as do the mid-escape
+            # states (STRING2-6).
+            plus = 0 if (mid_escape or i == start + 1) else 1
+            raise self._err_eof(col_plus=plus)
         return None
 
     def _take_literal(self, eof: bool):
+        """Per-char literal match so the error lands on the first char
+        that breaks the word (reference TRUE1..NULL4 states: 'tru ' errors
+        on the space at offset 3, not the token start)."""
         buf, start = self._buf, self._pos
-        rest = buf[start:start + 5]
-        for lit, val in _LITERALS.items():
-            if rest.startswith(lit):
-                self._advance(len(lit))
-                return val
-            if not eof and lit.startswith(rest):
-                return _PENDING  # could complete in the next chunk
-        raise self._err(f"Unexpected token: {rest[:1]!r}")
+        lit = {"t": "true", "f": "false", "n": "null"}[buf[start]]
+        rest = buf[start:start + len(lit)]
+        for j in range(min(len(rest), len(lit))):
+            if rest[j] != lit[j]:
+                raise self._err_char(start + j)
+        if len(rest) == len(lit):
+            self._advance(len(lit))
+            return _LITERALS[lit]
+        if eof:
+            raise self._err_eof()  # 'nul' -> end-of-doc at offset 3
+        return _PENDING  # proper prefix: could complete in the next chunk
 
     def _take_number(self, eof: bool):
+        """Number via the reference's char-level FSM so errors anchor on
+        the offending char and maximal-munch matches:
+
+        - '01'  -> the number 0 ends at the '0'; the '1' is reprocessed by
+          the outer loop (reference: VOID/ARRAY3 'Unexpected \"1\"');
+        - '1..' -> error at the second '.' (NUMBER4 state);
+        - '1.'  at eof -> 'Unexpected end of document' at the doc end."""
         buf, start = self._buf, self._pos
         i = start
         n = len(buf)
@@ -270,14 +451,23 @@ class IncrementalJSONParser:
         if i == n and not eof:
             return _PENDING  # the number may continue in the next chunk
         raw = buf[start:i]
-        try:
-            val = json.loads(raw)
-        except ValueError:
-            raise self._err(f"Bad number: {raw!r}") from None
-        if not isinstance(val, (int, float)) or isinstance(val, bool):
-            raise self._err(f"Bad number: {raw!r}")
-        self._advance(i - start)
-        return val
+        status, idx = _scan_number(raw)
+        if status == "complete":
+            self._advance(len(raw))
+            return json.loads(raw)
+        if status == "split":
+            # raw[:idx] is a complete number; leave raw[idx:] unconsumed
+            # for the outer loop (which produces the reference's
+            # state-after-value error on it)
+            val = json.loads(raw[:idx])
+            self._advance(idx)
+            return val
+        if status == "char":
+            raise self._err_char(start + idx)
+        # status == 'end': raw is a valid but incomplete prefix
+        if start + len(raw) >= n and eof:
+            raise self._err_eof()
+        raise self._err_char(start + len(raw))  # terminator broke the number
 
     # ------------------------------------------------------------------
     def _attach(self, value: Any) -> None:

@@ -345,5 +345,9 @@ def loads_relaxed(
         parse_constant=constant,
         object_pairs_hook=pairs_hook,
     )
-    _check_surrogates(value)
+    if interoperable:
+        # RFC 7493 §2.1: I-JSON MUST NOT contain unpaired surrogates. The
+        # plain strict path ACCEPTS them (executed-reference parity, r4 —
+        # see strict_json docstring); only the I-JSON subset rejects.
+        _check_surrogates(value)
     return value

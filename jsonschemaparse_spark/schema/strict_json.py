@@ -1,15 +1,19 @@
 """Strict JSON loading with reference-parser parity (SURVEY.md §2.1, F7).
 
 Python's json.loads is laxer than the reference FSM (parse.js:342-1081) in
-two ways that matter for the JSONTestSuite-style corpus:
+one way that matters for the JSONTestSuite-style corpus: it accepts NaN /
+Infinity / -Infinity literals — the FSM only dispatches on {,[,t,f,n,",-,0-9
+(parse.js:391-455), so those are syntax errors. `loads_strict` closes the
+gap. Used by api.parse/parse_info and the Arrow JSON kernel so table-scope
+syntax verdicts match the reference.
 
-1. it accepts NaN / Infinity / -Infinity literals — the FSM only dispatches
-   on {,[,t,f,n,",-,0-9 (parse.js:391-455), so those are syntax errors;
-2. it accepts lone UTF-16 surrogate escapes ("\\ud800") — the FSM verifies
-   surrogate pairs (parse.js:361-371) and rejects unpaired halves.
-
-`loads_strict` closes both gaps. Used by api.parse/parse_info and the Arrow
-JSON kernel so table-scope syntax verdicts match the reference.
+Lone UTF-16 surrogate escapes ("\\ud800") are ACCEPTED: the r4 executed-
+reference differential showed lib.parse accepts every \\u-escape surrogate
+form (lone high, lone low, swapped, doubled) — JS strings are WTF-16 and
+the surrogate verification at parse.js:361-371 runs on the CHARSET-DECODE
+byte path (UTF-16 input buffers), not on escapes. Earlier rounds rejected
+them here based on reading that code; execution corrected the pin
+(JSONTestSuite classes these i_, implementation-defined).
 """
 
 from __future__ import annotations
@@ -27,6 +31,10 @@ def _reject_constant(name: str) -> Any:
 
 
 def _check_surrogates(value: Any) -> None:
+    """Reject unpaired UTF-16 surrogates. NOT part of the strict path (the
+    executed reference accepts lone \\u-escape surrogates — module
+    docstring); used by loads_relaxed(interoperable=True) for RFC 7493
+    §2.1, which does forbid them."""
     if isinstance(value, str):
         prev_high = False
         for ch in value:
@@ -54,9 +62,10 @@ def _check_surrogates(value: Any) -> None:
             _check_surrogates(v)
 
 
+
+
 def loads_strict(text: str | bytes) -> Any:
-    """json.loads with NaN/Infinity rejected and surrogate-pair verification.
-    Raises StrictSyntaxError/ValueError on malformed input."""
-    value = json.loads(text, parse_constant=_reject_constant)
-    _check_surrogates(value)
-    return value
+    """json.loads with NaN/Infinity rejected (lone surrogate escapes are
+    accepted — see module docstring). Raises StrictSyntaxError/ValueError
+    on malformed input."""
+    return json.loads(text, parse_constant=_reject_constant)

@@ -7,8 +7,16 @@ insertion/deletion/replacement, concatenation) run through:
   - reference: lib.parse(text) — throws SyntaxError on bad input
   - engine:    api.parse(text) — raises on bad input
 comparing accept/reject AND, for accepted texts, the parsed value
-(json-normalized). Covers the tokenizer/number/string/escape surface the
-keyword differential doesn't touch.
+(json-normalized), AND — r4 (VERDICT r3 #2) — for rejected texts the
+SyntaxError's (line, column) in the reference's err.position convention
+plus the message HEAD ('Unexpected "x"' / 'Unexpected end of document';
+the tail differs by design — the reference appends FSM state names and
+expected-sets, we append our own context).
+
+Position caveat: the reference counts UTF-16 code units, this engine
+counts code points; the generator keeps error neighborhoods in the BMP so
+the conventions coincide. Astral-plane offsets would differ by one per
+preceding surrogate pair — a documented, untested divergence.
 
 Run:  python scripts/syntax_differential.py [n_texts] [seed]
 """
@@ -42,7 +50,12 @@ for (const t of texts) {
         ? '__nonfinite__' + String(x) : x));
     out.push({ok: true, value: enc});
   } catch (e) {
-    out.push({ok: false});
+    if (e.position && typeof e.position.line === 'number') {
+      out.push({ok: false, line: e.position.line, column: e.position.column,
+                msg: String(e.message)});
+    } else {
+      out.push({ok: false});
+    }
   }
 }
 console.log(JSON.stringify(out));
@@ -113,16 +126,33 @@ def run_reference(texts: list[str]) -> list:
 
 
 def run_engine(texts: list[str]) -> list:
-    from jsonschemaparse_spark.api import parse
+    from jsonschemaparse_spark.api import ParseSyntaxError, parse
 
     out = []
     for t in texts:
         try:
             v = parse(t)
             out.append({"ok": True, "value": v})
+        except ParseSyntaxError as e:
+            rec = {"ok": False, "msg": str(e)}
+            if getattr(e, "position", None) is not None:
+                rec["line"] = e.position["line"]
+                rec["column"] = e.position["column"]
+            out.append(rec)
         except Exception:
             out.append({"ok": False})
     return out
+
+
+def _msg_head(msg: str) -> str | None:
+    """'Unexpected "<c>"' / 'Unexpected end of document' — the shared
+    message prefix both engines emit before their own context."""
+    import re as _re
+
+    if msg.startswith("Unexpected end of document"):
+        return "Unexpected end of document"
+    m = _re.match(r'Unexpected "(?:[^"\\]|\\.)*"', msg)
+    return m.group(0) if m else None
 
 
 def _norm_num(v):
@@ -163,6 +193,23 @@ def compare(texts, ref, eng) -> list[dict]:
         elif r["ok"] and _norm(r["value"]) != _norm(e["value"]):
             mismatches.append({"text": t, "reference_value": r["value"],
                                "engine_value": e["value"]})
+        elif not r["ok"] and "line" in r:
+            # both reject with a positioned reference error: (line, column)
+            # must match exactly; message heads must agree when extractable
+            if (e.get("line"), e.get("column")) != (r["line"], r["column"]):
+                mismatches.append({
+                    "text": t, "kind": "position",
+                    "reference": (r["line"], r["column"], r["msg"][:60]),
+                    "engine": (e.get("line"), e.get("column"),
+                               e.get("msg", "")[:60]),
+                })
+            else:
+                rh, eh = _msg_head(r["msg"]), _msg_head(e.get("msg", ""))
+                if rh is not None and rh != eh:
+                    mismatches.append({
+                        "text": t, "kind": "message-head",
+                        "reference": r["msg"][:80], "engine": e.get("msg", "")[:80],
+                    })
     return mismatches
 
 

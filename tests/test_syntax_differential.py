@@ -1,9 +1,15 @@
 """Fixed-seed syntax differential vs the node-executed reference
 (scripts/syntax_differential.py): random valid JSON plus mutations
 (truncation, insertion, deletion, replacement, tail junk) through both
-parsers, asserting accept/reject agreement and value equality at double
-precision (bigNumber 'default' keeps ints exact by documented design).
-21k+ texts across 12 seeds were clean at authoring time; this pins three.
+parsers, asserting accept/reject agreement, value equality at double
+precision (bigNumber 'default' keeps ints exact by documented design),
+and — since r4 (VERDICT r3 #2) — SyntaxError POSITION parity ((line,
+column) in the reference's err.position convention) plus message-head
+parity ('Unexpected "x"' / 'Unexpected end of document').
+12,600 texts across 7 seeds were clean at r4 authoring time; this pins
+three seeds plus a hand-built corpus covering every position class the
+reference exhibits (offending-char anchors, EOF classes, the
+EOF-in-STRING1 +1 quirk, the lines>0 column quirk).
 """
 
 from __future__ import annotations
@@ -29,3 +35,30 @@ def test_syntax_accept_reject_and_value_parity(seed):
     texts = generate_texts(250, seed)
     mism = compare(texts, run_reference(texts), run_engine(texts))
     assert mism == [], mism[:3]
+
+
+@pytest.mark.skipif(not node_available, reason="node or reference unavailable")
+def test_syntax_position_pinned_corpus():
+    """Hand-built texts covering each position class, run through the live
+    reference so the pins cannot drift from the executable."""
+    from scripts.syntax_differential import compare, run_engine, run_reference
+
+    texts = [
+        # FSM structural errors (offending char)
+        '{ ,', '{ a: "b" } ', '[,]', '[1 2]', '{"a" 1}', '[]]', '12,',
+        # value-state junk and literals (per-char literal anchoring)
+        '.123', 'tru ', 'truu', 'nul', 'truex',
+        # numbers: split / mid-number char / EOF-in-number
+        '01', '1-2', '--1', '[1.,]', '[1.e3]', '1..5', '-.5', '1.', '1e', '-',
+        # strings: bad escape, bad \u hex, control char, EOF classes
+        '["\\q"]', '"\\u123q"', '"a\tb"', '"1234', '"ab\\', '"ab\\u',
+        '"ab\\uD8f', '"', '["', '"\\u12',
+        # multi-line (the reference lines>0 column quirk)
+        '{"a":1\n, ]', '[1,2,\n3,]', '[\n tru ', '\n\n.', '[\n"ab', '[\n"',
+        # EOF structural
+        '[', '{', '', '  ',
+        # accepted forms that exercise the same scanners
+        '-0', '1e+5', '0.5e3', '"\\ud800"', '"\\ud83d\\ude00"',
+    ]
+    mism = compare(texts, run_reference(texts), run_engine(texts))
+    assert mism == [], mism[:5]
