@@ -137,13 +137,15 @@ def parse(text: str | bytes, schema=None, extensions: bool = False, limits=None)
 def parse_info(text: str | bytes, schema=None, annotations: bool = True,
                extensions: bool = False, limits=None, syntax=None,
                big_number: str = "default", interoperable: bool = False,
-               max_number_length=None) -> ParseInfo:
+               max_number_length=None, reference_quirks: bool = False) -> ParseInfo:
     """Reporting one-shot: syntax errors raise; validation errors are
     RETURNED, matching parseInfo (test/parseInfo.test.js:33-46).
 
     syntax/big_number/interoperable/max_number_length mirror the
     reference's StreamParser options (README.md:100-137) via
-    schema/relaxed_json.py."""
+    schema/relaxed_json.py. reference_quirks=True reproduces the
+    reference's report BUG-FOR-BUG (item-0 path drop, finish-cascade
+    duplication — Evaluator docstring); annotations are then empty."""
     if isinstance(text, (bytes, bytearray)):
         try:
             text = bytes(text).decode("utf-8", errors="strict")
@@ -180,7 +182,10 @@ def parse_info(text: str | bytes, schema=None, annotations: bool = True,
     cs = _as_schema(schema)
     if cs is None:
         return ParseInfo(value=value, errors=limit_errors)
-    errors, anns = Evaluator(extensions=extensions, annotations=annotations).validate(cs, value)
+    errors, anns = Evaluator(
+        extensions=extensions, annotations=annotations,
+        reference_quirks=reference_quirks,
+    ).validate(cs, value)
     return ParseInfo(value=value, errors=limit_errors + errors, annotations=anns)
 
 

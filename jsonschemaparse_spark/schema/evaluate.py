@@ -61,15 +61,35 @@ class Evaluator:
     """
 
     def __init__(self, extensions: bool = False, annotations: bool = False,
-                 enforce_formats: bool = False):
+                 enforce_formats: bool = False, reference_quirks: bool = False):
         self.extensions = extensions
         self.collect_annotations = annotations
         self.enforce_formats = enforce_formats
+        # reference_quirks=True reproduces the reference's report BUG-FOR-BUG
+        # (VERDICT r3 #5) — the two emission quirks this engine deliberately
+        # does not copy by default, both pinned by EXECUTING the reference:
+        # 1. item-0 path drop: errors inside the first array element omit
+        #    the '0' segment (/b/z, while item 2 gets /b/2/z) — the layer
+        #    path is not yet incremented when item 0's layer is built;
+        # 2. finish-cascade duplication: parse.js pop() calls finish() on
+        #    EVERY validator in the layer's getAll() list, and each finish
+        #    re-finishes all its descendants (schema.js:1342-1349), so
+        #    finish-class rows (anyOf/oneOf/not; then/else + unevaluated
+        #    imports) are re-pushed per execution — 2^k under k nested
+        #    allOf/$ref layers, x6 for then-under-allOf, etc. allOf/$ref
+        #    sublayers alias their parent's errors array (schema.js:1049-
+        #    1058 root.errors), which _val_quirks simulates exactly.
+        # Off by default: deduped single-emission reports.
+        self.reference_quirks = reference_quirks
+        self._quirk_import_rows: Optional[list] = None
 
     def validate(
         self, schema: CompiledSchema, value: Any, path: str = ""
     ) -> tuple[list[ValidationRecord], list[AnnotationRecord]]:
         self._check_ref_closure(schema)
+        if self.reference_quirks:
+            # annotations are not modelled in quirk mode (report parity only)
+            return self._val_quirks(schema, value, path, None, 0), []
         annotations: list[AnnotationRecord] = []
         errors = self._val(schema, value, path, annotations, None, 0)
         return errors, annotations
@@ -131,7 +151,12 @@ class Evaluator:
         annotations: list[AnnotationRecord],
         recursive_base: Optional[CompiledSchema],
         depth: int,
+        quirk_local: bool = False,
     ) -> list[ValidationRecord]:
+        # quirk_local=True (reference_quirks mode only): emit this node's
+        # event-time rows, but skip the combinator/in-place-applicator
+        # section — those become _QNode children whose emission the finish
+        # cascade simulation owns (_val_quirks).
         if depth > _MAX_REF_DEPTH:
             raise RecursionError(f"$ref depth > {_MAX_REF_DEPTH} at <{schema.id}>")
         errors: list[ValidationRecord] = []
@@ -242,6 +267,8 @@ class Evaluator:
                 E('Expected "enum" to have one matching value', "enum", 1, 0)
 
         # --- combinators (finish(), schema.js:1342-1417) ---
+        if quirk_local:
+            return errors
         # allOf: errors propagate directly (child keyword attribution,
         # SURVEY.md §4.3-6)
         for s in schema.all_of:
@@ -284,6 +311,15 @@ class Evaluator:
                 annotations.append(AnnotationRecord(schema.description, path, "description", sid))
 
         return errors
+
+    # ------------------------------------------------------------------
+    def _sub(self, schema, value, path, annotations, rbase, depth):
+        """Recurse into a CHILD VALUE position: quirk mode runs the full
+        finish-cascade simulation for that position (its own layer stack in
+        the reference), normal mode the plain recursive walk."""
+        if self.reference_quirks:
+            return self._val_quirks(schema, value, path, rbase, depth)
+        return self._val(schema, value, path, annotations, rbase, depth)
 
     # ------------------------------------------------------------------
     def _object_keywords(self, schema, value: dict, path, E, annotations, rbase, depth):
@@ -332,25 +368,25 @@ class Evaluator:
             sub = schema.properties.get(key)
             if sub is not None:
                 routed = True
-                errs_out.extend(self._val(sub, child, child_path, annotations, rbase, depth + 1))
+                errs_out.extend(self._sub(sub, child, child_path, annotations, rbase, depth + 1))
             for _, rx, psub in schema.pattern_properties:
                 if rx.search(key):
                     routed = True
-                    errs_out.extend(self._val(psub, child, child_path, annotations, rbase, depth + 1))
+                    errs_out.extend(self._sub(psub, child, child_path, annotations, rbase, depth + 1))
             if not routed and schema.additional_properties is not None:
                 routed = True
                 errs_out.extend(
-                    self._val(schema.additional_properties, child, child_path, annotations, rbase, depth + 1)
+                    self._sub(schema.additional_properties, child, child_path, annotations, rbase, depth + 1)
                 )
             if routed:
                 evaluated.add(key)
             if schema.const_properties is not None:
                 csub = schema.const_properties.get(key)
                 if csub is not None:
-                    errs_out.extend(self._val(csub, child, child_path, annotations, rbase, depth + 1))
+                    errs_out.extend(self._sub(csub, child, child_path, annotations, rbase, depth + 1))
             if self.extensions and schema.property_names is not None:
                 errs_out.extend(
-                    self._val(schema.property_names, key, child_path, annotations, rbase, depth + 1)
+                    self._sub(schema.property_names, key, child_path, annotations, rbase, depth + 1)
                 )
         # unevaluatedProperties: single-schema scope + allOf/$ref unions are
         # handled by the caller accumulating into the same error list; here we
@@ -358,10 +394,15 @@ class Evaluator:
         # in-place applicators) did not evaluate (schema.js:1395-1403).
         if schema.unevaluated_properties is not None:
             in_place = self._in_place_evaluated(schema, value, rbase, depth)
+            # quirk mode: unevaluatedProperties rows are IMPORTED in finish
+            # (schema.js:1395-1403), so they re-push per finish execution —
+            # route them to the cascade's import list, not the once-rows
+            sink = (self._quirk_import_rows
+                    if self._quirk_import_rows is not None else errs_out)
             for key, child in value.items():
                 if key not in evaluated and key not in in_place:
-                    errs_out.extend(
-                        self._val(
+                    sink.extend(
+                        self._sub(
                             schema.unevaluated_properties, child, f"{path}/{key}", annotations, rbase, depth + 1
                         )
                     )
@@ -421,16 +462,19 @@ class Evaluator:
         errs: list[ValidationRecord] = []
         contains_hits = 0
         for i, item in enumerate(value):
-            ipath = f"{path}/{i}"
+            # reference_quirks: the reference DROPS the '0' segment for the
+            # first array element (layer path not yet incremented when item
+            # 0's layer is built) — /b/z for item 0, /b/2/z for item 2
+            ipath = path if (self.reference_quirks and i == 0) else f"{path}/{i}"
             if schema.items_tuple is not None:
                 if i < len(schema.items_tuple):
-                    errs.extend(self._val(schema.items_tuple[i], item, ipath, annotations, rbase, depth + 1))
+                    errs.extend(self._sub(schema.items_tuple[i], item, ipath, annotations, rbase, depth + 1))
                 elif schema.additional_items is not None:
-                    errs.extend(self._val(schema.additional_items, item, ipath, annotations, rbase, depth + 1))
+                    errs.extend(self._sub(schema.additional_items, item, ipath, annotations, rbase, depth + 1))
             elif schema.items_all is not None:
-                errs.extend(self._val(schema.items_all, item, ipath, annotations, rbase, depth + 1))
+                errs.extend(self._sub(schema.items_all, item, ipath, annotations, rbase, depth + 1))
             if schema.const_items is not None and i < len(schema.const_items):
-                errs.extend(self._val(schema.const_items[i], item, ipath, annotations, rbase, depth + 1))
+                errs.extend(self._sub(schema.const_items[i], item, ipath, annotations, rbase, depth + 1))
             if self.extensions and schema.contains is not None:
                 if not self._val(schema.contains, item, ipath, [], rbase, depth + 1):
                     contains_hits += 1
@@ -460,9 +504,12 @@ class Evaluator:
         # applicator branches donate their prefix only when they PASS.
         if self.extensions and schema.unevaluated_items is not None:
             p = self._items_evaluated_prefix(schema, value, rbase, depth)
+            sink = (self._quirk_import_rows
+                    if self._quirk_import_rows is not None else errs)
             for i in range(p, n):
-                errs.extend(
-                    self._val(schema.unevaluated_items, value[i], f"{path}/{i}",
+                qpath = path if (self.reference_quirks and i == 0) else f"{path}/{i}"
+                sink.extend(
+                    self._sub(schema.unevaluated_items, value[i], qpath,
                               annotations, rbase, depth + 1)
                 )
         return errs
@@ -501,6 +548,141 @@ class Evaluator:
             if p >= n:
                 return n
         return p
+
+    # ------------------------------------------------------------------
+    # reference_quirks finish-cascade simulation (VERDICT r3 #5)
+    # ------------------------------------------------------------------
+    def _val_quirks(self, schema, value, path, rbase, depth):
+        """Bug-for-bug report emission at ONE value position: build the
+        validator-layer tree the reference builds (allOf/$ref sublayers
+        ALIAS the parent's errors array, combinator branches own theirs),
+        seed event-time rows once, then run the parse.js pop() cascade —
+        finish() on every validator in getAll() order, each finish
+        re-finishing all descendants before its own body (schema.js:
+        1342-1349). Every shape was pinned by executing the reference:
+        2^k under allOf/$ref chains, x6 for then-under-allOf, x2 for
+        unevaluatedProperties-under-allOf, x1 for const/enum/required."""
+        if depth > _MAX_REF_DEPTH:
+            raise RecursionError(f"$ref depth > {_MAX_REF_DEPTH} at <{schema.id}>")
+        root_errors: list[ValidationRecord] = []
+        budget = [0]
+        root = self._build_qnode(schema, value, path, root_errors, rbase, depth, budget)
+        for v in _qnode_getall(root):
+            self._qnode_finish(v, budget)
+        return root_errors
+
+    def _build_qnode(self, s, value, path, errors, rbase, depth, budget):
+        if depth > _MAX_REF_DEPTH:
+            raise RecursionError(f"$ref depth > {_MAX_REF_DEPTH} at <{s.id}>")
+        budget[0] += 1
+        if budget[0] > 5000:
+            raise RecursionError("reference_quirks layer tree exceeded budget")
+        if s.recursive_anchor and rbase is None:
+            rbase = s.recursive_anchor_root()
+        node = _QNode(errors=errors, path=path, sid=s.id)
+        # event-time once-rows (seeded exactly once, like parser events
+        # pushing through the aliased array); unevaluated* rows divert to
+        # the per-finish import list (save/restore: single-threaded DFS)
+        prev = self._quirk_import_rows
+        self._quirk_import_rows = node.import_rows
+        try:
+            node.errors.extend(
+                self._val(s, value, path, [], rbase, depth, quirk_local=True)
+            )
+        finally:
+            self._quirk_import_rows = prev
+        # aliased in-place sublayers: allOf members + $ref/$recursiveRef
+        # targets share THIS node's errors list (schema.js:1049-1058)
+        for sub in s.all_of:
+            node.children.append(
+                self._build_qnode(sub, value, path, node.errors, rbase, depth + 1, budget))
+        if s.ref is not None:
+            node.children.append(
+                self._build_qnode(s.resolve_ref(), value, path, node.errors, rbase, depth + 1, budget))
+        if s.recursive_ref is not None:
+            target = rbase if rbase is not None else s.registry.lookup(s.recursive_ref)
+            node.children.append(
+                self._build_qnode(target, value, path, node.errors, rbase, depth + 1, budget))
+        # own-array branch layers (root=null in the reference constructor)
+        def own(sub):
+            child = self._build_qnode(sub, value, path, [], rbase, depth + 1, budget)
+            node.children.append(child)
+            return child
+
+        if s.has_any_of:
+            node.anyof = [own(b) for b in s.any_of]
+        if s.has_one_of:
+            node.oneof = [own(b) for b in s.one_of]
+        if s.not_ is not None:
+            node.not_node = own(s.not_)
+        if s.if_ is not None:
+            node.if_node = own(s.if_)
+            if s.then_ is not None:
+                node.then_node = own(s.then_)
+            if s.else_ is not None:
+                node.else_node = own(s.else_)
+        return node
+
+    def _qnode_finish(self, v, budget):
+        budget[0] += 1
+        if budget[0] > 200_000:
+            raise RecursionError("reference_quirks finish cascade exceeded budget")
+        for d in _qnode_getall(v)[:-1]:
+            self._qnode_finish(d, budget)
+        # finish body, reference order: if/then/else import, not, oneOf,
+        # anyOf, unevaluated import (schema.js:1352-1404)
+        if v.if_node is not None:
+            branch = v.then_node if not v.if_node.errors else v.else_node
+            if branch is not None:
+                v.errors.extend(list(branch.errors))  # snapshot of CURRENT rows
+        if v.not_node is not None and not v.not_node.errors:
+            v.errors.append(ValidationRecord(
+                message='Expected "not" to fail', path=v.path, keyword="not",
+                constraint_id=v.sid, expected=None, actual=None))
+        if v.oneof is not None:
+            valid = sum(1 for b in v.oneof if not b.errors)
+            if valid != 1:
+                v.errors.append(ValidationRecord(
+                    message='Expected "oneOf" to have exactly one matching schema',
+                    path=v.path, keyword="oneOf", constraint_id=v.sid,
+                    expected=1, actual=valid))
+        if v.anyof is not None and not any(not b.errors for b in v.anyof):
+            v.errors.append(ValidationRecord(
+                message='Expected "anyOf" to have at least one matching schema',
+                path=v.path, keyword="anyOf", constraint_id=v.sid,
+                expected=1, actual=0))
+        v.errors.extend(v.import_rows)
+
+
+class _QNode:
+    """One reference ValidateLayer in the quirk simulation. `errors` may BE
+    an ancestor's list (aliasing); branch layers hold their own."""
+
+    __slots__ = ("errors", "path", "sid", "children", "import_rows",
+                 "anyof", "oneof", "not_node", "if_node", "then_node", "else_node")
+
+    def __init__(self, errors, path, sid):
+        self.errors = errors
+        self.path = path
+        self.sid = sid
+        self.children = []
+        self.import_rows = []
+        self.anyof = None
+        self.oneof = None
+        self.not_node = None
+        self.if_node = None
+        self.then_node = None
+        self.else_node = None
+
+
+def _qnode_getall(v) -> list:
+    """Flattened descendants-then-self, the reference getAll() order
+    (schema.js:1135-1152)."""
+    out = []
+    for c in v.children:
+        out.extend(_qnode_getall(c))
+    out.append(v)
+    return out
 
 
 @dataclass(frozen=True)

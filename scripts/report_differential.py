@@ -90,11 +90,11 @@ def run_reference(groups) -> list:
         Path(harness).unlink(missing_ok=True)
 
 
-def run_engine(groups) -> list:
+def run_engine(groups, reference_quirks: bool = False) -> list:
     from jsonschemaparse_spark import SchemaRegistry
     from jsonschemaparse_spark.schema.evaluate import Evaluator
 
-    ev = Evaluator()
+    ev = Evaluator(reference_quirks=reference_quirks)
     out = []
     for g in groups:
         reg = SchemaRegistry()
@@ -149,7 +149,17 @@ def _norm_errors(errors) -> tuple:
     return tuple(sorted(rows, key=repr))
 
 
-def compare(groups, ref, eng) -> list[dict]:
+def _exact_errors(errors) -> tuple:
+    """Quirk mode: EXACT multiset — real paths, real multiplicities. No
+    masking: the engine must reproduce the item-0 path drop and the
+    finish-cascade duplication counts itself."""
+    return tuple(sorted(
+        ((e["m"], e["k"], e["p"], _norm_val(e["exp"]), _norm_val(e["act"]))
+         for e in errors), key=repr))
+
+
+def compare(groups, ref, eng, exact: bool = False) -> list[dict]:
+    norm = _exact_errors if exact else _norm_errors
     mismatches = []
     for g, r, e in zip(groups, ref, eng):
         if "error" in r or "error" in e:
@@ -157,7 +167,7 @@ def compare(groups, ref, eng) -> list[dict]:
         for i, (rv, ev_) in enumerate(zip(r["verdicts"], e["verdicts"])):
             if isinstance(rv, str) or isinstance(ev_, str):
                 continue  # dangling-timing class, covered elsewhere
-            if _norm_errors(rv) != _norm_errors(ev_):
+            if norm(rv) != norm(ev_):
                 mismatches.append({
                     "schema": g["schemas"][0]["schema"],
                     "instance": g["cases"][i],
@@ -170,12 +180,15 @@ def main() -> None:
     if shutil.which("node") is None or not REFERENCE.exists():
         print(json.dumps({"skipped": "node or /root/reference unavailable"}))
         return
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 200
-    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    args = [a for a in sys.argv[1:] if a != "--quirks"]
+    quirks = "--quirks" in sys.argv[1:]
+    n = int(args[0]) if len(args) > 0 else 200
+    seed = int(args[1]) if len(args) > 1 else 1
     groups = generate_groups(n, seed)
-    mism = compare(groups, run_reference(groups), run_engine(groups))
+    mism = compare(groups, run_reference(groups),
+                   run_engine(groups, reference_quirks=quirks), exact=quirks)
     print(json.dumps({
-        "n_schemas": n, "seed": seed, "mismatches": len(mism),
+        "n_schemas": n, "seed": seed, "quirks": quirks, "mismatches": len(mism),
         "detail": mism[:6],
     }, indent=1, default=str))
 

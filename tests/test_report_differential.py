@@ -25,3 +25,60 @@ def test_error_report_parity(seed):
     groups = generate_groups(120, seed)
     mismatches = compare(groups, run_reference(groups), run_engine(groups))
     assert mismatches == [], mismatches[:3]
+
+
+@pytest.mark.skipif(not node_available, reason="node or reference unavailable")
+@pytest.mark.parametrize("seed", [1, 2])
+def test_error_report_parity_reference_quirks_exact(seed):
+    """reference_quirks=True (VERDICT r3 #5): bug-for-bug emission — the
+    comparison is the EXACT multiset (real paths, real multiplicities),
+    with both quirk maskings REMOVED. The engine itself reproduces the
+    item-0 path drop and the finish-cascade duplication counts (2^k under
+    allOf/$ref chains, x6 for then-under-allOf...)."""
+    from scripts.report_differential import compare, run_engine, run_reference
+    from scripts.reference_differential import generate_groups
+
+    groups = generate_groups(120, seed)
+    mismatches = compare(
+        groups, run_reference(groups),
+        run_engine(groups, reference_quirks=True), exact=True,
+    )
+    assert mismatches == [], mismatches[:3]
+
+
+@pytest.mark.skipif(not node_available, reason="node or reference unavailable")
+def test_reference_quirks_pinned_shapes():
+    """The executed-reference multiplicity pins (captured by live probe in
+    r4) reproduced by Evaluator(reference_quirks=True)."""
+    from collections import Counter
+
+    from jsonschemaparse_spark.schema.compiler import compile_rules
+    from jsonschemaparse_spark.schema.evaluate import Evaluator
+
+    cases = [
+        # (schema, instance, [(keyword, path), ...] as exact multiset)
+        ({"properties": {"b": {"items": {"properties": {"z": {"type": "integer"}}}}}},
+         {"b": [{"z": "x"}, {"z": "x"}, {"z": "x"}]},
+         [("type", "/b/z"), ("type", "/b/1/z"), ("type", "/b/2/z")]),
+        ({"allOf": [{"allOf": [{"allOf": [{"anyOf": [{"type": "integer"}]}]}]}]},
+         "s", [("anyOf", "")] * 8),
+        ({"allOf": [{"if": {"type": "string"}, "then": {"anyOf": [{"type": "integer"}]}}]},
+         "s", [("anyOf", "")] * 6),
+        ({"allOf": [{"$ref": "#/$defs/d"}], "$defs": {"d": {"anyOf": [{"type": "integer"}]}}},
+         "s", [("anyOf", "")] * 4),
+        ({"allOf": [{"not": {"type": "string"}}]}, "s", [("not", "")] * 2),
+        ({"allOf": [{"required": ["x"]}]}, {},
+         [("required", ""), ("required", "")]),  # once-class: both rows x1
+        ({"items": {"allOf": [{"anyOf": [{"type": "integer"}]}]}}, ["s", "t"],
+         [("anyOf", ""), ("anyOf", ""), ("anyOf", "/1"), ("anyOf", "/1")]),
+    ]
+    ev = Evaluator(reference_quirks=True)
+    for schema, inst, expected in cases:
+        errs, anns = ev.validate(compile_rules(schema), inst)
+        assert anns == []
+        got = Counter((e.keyword, e.path) for e in errs)
+        assert got == Counter(expected), (schema, inst, got)
+    # default mode is untouched: single emission, real indexes
+    plain, _ = Evaluator().validate(
+        compile_rules(cases[0][0]), cases[0][1])
+    assert sorted(e.path for e in plain) == ["/b/0/z", "/b/1/z", "/b/2/z"]
