@@ -117,3 +117,172 @@ def run_with_checkpoint(
         n_files_total=len(all_files),
         n_files_skipped=len(all_files) - len(todo),
     )
+
+
+@dataclass
+class CheckpointedJsonRun:
+    verdicts: DataFrame      # one row per input file (completed or fresh)
+    violations: DataFrame    # violations from files processed THIS run
+    n_files_total: int
+    n_files_skipped: int
+    n_files_typed: int       # files revalidated on the UDF-free typed plan
+    engine_used: str         # 'auto' | 'typed' | 'mixed' | 'none'
+
+
+def run_json_with_checkpoint(
+    spark: SparkSession,
+    input_path: str,
+    json_col: str,
+    rules,
+    state_dir: str,
+    snapshot_id: str = "snap0",
+    key_cols=None,
+    reprocess: bool = False,
+) -> CheckpointedJsonRun:
+    """JSON-column checkpointed validation with the SOUND typed-skip
+    (VERDICT r2/r3 stretch, end-to-end): every hybrid run records, per
+    file, whether ANY row was routed to the Python rescue UDF — the
+    hybrid path's zero-extra-job Observation (json_validator.py
+    jsp_flagged), read after the full-scan metrics action. On
+    `reprocess=True`, files whose prior run recorded jsp_flagged == 0 are
+    revalidated with engine='typed': identical results BY CONSTRUCTION
+    (zero flagged rows means the JVM from_json verdicts were never
+    overridden by the rescue stage) and the plan carries no Python stage
+    (plan-asserted in tests/test_streaming_checkpoint.py). Files that had
+    flagged rows, or whose run used the Arrow path (no observation), go
+    back through engine='auto'.
+
+    State: (snapshot_id, file, n_rows, n_failed_rows, n_violations, pass,
+    clean_typed_ok). Lineage/skip semantics identical to
+    run_with_checkpoint (file-granular, pruned scans)."""
+    from .json_validator import validate_json_column
+
+    df = spark.read.parquet(input_path)
+    all_files = [
+        r["f"] for r in df.select(F.input_file_name().alias("f")).distinct().collect()
+    ]
+
+    metrics_path = _metrics_path(state_dir)
+    prior_rows = []
+    if os.path.exists(metrics_path):
+        prior_rows = (
+            spark.read.parquet(metrics_path)
+            .filter(F.col("snapshot_id") == snapshot_id)
+            .collect()
+        )
+    done = {r["file"] for r in prior_rows}
+    clean_ok = {r["file"] for r in prior_rows if r["clean_typed_ok"]}
+
+    if reprocess:
+        typed_files = [f for f in all_files if f in clean_ok]
+        auto_files = [f for f in all_files if f not in clean_ok]
+        skipped = 0
+    else:
+        typed_files = []
+        auto_files = [f for f in all_files if f not in done]
+        skipped = len(all_files) - len(auto_files)
+
+    keys = list(key_cols) if key_cols else [df.columns[0]]
+    all_violations = []
+    fresh_metrics_rows = []
+    n_typed = 0
+
+    def _run(files, engine):
+        part = spark.read.parquet(*files).withColumn(_FILE_COL, F.input_file_name())
+        if engine == "typed":
+            # revalidate on the EXACT struct the hybrid routed through, so
+            # the identical-results guarantee is schema-for-schema, not
+            # merely equivalent-by-inference
+            from ..schema.compiler import compile_rules
+            from .json_validator import _typed_route_schema, validate_json_typed
+
+            cs = rules if not isinstance(rules, dict) else compile_rules(rules)
+            res = validate_json_typed(
+                part, json_col, cs, _typed_route_schema(cs),
+                key_cols=keys + [_FILE_COL], extensions=False,
+            )
+        else:
+            res = validate_json_column(
+                part, json_col, rules, key_cols=keys + [_FILE_COL], engine=engine
+            )
+        per_file = (
+            res.annotated.groupBy(F.col(_FILE_COL).alias("file"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.when(F.col(VALID_COL), 0).otherwise(1)).alias("n_failed_rows"),
+                F.sum(res._n_viols()).alias("n_violations"),
+            )
+            .withColumn("pass", F.col("n_failed_rows") == 0)
+            .collect()  # one tiny row per file; ACTION -> observation valid
+        )
+        obs = res.flagged_observation
+        if obs is not None:
+            got = obs.get
+            run_clean = (got["jsp_flagged"] or 0) == 0
+        else:
+            # typed plan: no rescue stage at all => trivially clean;
+            # arrow plan: no observation => cannot prove, stay conservative
+            run_clean = engine == "typed"
+        for r in per_file:
+            fresh_metrics_rows.append(
+                (snapshot_id, r["file"], r["n_rows"], r["n_failed_rows"],
+                 r["n_violations"], r["pass"], run_clean)
+            )
+        all_violations.append(res.violations().drop(_FILE_COL))
+        return res
+
+    if auto_files:
+        _run(auto_files, "auto")
+    if typed_files:
+        _run(typed_files, "typed")
+        n_typed = len(typed_files)
+
+    if fresh_metrics_rows:
+        fresh = spark.createDataFrame(
+            fresh_metrics_rows,
+            "snapshot_id string, file string, n_rows long, n_failed_rows long, "
+            "n_violations long, pass boolean, clean_typed_ok boolean",
+        )
+        if reprocess:
+            # replace this snapshot's rows (revalidation supersedes)
+            keep = (
+                spark.read.parquet(metrics_path)
+                .filter(F.col("snapshot_id") != snapshot_id)
+                if os.path.exists(metrics_path) else None
+            )
+            out = fresh if keep is None else keep.unionByName(fresh)
+            out.persist().count()  # materialize BEFORE overwriting the source
+            out.write.mode("overwrite").parquet(metrics_path)
+            out.unpersist()
+        else:
+            fresh.write.mode("append").parquet(metrics_path)
+
+    if all_violations:
+        violations = all_violations[0]
+        for v in all_violations[1:]:
+            violations = violations.unionByName(v)
+        violations.write.mode("append").parquet(_violations_path(state_dir))
+    else:
+        from pyspark.sql.types import StructType
+
+        schema = StructType([df.schema[k] for k in keys]) \
+            .add("constraint_id", "string").add("path", "string") \
+            .add("keyword", "string").add("expected", "string") \
+            .add("actual", "string").add("message", "string")
+        violations = spark.createDataFrame([], schema)
+
+    verdicts = spark.read.parquet(metrics_path).filter(
+        F.col("snapshot_id") == snapshot_id
+    )
+    engine_used = (
+        "mixed" if (auto_files and typed_files)
+        else "typed" if typed_files else "auto" if auto_files else "none"
+    )
+    return CheckpointedJsonRun(
+        verdicts=verdicts,
+        violations=violations,
+        n_files_total=len(all_files),
+        n_files_skipped=skipped,
+        n_files_typed=n_typed,
+        engine_used=engine_used,
+    )

@@ -187,3 +187,94 @@ def test_stateful_validation_monitor(spark, pages_dir):
         .collect()
     }
     assert got == truth
+
+
+# ---------------------------------------------------------------------------
+# r4 stretch (VERDICT r3 #9): JSON checkpoint + the SOUND typed-skip e2e
+# ---------------------------------------------------------------------------
+JSON_RULES = {
+    "type": "object",
+    "required": ["k"],
+    "properties": {"k": {"type": "integer", "maximum": 30}},
+}
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _verdict_map(run):
+    return {
+        r["file"].rsplit("/", 1)[-1]: (r["n_rows"], r["n_failed_rows"],
+                                       r["n_violations"], r["pass"])
+        for r in run.verdicts.collect()
+    }
+
+
+def test_json_checkpoint_kill_rerun_and_typed_skip(spark, tmp_path_factory):
+    from jsonschemaparse_spark.plans.checkpoint import run_json_with_checkpoint
+
+    data = str(tmp_path_factory.mktemp("json_data"))
+    state = str(tmp_path_factory.mktemp("json_state"))
+
+    # batch 1: all docs parse cleanly; ids > 30 violate maximum (violations
+    # WITHOUT any row hitting the rescue UDF -> the run is provably clean)
+    spark.createDataFrame(
+        [(i, '{"k": %d}' % i) for i in range(50)], "id long, doc string"
+    ).coalesce(1).write.mode("append").parquet(data)
+
+    r1 = run_json_with_checkpoint(spark, data, "doc", JSON_RULES, state)
+    assert (r1.n_files_total, r1.n_files_skipped, r1.engine_used) == (1, 0, "auto")
+    assert all(r["clean_typed_ok"] for r in r1.verdicts.collect())
+    # the hybrid first pass carries the Python rescue stage in-plan
+    assert "Python" in _plan(r1.violations)
+    v1 = _verdict_map(r1)
+
+    # "kill" after batch 1's state landed; new data arrives
+    spark.createDataFrame(
+        [(100 + i, '{"k": %d}' % i) for i in range(40)], "id long, doc string"
+    ).coalesce(1).write.mode("append").parquet(data)
+
+    r2 = run_json_with_checkpoint(spark, data, "doc", JSON_RULES, state)
+    assert (r2.n_files_total, r2.n_files_skipped) == (2, 1)
+    v2 = _verdict_map(r2)
+    assert set(v1) < set(v2) and all(v2[f] == v1[f] for f in v1)
+
+    # identical results vs a from-scratch run over the same inputs
+    fresh_state = str(tmp_path_factory.mktemp("json_state_fresh"))
+    rf = run_json_with_checkpoint(spark, data, "doc", JSON_RULES, fresh_state)
+    assert _verdict_map(rf) == v2
+    assert rf.violations.count() == (
+        spark.read.parquet(f"{state}/violations").count()
+    )  # resumed runs accumulated exactly the fresh run's violation rows
+
+    # reprocess: every file proved clean -> UDF-free typed plan end-to-end
+    r3 = run_json_with_checkpoint(
+        spark, data, "doc", JSON_RULES, state, reprocess=True
+    )
+    assert (r3.engine_used, r3.n_files_typed) == ("typed", 2)
+    assert "Python" not in _plan(r3.violations)  # the skipped stage, absent
+    assert _verdict_map(r3) == v2  # identical verdicts, rows, violations
+
+
+def test_json_checkpoint_flagged_files_stay_on_auto(spark, tmp_path_factory):
+    """A run with rows routed to the rescue UDF (type-mismatch docs) must
+    NOT be marked clean; reprocess keeps those files on the full engine."""
+    from jsonschemaparse_spark.plans.checkpoint import run_json_with_checkpoint
+
+    data = str(tmp_path_factory.mktemp("json_dirty"))
+    state = str(tmp_path_factory.mktemp("json_dirty_state"))
+    spark.createDataFrame(
+        [(1, '{"k": 5}'), (2, '{"k": "not-an-int"}'), (3, '{"k": 60}')],
+        "id long, doc string",
+    ).coalesce(1).write.mode("append").parquet(data)
+
+    r1 = run_json_with_checkpoint(spark, data, "doc", JSON_RULES, state)
+    assert not any(r["clean_typed_ok"] for r in r1.verdicts.collect())
+    v1 = _verdict_map(r1)
+
+    r2 = run_json_with_checkpoint(
+        spark, data, "doc", JSON_RULES, state, reprocess=True
+    )
+    assert (r2.engine_used, r2.n_files_typed) == ("auto", 0)
+    assert _verdict_map(r2) == v1
