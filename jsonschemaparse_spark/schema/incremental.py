@@ -35,6 +35,13 @@ _NUMCHARS = set("0123456789+-.eE")
 _LITERALS = {"true": True, "false": False, "null": None}
 
 
+def _u16len(s: str) -> int:
+    """Length in UTF-16 code units — the reference's charno unit (JS
+    strings; astral chars count 2). Pinned by executing the reference:
+    '\"🐲\" ,' errors at column 5, the code-UNIT offset of the comma."""
+    return len(s) + sum(1 for c in s if ord(c) > 0xFFFF)
+
+
 def _scan_number(raw: str) -> tuple[str, int]:
     """Char-level JSON-number FSM (the reference's NUMBER1-8,
     parse.js number states). Returns one of:
@@ -175,11 +182,11 @@ class IncrementalJSONParser:
         counts as column 0 of the next line, so column = offset - index
         of the last '\\n'."""
         seg = self._buf[self._pos:k]
-        absk = self._abs + (k - self._pos)
+        absk = self._abs + _u16len(seg)  # offsets in UTF-16 units (_u16len)
         nl = seg.count("\n")
         line = self._ref_line + nl
         if nl:
-            last_nl = self._abs + seg.rfind("\n")
+            last_nl = self._abs + _u16len(seg[:seg.rfind("\n")])
         else:
             last_nl = self._last_nl_abs
         if last_nl is None:
@@ -254,10 +261,10 @@ class IncrementalJSONParser:
             self._line += nl
             self._column = n - seg.rfind("\n")
             self._ref_line += nl
-            self._last_nl_abs = self._abs + seg.rfind("\n")
+            self._last_nl_abs = self._abs + _u16len(seg[:seg.rfind("\n")])
         else:
             self._column += n
-        self._abs += n
+        self._abs += _u16len(seg)
         self._pos += n
         if self._pos > 65536:  # keep the carry buffer bounded
             self._buf = self._buf[self._pos:]

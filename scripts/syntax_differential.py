@@ -13,10 +13,23 @@ plus the message HEAD ('Unexpected "x"' / 'Unexpected end of document';
 the tail differs by design — the reference appends FSM state names and
 expected-sets, we append our own context).
 
-Position caveat: the reference counts UTF-16 code units, this engine
-counts code points; the generator keeps error neighborhoods in the BMP so
-the conventions coincide. Astral-plane offsets would differ by one per
-preceding surrogate pair — a documented, untested divergence.
+Positions count UTF-16 code units on both sides (r4: the engine's
+_ref_pos tracks code units, matching the reference's JS charno — astral
+chars count 2; the generator emits astral content to exercise this).
+
+Documented reference bug class (found by this differential, classified
+not masked): `utf16_high` surrogate state goes STALE when a string's
+astral char is consumed by the string fast path without its low
+surrogate passing the per-unit check (parse.js:361-371 vs the bulk
+string capture) — a LATER high surrogate is then falsely rejected with
+'expecting one of: UTF-16-low-surrogate' (executed pin:
+`["🐲", "🐲"]` rejected at the second string while `["a🐲b", "c🐲d"]`
+and `["🐲"]` parse fine). We accept all well-formed astral content;
+rejections carrying that expecting-set are counted as
+`ref_surrogate_bug`, not mismatches. Separately, the reference quotes
+the lone HIGH surrogate in messages ('Unexpected "\\ud83d"', JS
+char-at-a-time); engine heads quoting the full astral char are
+normalized to the high unit for comparison.
 
 Run:  python scripts/syntax_differential.py [n_texts] [seed]
 """
@@ -66,7 +79,7 @@ def _rand_value(rnd: random.Random, depth: int = 0):
     if depth >= 3 or rnd.random() < 0.4:
         return rnd.choice([
             None, True, False, 0, -1, 42, 3.14, -0.5, 1e10, 1e-7, 123456789012345,
-            "", "a", "hello world", "é中文", "line\nbreak",
+            "", "a", "hello world", "é中文", "line\nbreak", "\U0001F432", "a\U0001F432b",
             'quote"inside', "back\\slash", "tab\there", "",
         ])
     if rnd.random() < 0.5:
@@ -81,7 +94,7 @@ def _mutate_text(rnd: random.Random, text: str) -> str:
         return text[:cut]  # truncation
     if op < 0.4:
         pos = rnd.randrange(len(text) + 1)
-        ch = rnd.choice(list('{}[],:"\\truefalsn0123456789.eE+- \t\n\x00x'))
+        ch = rnd.choice(list('{}[],:"\\truefalsn0123456789.eE+- \t\n\x00x') + ["\U0001F432"])
         return text[:pos] + ch + text[pos:]
     if op < 0.6 and text:
         pos = rnd.randrange(len(text))
@@ -146,13 +159,22 @@ def run_engine(texts: list[str]) -> list:
 
 def _msg_head(msg: str) -> str | None:
     """'Unexpected "<c>"' / 'Unexpected end of document' — the shared
-    message prefix both engines emit before their own context."""
+    message prefix both engines emit before their own context. An astral
+    quoted char is normalized to its lone HIGH surrogate, the reference's
+    JS char-at-a-time quoting."""
     import re as _re
 
     if msg.startswith("Unexpected end of document"):
         return "Unexpected end of document"
     m = _re.match(r'Unexpected "(?:[^"\\]|\\.)*"', msg)
-    return m.group(0) if m else None
+    if m is None:
+        return None
+    head = m.group(0)
+    quoted = json.loads(head[len("Unexpected "):])
+    if len(quoted) == 1 and ord(quoted) > 0xFFFF:
+        hi = chr(0xD800 + ((ord(quoted) - 0x10000) >> 10))
+        return "Unexpected " + json.dumps(hi)
+    return head
 
 
 def _norm_num(v):
@@ -184,9 +206,17 @@ def _norm(v):
     return json.dumps(_norm_num(v), sort_keys=True)
 
 
-def compare(texts, ref, eng) -> list[dict]:
+def compare(texts, ref, eng, counters: dict | None = None) -> list[dict]:
     mismatches = []
     for t, r, e in zip(texts, ref, eng):
+        if not r["ok"] and "UTF-16-low-surrogate" in r.get("msg", ""):
+            # stale utf16_high false rejection (module docstring): the
+            # reference errors where well-formed astral content follows a
+            # string whose pair straddled its fast-path boundary. Counted,
+            # never silently dropped.
+            if counters is not None:
+                counters["ref_surrogate_bug"] = counters.get("ref_surrogate_bug", 0) + 1
+            continue
         if r["ok"] != e["ok"]:
             mismatches.append({"text": t, "reference_ok": r["ok"],
                                "engine_ok": e["ok"]})
@@ -220,9 +250,11 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 500
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     texts = generate_texts(n, seed)
-    mism = compare(texts, run_reference(texts), run_engine(texts))
+    counters: dict = {}
+    mism = compare(texts, run_reference(texts), run_engine(texts), counters)
     print(json.dumps({
         "n_texts": len(texts), "seed": seed, "mismatches": len(mism),
+        "counters": counters,
         "detail": mism[:10],
     }, indent=1, default=str))
 

@@ -59,6 +59,14 @@ def test_syntax_position_pinned_corpus():
         '[', '{', '', '  ',
         # accepted forms that exercise the same scanners
         '-0', '1e+5', '0.5e3', '"\\ud800"', '"\\ud83d\\ude00"',
+        # astral chars: UTF-16-unit columns + lone-high-surrogate quoting
+        '"\U0001F432" ,', '["\U0001F432", ,]', '"\U0001F432\U0001F432" x',
+        '["\U0001F432"', '"\U0001F432', '{"\U0001F432": 1, ,}',
+        # the reference's stale-utf16_high false rejection (classified)
+        '["\U0001F432", "\U0001F432"]',
     ]
-    mism = compare(texts, run_reference(texts), run_engine(texts))
+    counters: dict = {}
+    mism = compare(texts, run_reference(texts), run_engine(texts), counters)
     assert mism == [], mism[:5]
+    # the surrogate-bug class fired exactly for the pinned false-reject
+    assert counters.get("ref_surrogate_bug") == 1
