@@ -55,11 +55,13 @@ class ParseSyntaxError(ValueError):
         self.position = position
 
 
-def _positioned_syntax_error(text: str) -> ParseSyntaxError:
+def _positioned_syntax_error(text: str, original: Exception) -> ParseSyntaxError:
     """Re-parse a known-bad document with the incremental FSM to recover
     the reference-convention (line, column) — error-path only, so the
-    strict fast path (json.loads C scanner) stays untaxed. Falls back to
-    a position-less error if the two parsers disagree on acceptance."""
+    strict fast path (json.loads C scanner) stays untaxed. If the two
+    parsers disagree on acceptance, keep the ORIGINAL scanner's message
+    (position-less) rather than a generic one — the disagreement case is
+    exactly where the descriptive message matters (r4 review #6)."""
     from .schema.incremental import IncrementalJSONParser, IncrementalSyntaxError
 
     p = IncrementalJSONParser()
@@ -68,7 +70,7 @@ def _positioned_syntax_error(text: str) -> ParseSyntaxError:
         p.end()
     except IncrementalSyntaxError as ie:
         return ParseSyntaxError(str(ie), position=ie.position)
-    return ParseSyntaxError("Malformed JSON (no position available)")
+    return ParseSyntaxError(str(original))
 
 
 @dataclass
@@ -172,7 +174,7 @@ def parse_info(text: str | bytes, schema=None, annotations: bool = True,
         if syntax is None and big_number == "default" and not interoperable \
                 and not max_number_length:
             # strict path: recover reference-convention position via the FSM
-            raise _positioned_syntax_error(text) from e
+            raise _positioned_syntax_error(text, e) from e
         raise ParseSyntaxError(str(e)) from e
     limit_errors: list[ValidationRecord] = []
     if limits is not None:

@@ -140,29 +140,39 @@ def run_json_with_checkpoint(
     reprocess: bool = False,
 ) -> CheckpointedJsonRun:
     """JSON-column checkpointed validation with the SOUND typed-skip
-    (VERDICT r2/r3 stretch, end-to-end): every hybrid run records, per
-    file, whether ANY row was routed to the Python rescue UDF — the
-    hybrid path's zero-extra-job Observation (json_validator.py
-    jsp_flagged), read after the full-scan metrics action. On
-    `reprocess=True`, files whose prior run recorded jsp_flagged == 0 are
-    revalidated with engine='typed': identical results BY CONSTRUCTION
-    (zero flagged rows means the JVM from_json verdicts were never
-    overridden by the rescue stage) and the plan carries no Python stage
-    (plan-asserted in tests/test_streaming_checkpoint.py). Files that had
-    flagged rows, or whose run used the Arrow path (no observation), go
-    back through engine='auto'.
+    (VERDICT r2/r3 stretch, end-to-end): every run records, PER FILE,
+    whether any of that file's rows was routed to the Python rescue UDF —
+    the hybrid path's needs_py flag surfaced as a column
+    (validate_json_column(keep_flag_col=...)), aggregated in the same
+    per-file pass as the metrics (r4 review finding #5: the run-wide
+    Observation would let one dirty file block every clean file's
+    graduation). On `reprocess=True`, files whose prior run recorded zero
+    flagged rows are revalidated with engine='typed' on the exact struct
+    the hybrid routed through: identical results BY CONSTRUCTION (zero
+    flagged rows means the JVM from_json verdicts were never overridden)
+    and the plan carries no Python stage (plan-asserted in
+    tests/test_streaming_checkpoint.py). Files with flagged rows, or
+    whose run used the Arrow path (flag column is all-True there), stay
+    on engine='auto'.
 
-    State: (snapshot_id, file, n_rows, n_failed_rows, n_violations, pass,
-    clean_typed_ok). Lineage/skip semantics identical to
-    run_with_checkpoint (file-granular, pruned scans)."""
+    State (both snapshot-keyed so reprocess can supersede):
+    - metrics:    (snapshot_id, file, n_rows, n_failed_rows, n_violations,
+                   pass, clean_typed_ok)
+    - violations: report rows + (snapshot_id, file)
+    Reprocess rewrites replace this snapshot's rows via write-to-temp-
+    then-swap — never an in-lineage overwrite of the parquet being read
+    (r4 review finding #4: the self-overwrite hazard). Lineage/skip
+    semantics match run_with_checkpoint (file-granular, pruned scans)."""
     from .json_validator import validate_json_column
 
+    FLAG = "_jsp_rescue_flag"
     df = spark.read.parquet(input_path)
     all_files = [
         r["f"] for r in df.select(F.input_file_name().alias("f")).distinct().collect()
     ]
 
     metrics_path = _metrics_path(state_dir)
+    violations_path = _violations_path(state_dir)
     prior_rows = []
     if os.path.exists(metrics_path):
         prior_rows = (
@@ -201,9 +211,11 @@ def run_json_with_checkpoint(
                 part, json_col, cs, _typed_route_schema(cs),
                 key_cols=keys + [_FILE_COL], extensions=False,
             )
+            res.annotated = res.annotated.withColumn(FLAG, F.lit(False))
         else:
             res = validate_json_column(
-                part, json_col, rules, key_cols=keys + [_FILE_COL], engine=engine
+                part, json_col, rules, key_cols=keys + [_FILE_COL],
+                engine=engine, keep_flag_col=FLAG,
             )
         per_file = (
             res.annotated.groupBy(F.col(_FILE_COL).alias("file"))
@@ -211,24 +223,21 @@ def run_json_with_checkpoint(
                 F.count(F.lit(1)).alias("n_rows"),
                 F.sum(F.when(F.col(VALID_COL), 0).otherwise(1)).alias("n_failed_rows"),
                 F.sum(res._n_viols()).alias("n_violations"),
+                F.sum(F.col(FLAG).cast("long")).alias("n_flagged"),
             )
             .withColumn("pass", F.col("n_failed_rows") == 0)
-            .collect()  # one tiny row per file; ACTION -> observation valid
+            .collect()  # one tiny row per file
         )
-        obs = res.flagged_observation
-        if obs is not None:
-            got = obs.get
-            run_clean = (got["jsp_flagged"] or 0) == 0
-        else:
-            # typed plan: no rescue stage at all => trivially clean;
-            # arrow plan: no observation => cannot prove, stay conservative
-            run_clean = engine == "typed"
         for r in per_file:
             fresh_metrics_rows.append(
                 (snapshot_id, r["file"], r["n_rows"], r["n_failed_rows"],
-                 r["n_violations"], r["pass"], run_clean)
+                 r["n_violations"], r["pass"], (r["n_flagged"] or 0) == 0)
             )
-        all_violations.append(res.violations().drop(_FILE_COL))
+        all_violations.append(
+            res.violations()
+            .withColumnRenamed(_FILE_COL, "file")
+            .withColumn("snapshot_id", F.lit(snapshot_id))
+        )
         return res
 
     if auto_files:
@@ -237,31 +246,50 @@ def run_json_with_checkpoint(
         _run(typed_files, "typed")
         n_typed = len(typed_files)
 
+    # persist fresh state; reprocess REPLACES this snapshot's rows
+    def _swap_write(frame: DataFrame, path: str) -> None:
+        """Materialize to a sibling temp dir, then swap directories — the
+        frame may READ `path`, so an in-place overwrite would delete its
+        own source mid-computation (cache eviction / lost-executor replay
+        recomputes from the deleted files)."""
+        import shutil
+        import uuid
+
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        frame.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+
     if fresh_metrics_rows:
         fresh = spark.createDataFrame(
             fresh_metrics_rows,
             "snapshot_id string, file string, n_rows long, n_failed_rows long, "
             "n_violations long, pass boolean, clean_typed_ok boolean",
         )
-        if reprocess:
-            # replace this snapshot's rows (revalidation supersedes)
-            keep = (
-                spark.read.parquet(metrics_path)
-                .filter(F.col("snapshot_id") != snapshot_id)
-                if os.path.exists(metrics_path) else None
+        if reprocess and os.path.exists(metrics_path):
+            keep = spark.read.parquet(metrics_path).filter(
+                F.col("snapshot_id") != snapshot_id
             )
-            out = fresh if keep is None else keep.unionByName(fresh)
-            out.persist().count()  # materialize BEFORE overwriting the source
-            out.write.mode("overwrite").parquet(metrics_path)
-            out.unpersist()
+            _swap_write(keep.unionByName(fresh), metrics_path)
         else:
             fresh.write.mode("append").parquet(metrics_path)
 
     if all_violations:
-        violations = all_violations[0]
+        fresh_viols = all_violations[0]
         for v in all_violations[1:]:
-            violations = violations.unionByName(v)
-        violations.write.mode("append").parquet(_violations_path(state_dir))
+            fresh_viols = fresh_viols.unionByName(v)
+        if reprocess and os.path.exists(violations_path):
+            # supersede, don't append: re-running the same files would
+            # otherwise duplicate their rows in the durable store (r4
+            # review finding #3)
+            keep = spark.read.parquet(violations_path).filter(
+                F.col("snapshot_id") != snapshot_id
+            )
+            _swap_write(keep.unionByName(fresh_viols), violations_path)
+        else:
+            fresh_viols.write.mode("append").parquet(violations_path)
+        violations = fresh_viols.drop("snapshot_id", "file")
     else:
         from pyspark.sql.types import StructType
 

@@ -448,15 +448,36 @@ class ColumnCompiler:
         # Lossiness test = EXACT double round-trip, the same rule as
         # schema/relaxed_json._is_lossy on the parse/Arrow paths (strictly
         # sharper than the reference's <16-digit heuristic — documented
-        # divergence, consistent across all three engine paths). The
-        # round-trip stays in codegen: cast to double and back, unequal or
-        # overflow-null => lossy. Float/double columns are binary64 already.
-        if self.big_number == "error" and isinstance(dtype, (T.DecimalType, T.LongType)):
-            back = "decimal(38,0)" if isinstance(dtype, T.LongType) else dtype
-            rt = col.cast("double").cast(back)
-            orig = col.cast(back) if isinstance(dtype, T.LongType) else col
-            lossy = F.coalesce(rt != orig, F.lit(True))
+        # divergence, consistent across all three engine paths).
+        # Float/double columns are binary64 already.
+        if self.big_number == "error" and isinstance(dtype, T.LongType):
+            # LongType stays in codegen: long->double->long is VALUE-exact
+            # (the truncating cast never goes through a string). The only
+            # blind spot is the top edge: every v in (2^63-1024, 2^63)
+            # rounds to 2^63, which clamps back to Long.MaxValue and can
+            # equal v — none of those values is representable (the ulp at
+            # 2^63 is 1024), so flag the interval explicitly. 2^63-1024
+            # itself IS representable and round-trips equal. (r4 review
+            # finding #2: the earlier double->decimal(38,0) comparison was
+            # string-rounded by Spark — Double.toString shortest repr — and
+            # false-flagged exactly-representable values like 2^60.)
+            rt = col.cast("double").cast("long")
+            lossy = F.coalesce(rt != col, F.lit(True)) | (
+                col > F.lit((1 << 63) - 1024)
+            )
             leaf(lossy, "bigNumber", None, col, "Number too precise")
+        elif self.big_number == "error" and isinstance(dtype, T.DecimalType):
+            # No exact in-codegen test exists for decimals: every Spark
+            # double->decimal/string cast routes through Double.toString
+            # (shortest repr), so comparing in decimal space false-flags
+            # representable values. Route THIS COLUMN to the Arrow
+            # fallback, whose relaxed loader applies _is_lossy exactly on
+            # the full-precision to_json digits; everything else stays in
+            # codegen (per-column fallback machinery).
+            raise ExpressionFallback(
+                "bigNumber 'error' on a DecimalType column needs the exact "
+                "Python lossiness check"
+            )
 
         # Compare in the column's own numeric type (Catalyst coerces the
         # literal): keeps full precision for long/decimal columns — the

@@ -260,7 +260,7 @@ class Evaluator:
         #     schema.js:813-820, 851-858) ---
         if t in ("object", "array") and schema.enum_schemas is not None:
             matched = any(
-                not self._val(s, value, path, [], recursive_base, depth + 1)
+                not self._probe(s, value, path, recursive_base, depth + 1)
                 for s in schema.enum_schemas
             )
             if not matched:
@@ -320,6 +320,20 @@ class Evaluator:
         if self.reference_quirks:
             return self._val_quirks(schema, value, path, rbase, depth)
         return self._val(schema, value, path, annotations, rbase, depth)
+
+    def _probe(self, schema, value, path, rbase, depth):
+        """SPECULATIVE verdict-only evaluation (if/anyOf/oneOf pass checks,
+        enum_schemas, contains, evaluated-set unions). Detaches the quirk
+        import sink first: a discarded probe must not leak its nested
+        unevaluated* rows into the active _QNode's per-finish import list
+        (r4 code-review finding #1 — phantom violations on valid
+        instances)."""
+        prev = self._quirk_import_rows
+        self._quirk_import_rows = None
+        try:
+            return self._val(schema, value, path, [], rbase, depth)
+        finally:
+            self._quirk_import_rows = prev
 
     # ------------------------------------------------------------------
     def _object_keywords(self, schema, value: dict, path, E, annotations, rbase, depth):
@@ -429,7 +443,7 @@ class Evaluator:
         cond.extend(schema.any_of)
         cond.extend(schema.one_of)
         if schema.if_ is not None:
-            if_pass = not self._val(schema.if_, value, "", [], rbase, depth + 1)
+            if_pass = not self._probe(schema.if_, value, "", rbase, depth + 1)
             if if_pass:
                 cond.append(schema.if_)
                 if schema.then_ is not None:
@@ -437,7 +451,7 @@ class Evaluator:
             elif schema.else_ is not None:
                 cond.append(schema.else_)
         for s in cond:
-            if not self._val(s, value, "", [], rbase, depth + 1):
+            if not self._probe(s, value, "", rbase, depth + 1):
                 subs.append(s)
         for s in subs:
             out |= set(k for k in value if k in s.properties)
@@ -476,7 +490,7 @@ class Evaluator:
             if schema.const_items is not None and i < len(schema.const_items):
                 errs.extend(self._sub(schema.const_items[i], item, ipath, annotations, rbase, depth + 1))
             if self.extensions and schema.contains is not None:
-                if not self._val(schema.contains, item, ipath, [], rbase, depth + 1):
+                if not self._probe(schema.contains, item, ipath, rbase, depth + 1):
                     contains_hits += 1
         if self.extensions and schema.contains is not None:
             lo = schema.min_contains if schema.min_contains is not None else 1
@@ -534,14 +548,14 @@ class Evaluator:
             subs.append(schema.resolve_ref())
         cond: list = list(schema.any_of) + list(schema.one_of)
         if schema.if_ is not None:
-            if not self._val(schema.if_, value, "", [], rbase, depth + 1):
+            if not self._probe(schema.if_, value, "", rbase, depth + 1):
                 cond.append(schema.if_)
                 if schema.then_ is not None:
                     cond.append(schema.then_)
             elif schema.else_ is not None:
                 cond.append(schema.else_)
         for s in cond:
-            if not self._val(s, value, "", [], rbase, depth + 1):
+            if not self._probe(s, value, "", rbase, depth + 1):
                 subs.append(s)
         for s in subs:
             p = max(p, self._items_evaluated_prefix(s, value, rbase, depth + 1))

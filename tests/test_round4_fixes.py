@@ -413,3 +413,67 @@ def test_bignumber_error_differential_vs_node():
             assert ours, "the quirk-class literal must still be flagged by our exact rule"
         else:
             assert ours == ref_flagged, f"verdict mismatch on {lit!r}"
+
+
+def test_bignumber_exact_representable_longs_not_flagged(spark):
+    """r4 review finding #2: 2^60 is exactly binary64-representable (and
+    _is_lossy agrees) — the earlier double->decimal comparison was
+    string-rounded by Spark and false-flagged it. Long.MaxValue and the
+    non-representable top-edge interval still flag."""
+    from jsonschemaparse_spark.plans import validate_dataframe
+
+    rules = {"properties": {"n": {"type": "integer"}}}
+    df = spark.createDataFrame(
+        [(1, 1 << 60),                    # representable: 2^60
+         (2, (1 << 60) + 1),              # lossy: needs 61 bits
+         (3, 9223372036854774784),        # representable: 2^63 - 1024
+         (4, 9223372036854775807),        # lossy: Long.MaxValue (top edge)
+         (5, 9223372036854775295),        # lossy: inside (2^63-1024, 2^63)
+         (6, -(1 << 61))],                # representable: -2^61
+        "id long, n long",
+    )
+    res = validate_dataframe(df, rules, key_cols=["id"], big_number="error")
+    flagged = sorted(r["id"] for r in res.violations().collect())
+    assert flagged == [2, 4, 5]
+    # cross-path agreement with the exact Python rule
+    from jsonschemaparse_spark.schema.relaxed_json import _is_lossy
+
+    for rid, v in [(1, 1 << 60), (2, (1 << 60) + 1), (3, 9223372036854774784),
+                   (4, 9223372036854775807), (5, 9223372036854775295),
+                   (6, -(1 << 61))]:
+        assert _is_lossy(str(v)) == (rid in (2, 4, 5)), v
+
+
+def test_bignumber_decimal_routes_to_exact_fallback(spark):
+    """DecimalType under big_number='error' goes through the Arrow
+    fallback (no exact in-codegen test exists — Spark double casts are
+    string-rounded): 2^60 as a decimal must NOT be flagged, a 23-digit
+    value must."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from jsonschemaparse_spark.plans import validate_dataframe
+
+    rules = {"properties": {"n": {"type": "number"}}}
+    df = spark.createDataFrame(
+        [(1, Decimal(1 << 60)), (2, Decimal("12345678901234567890123")), (3, None)],
+        "id long, n decimal(38,0)",
+    )
+    res = validate_dataframe(df, rules, key_cols=["id"], big_number="error")
+    rows = res.violations().collect()
+    assert [(r["id"], r["keyword"], r["message"]) for r in rows] == [
+        (2, "bigNumber", BIGNUM_MSG)
+    ]
+    got = {r["id"]: r["_jsp_valid"] for r in res.annotated.collect()}
+    assert got == {1: True, 2: False, 3: True}
+
+
+def test_positioned_error_keeps_original_message_on_disagreement():
+    """r4 review finding #6: if the FSM ever accepts what the C scanner
+    rejected, the original message must survive."""
+    from jsonschemaparse_spark.api import _positioned_syntax_error
+
+    err = _positioned_syntax_error("42", ValueError("scanner said no"))
+    assert "scanner said no" in str(err)
+    assert err.position is None

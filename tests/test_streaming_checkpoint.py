@@ -278,3 +278,44 @@ def test_json_checkpoint_flagged_files_stay_on_auto(spark, tmp_path_factory):
     )
     assert (r2.engine_used, r2.n_files_typed) == ("auto", 0)
     assert _verdict_map(r2) == v1
+
+
+def test_json_checkpoint_per_file_graduation_and_no_dup(spark, tmp_path_factory):
+    """r4 review fixes #3/#5: a clean file in the same batch as a dirty
+    file still graduates to the typed skip (per-file flag aggregation, not
+    the run-wide observation), and reprocess SUPERSEDES the snapshot's
+    persisted violations instead of appending duplicates."""
+    from jsonschemaparse_spark.plans.checkpoint import run_json_with_checkpoint
+
+    data = str(tmp_path_factory.mktemp("json_mixed"))
+    state = str(tmp_path_factory.mktemp("json_mixed_state"))
+    # file 1: clean-parsing docs (some violate maximum -> violations only)
+    spark.createDataFrame(
+        [(i, '{"k": %d}' % i) for i in range(40)], "id long, doc string"
+    ).coalesce(1).write.mode("append").parquet(data)
+    # file 2: contains a type-mismatch doc -> flagged rows
+    spark.createDataFrame(
+        [(100, '{"k": 1}'), (101, '{"k": "zzz"}')], "id long, doc string"
+    ).coalesce(1).write.mode("append").parquet(data)
+
+    r1 = run_json_with_checkpoint(spark, data, "doc", JSON_RULES, state)
+    by_file = {r["file"]: r["clean_typed_ok"] for r in r1.verdicts.collect()}
+    assert sorted(by_file.values()) == [False, True]  # one graduates, one not
+    v1 = _verdict_map(r1)
+    n_persisted_1 = spark.read.parquet(f"{state}/violations").count()
+
+    # reprocess: ONE file on the typed plan, the dirty one stays on auto
+    r2 = run_json_with_checkpoint(
+        spark, data, "doc", JSON_RULES, state, reprocess=True
+    )
+    assert (r2.engine_used, r2.n_files_typed) == ("mixed", 1)
+    assert _verdict_map(r2) == v1
+    # supersede, not append: the durable violations store did not grow
+    assert spark.read.parquet(f"{state}/violations").count() == n_persisted_1
+
+    # a second reprocess is idempotent too
+    r3 = run_json_with_checkpoint(
+        spark, data, "doc", JSON_RULES, state, reprocess=True
+    )
+    assert _verdict_map(r3) == v1
+    assert spark.read.parquet(f"{state}/violations").count() == n_persisted_1
