@@ -73,6 +73,35 @@ def _positioned_syntax_error(text: str, original: Exception) -> ParseSyntaxError
     return ParseSyntaxError(str(original))
 
 
+def _position_map(text: str) -> dict:
+    """path -> {'line','column'} for every value in `text` (incremental
+    parser anchor map; see IncrementalJSONParser.positions)."""
+    from .schema.incremental import IncrementalJSONParser
+
+    p = IncrementalJSONParser()
+    p.write(text)
+    p.end()
+    return {
+        k: {"line": line, "column": col} for k, (line, col) in p.positions.items()
+    }
+
+
+def _attach_positions(text: str, errors, anns):
+    """Rebuild records with .position looked up by path (frozen
+    dataclasses). Unknown paths (reference_quirks item-0 drops, limit
+    rows above containers) keep position=None."""
+    from dataclasses import replace
+
+    try:
+        pos = _position_map(text)
+    except ValueError:
+        return errors, anns  # value came from a path the FSM rejects
+    return (
+        [replace(e, position=pos.get(e.path)) for e in errors],
+        [replace(a, position=pos.get(a.path)) for a in anns],
+    )
+
+
 @dataclass
 class ParseInfo:
     value: Any
@@ -188,7 +217,14 @@ def parse_info(text: str | bytes, schema=None, annotations: bool = True,
         extensions=extensions, annotations=annotations,
         reference_quirks=reference_quirks,
     ).validate(cs, value)
-    return ParseInfo(value=value, errors=limit_errors + errors, annotations=anns)
+    errors = limit_errors + errors
+    if (errors or anns) and syntax is None and not interoperable:
+        # attach reference positions (ValidationError.position /
+        # Annotation.position) by re-parsing for the value-anchor map —
+        # ERROR/ANNOTATION path only, so clean validations never pay the
+        # FSM re-parse; relaxed dialects have no position contract
+        errors, anns = _attach_positions(text, errors, anns)
+    return ParseInfo(value=value, errors=errors, annotations=anns)
 
 
 class StreamParser:
@@ -241,6 +277,19 @@ class StreamParser:
             self.errors, self.annotations = ev.validate(self._schema, self.value)
         if self._limits is not None:
             self.errors = self.errors + check_limits(self.value, self._limits)
+        if self.errors or self.annotations:
+            # the incremental parser already built the anchor map — attach
+            # reference positions without any re-parse
+            from dataclasses import replace
+
+            pos = {
+                k: {"line": line, "column": col}
+                for k, (line, col) in self._parser.positions.items()
+            }
+            self.errors = [replace(e, position=pos.get(e.path)) for e in self.errors]
+            self.annotations = [
+                replace(a, position=pos.get(a.path)) for a in self.annotations
+            ]
         return ParseInfo(self.value, self.errors, self.annotations)
 
 

@@ -38,6 +38,12 @@ class ValidationRecord:
     constraint_id: str = ""
     expected: Any = None
     actual: Any = None
+    # reference ValidationError.position (test/ValidationError.test.js:19-20):
+    # {'line','column'} of the offending VALUE's layer anchor — root at 0:0,
+    # property values at their colon, array items at the first value char
+    # (anchors pinned by executing the reference, r4). None outside the
+    # text-parsing API paths (table scope has no text positions).
+    position: Any = None
 
     def as_row(self) -> dict[str, str | None]:
         """Stringified form used for the violations DataFrame columns."""
@@ -59,6 +65,9 @@ class AnnotationRecord:
     path: str
     keyword: str
     constraint_id: str = ""
+    # reference Annotation.position (test/Annotation.test.js:18-24): same
+    # value-layer anchor convention as ValidationRecord.position
+    position: Any = None
 
 
 def _show(v: Any) -> str:

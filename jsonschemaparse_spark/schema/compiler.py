@@ -20,6 +20,7 @@ Design differences from the reference (deliberate, Spark-first):
 
 from __future__ import annotations
 
+import json
 import re
 from typing import Any, Optional
 from urllib.parse import urljoin
@@ -86,13 +87,37 @@ class SchemaRegistry:
     def __init__(self) -> None:
         self.schemas: dict[str, "CompiledSchema"] = {}
         self.sources: dict[str, Any] = {}
+        # every base URI referenced by a $ref/$recursiveRef seen during
+        # compilation — getUnresolved()'s input (schema.js seen set)
+        self.seen: set[str] = set()
 
     def import_schema(self, uri: str, schema: Any) -> "CompiledSchema":
         if not isinstance(uri, str) or ":" not in uri:
             raise SchemaError("`base` must be a URI string")
         if not _is_schema(schema):
             raise SchemaError("Expected a schema (object or boolean)")
+        key = uri[:-1] if uri.endswith("#") else uri
+        if key in self.sources:
+            # reference import idempotence (schema.js:64-76): an identical
+            # re-import returns the PREVIOUS instance; a different
+            # definition under the same URI is an error. Identity is the
+            # serialized form, like the reference's JSON.stringify compare.
+            if json.dumps(self.sources[key]) != json.dumps(schema):
+                raise SchemaError("Schema already defined: <" + key + ">")
+            hit = self.schemas.get(key)
+            if hit is not None:
+                return hit
         return CompiledSchema(uri, schema, self)
+
+    def get_unresolved(self) -> list[str]:
+        """Base URIs referenced by some $ref but never imported —
+        registry.getUnresolved() (schema.js:219-223). Lets callers reject
+        incomplete registries at submit time (the eager twin of
+        Evaluator._check_ref_closure)."""
+        return sorted(
+            u for u in self.seen
+            if u not in self.sources and u not in self.schemas
+        )
 
     def register(self, uri: str, compiled: "CompiledSchema") -> None:
         uri = uri.rstrip("#") if uri.endswith("#") else uri
@@ -425,6 +450,7 @@ class CompiledSchema:
             if not isinstance(raw["$ref"], str):
                 raise SchemaError("Expected `$ref` to be a string")
             self.ref = _resolve_uri(self.id, raw["$ref"])
+            registry.seen.add(self.ref.partition("#")[0] or self.id.partition("#")[0])
         self.recursive_ref: Optional[str] = None
         if "$recursiveRef" in raw:
             if raw["$recursiveRef"] != "#":

@@ -158,6 +158,14 @@ class IncrementalJSONParser:
         self._last_nl_abs: Optional[int] = None
         self._ref_line = 0
         self._stack: list[tuple] = []   # ('O', dict, pending_key) | ('A', list)
+        # reference-position map for every parsed VALUE, keyed by the same
+        # path strings the evaluator emits (''/a/0...). Anchors pinned by
+        # executing the reference (r4): root at (0,0) BEFORE any
+        # whitespace; property values at their COLON; array items at the
+        # first value character. Used by parse_info/StreamParser to attach
+        # ValidationError.position / Annotation.position.
+        self.positions: dict[str, tuple[int, int]] = {"": (0, 0)}
+        self._container_paths: list[str] = []
         self._expect = "value"          # value|key|key_or_close|colon|after
         self._root: Any = None
         self._have_root = False
@@ -301,6 +309,10 @@ class IncrementalJSONParser:
             if self._expect == "colon":
                 if ch != ":":
                     raise self._err_char(pos, " (expected ':')")
+                # property-value anchor = the colon (reference layer push)
+                key = self._stack[-1][2]
+                self.positions[f"{self._container_paths[-1]}/{key}"] = \
+                    self._ref_pos(pos)
                 self._advance(1)
                 self._expect = "value"
                 continue
@@ -324,9 +336,16 @@ class IncrementalJSONParser:
                 raise self._err_char(pos)
 
             # expect == 'value'
+            # array-item anchor = the first value character (root and
+            # property values were anchored earlier)
+            if self._stack and self._stack[-1][0] == "A" and ch != "]":
+                idx = len(self._stack[-1][1])
+                self.positions[f"{self._container_paths[-1]}/{idx}"] = \
+                    self._ref_pos(pos)
             if ch == "{":
                 if len(self._stack) >= self._max_depth:
                     raise self._err("Nesting too deep")
+                self._container_paths.append(self._value_path())
                 self._advance(1)
                 self._stack.append(("O", {}, None))
                 self._emit("startObject")
@@ -335,6 +354,7 @@ class IncrementalJSONParser:
             if ch == "[":
                 if len(self._stack) >= self._max_depth:
                     raise self._err("Nesting too deep")
+                self._container_paths.append(self._value_path())
                 self._advance(1)
                 self._stack.append(("A", []))
                 self._emit("startArray")
@@ -496,10 +516,20 @@ class IncrementalJSONParser:
         self._attach(value)
         self._expect = "after"
 
+    def _value_path(self) -> str:
+        """Path of the value ABOUT to be consumed (container open hooks)."""
+        if not self._stack:
+            return ""
+        top = self._stack[-1]
+        if top[0] == "O":
+            return f"{self._container_paths[-1]}/{top[2]}"
+        return f"{self._container_paths[-1]}/{len(top[1])}"
+
     def _close_container(self, kind: str) -> None:
         if not self._stack or self._stack[-1][0] != kind:
             raise self._err("Mismatched container close")
         top = self._stack.pop()
+        self._container_paths.pop()
         self._emit("endObject" if kind == "O" else "endArray")
         self._attach(top[1])
         self._expect = "after"

@@ -1,0 +1,127 @@
+"""Reference position parity: ValidationError.position /
+Annotation.position (test/ValidationError.test.js:19-20,
+test/Annotation.test.js:18-24) and SchemaRegistry import semantics
+(test/SchemaRegistry.test.js), r4."""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+import pytest
+
+node_available = shutil.which("node") is not None and Path("/root/reference").exists()
+
+
+def test_validation_error_position_reference_unit():
+    """The reference's own ValidationError.test.js assertions."""
+    from jsonschemaparse_spark.api import parse_info
+
+    p = parse_info("{}", {"type": "string"})
+    assert len(p.errors) == 1
+    err = p.errors[0]
+    assert err.message == "Unexpected object: Expected string"
+    assert err.position == {"line": 0, "column": 0}
+
+
+def test_annotation_position_reference_unit():
+    """The reference's own Annotation.test.js assertions."""
+    from jsonschemaparse_spark.api import parse_info
+
+    p = parse_info("{}", {"title": "Some Title",
+                          "description": "A longer description of how the value works."})
+    assert len(p.annotations) == 2
+    assert p.annotations[0].value == "Some Title"
+    assert p.annotations[0].position == {"line": 0, "column": 0}
+    assert p.annotations[1].position == {"line": 0, "column": 0}
+
+
+def test_position_anchors_pinned():
+    """Anchor classes pinned by direct reference probe: root before
+    whitespace, property values at their colon, array items at the first
+    value char; UTF-16 units; lines>0 column convention."""
+    from jsonschemaparse_spark.api import parse_info
+
+    cases = [
+        ('{"a": 5}', {"properties": {"a": {"type": "string"}}}, [("/a", 0, 4)]),
+        ('{"a" : 5}', {"properties": {"a": {"type": "string"}}}, [("/a", 0, 5)]),
+        ('{\n  "a": 5\n}', {"properties": {"a": {"type": "string"}}}, [("/a", 1, 6)]),
+        ('[1,  5]', {"items": {"type": "string"}},
+         [("/0", 0, 1), ("/1", 0, 5)]),
+        (' 5', {"type": "string"}, [("", 0, 0)]),
+        ('{"a": {"b": 7}}',
+         {"properties": {"a": {"properties": {"b": {"type": "string"}}}}},
+         [("/a/b", 0, 10)]),
+        ('{"\U0001F432": 5}', {"additionalProperties": {"type": "string"}},
+         [("/\U0001F432", 0, 5)]),  # astral key: colon at UTF-16 unit 5
+    ]
+    for text, schema, expected in cases:
+        info = parse_info(text, schema)
+        got = sorted((e.path, e.position["line"], e.position["column"])
+                     for e in info.errors)
+        assert got == sorted(expected), (text, got)
+
+
+def test_stream_parser_positions_across_chunks():
+    """Positions survive arbitrary chunk boundaries (byte-resume)."""
+    from jsonschemaparse_spark.api import StreamParser
+
+    text = '{\n  "a": 5\n}'
+    sp = StreamParser(schema={"properties": {"a": {"type": "string"}}})
+    for ch in text:  # one char per write
+        sp.write(ch)
+    r = sp.end()
+    assert [(e.path, e.position) for e in r.errors] == [
+        ("/a", {"line": 1, "column": 6})
+    ]
+
+
+def test_table_scope_records_have_no_position(spark):
+    """Table rows have no text positions — the field stays None and out
+    of as_row() (violations DataFrame schema unchanged)."""
+    from jsonschemaparse_spark.plans import validate_dataframe
+
+    df = spark.createDataFrame([(1, "x")], "id long, s string")
+    res = validate_dataframe(df, {"properties": {"s": {"minLength": 5}}},
+                             key_cols=["id"])
+    row = res.violations().first()
+    assert "position" not in row.asDict()
+
+
+@pytest.mark.skipif(not node_available, reason="node or reference unavailable")
+@pytest.mark.parametrize("seed", [1, 2])
+def test_position_differential(seed):
+    from scripts.position_differential import compare, run_engine, run_reference
+    from scripts.reference_differential import generate_groups
+
+    groups = generate_groups(100, seed)
+    ref = run_reference(groups)
+    mism = compare(groups, ref, run_engine(groups, ref))
+    assert mism == [], mism[:3]
+
+
+# ---------------------------------------------------------------------------
+# SchemaRegistry parity (test/SchemaRegistry.test.js)
+# ---------------------------------------------------------------------------
+def test_registry_import_idempotent():
+    from jsonschemaparse_spark import SchemaRegistry
+
+    reg = SchemaRegistry()
+    a1 = reg.import_schema("http://localhost/a.json", {})
+    a2 = reg.import_schema("http://localhost/a.json", {})
+    assert a1 is a2  # same instance, like the reference
+    with pytest.raises(Exception, match="already defined"):
+        reg.import_schema("http://localhost/a.json", {"type": "string"})
+
+
+def test_registry_get_unresolved():
+    from jsonschemaparse_spark import SchemaRegistry
+
+    reg = SchemaRegistry()
+    reg.import_schema("http://localhost/a.json",
+                      {"additionalProperties": {"$ref": "b.json"}})
+    assert "http://localhost/b.json" in reg.get_unresolved()
+    assert "http://localhost/b.json" in reg.seen
+    reg.import_schema("http://localhost/b.json", {"type": "string"})
+    assert "http://localhost/b.json" not in reg.get_unresolved()
+    assert "http://localhost/b.json" in reg.seen
