@@ -1,3 +1,4 @@
+from .checkpoint import run_json_with_checkpoint, run_with_checkpoint
 from .json_validator import validate_json_column, validate_json_rows, validate_json_typed
 from .kernels import (
     COMPACT_ARRAY,
@@ -26,6 +27,8 @@ __all__ = [
     "VIOLATION_STRUCT",
     "ValidationResult",
     "strict_first_error",
+    "run_json_with_checkpoint",
+    "run_with_checkpoint",
     "validate_dataframe",
     "validate_json_column",
     "validate_json_rows",
