@@ -271,6 +271,20 @@ def q_events_json_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.annotated.select("event_id", F.col("_jsp_valid").alias("valid"))
 
 
+def q_json_positions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positioned violation rows (r4): the reference's
+    ValidationError.position surfaced at table scope. The events corpus is
+    single-shape ('{"k": N}'), so the DuckDB oracle reproduces the anchor
+    arithmetic exactly: property values anchor at their COLON (index 4),
+    line 0."""
+    from jsonschemaparse_spark.plans.json_validator import validate_json_positions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = validate_json_positions(ev, "props", EVENT_PROPS_RULES, key_cols=["event_id"])
+    return out.select("event_id", "path", "keyword", "expected", "actual",
+                      "message", "line", F.col("column").alias("col"))
+
+
 def q_ks_drift_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binned two-sample KS statistic; the bucket arithmetic in _bucket_expr is
     spelled out so the DuckDB oracle reproduces it bit-for-bit (the
@@ -446,6 +460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "lineitem_pricing": q_lineitem_pricing,
         "events_json_validation": q_events_json_validation,
+        "json_positions_events": q_json_positions_events,
         "ks_drift_nchars": q_ks_drift_nchars,
         "webpages_flagship": q_webpages_flagship,
         "simhash_sample": q_simhash_sample,
@@ -739,6 +754,19 @@ SELECT event_id,
          AND CAST(json_extract(props, '$.k') AS BIGINT) BETWEEN 0 AND 50
        ) AS valid
 FROM events
+""",
+        "json_positions_events": """
+SELECT event_id,
+       '/k' AS path,
+       'maximum' AS keyword,
+       '50' AS expected,
+       CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS VARCHAR) AS actual,
+       'Number under/equal to maximum' AS message,
+       0 AS line,
+       4 AS col
+FROM events
+WHERE props IS NOT NULL
+  AND CAST(json_extract(props, '$.k') AS BIGINT) > 50
 """,
         "events_json_typed": """
 SELECT event_id,

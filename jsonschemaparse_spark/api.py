@@ -141,20 +141,43 @@ def _apply_reviver(value: Any, reviver) -> Any:
     return walk(root, "")
 
 
+def _split_options(schema):
+    """Reference options-dict form (parse.js:77-97; test/parse.test.js
+    'parse(text, options)'): a dict CONTAINING a 'schema' key is an options
+    object, not a schema. Returns (schema, option-kwargs for parse_info,
+    reviver). Bare dicts stay schemas — a deliberate convenience divergence
+    (the reference rejects them with 'Use the "schema" option'); the
+    options form is supported for drop-in parity."""
+    if not (isinstance(schema, dict) and "schema" in schema):
+        return schema, {}, None
+    opts = schema
+    kw = {}
+    if "bigNumber" in opts:
+        kw["big_number"] = opts["bigNumber"]
+    if "interoperable" in opts:
+        kw["interoperable"] = bool(opts["interoperable"])
+    if "maxNumberLength" in opts:
+        kw["max_number_length"] = opts["maxNumberLength"]
+    return opts["schema"], kw, opts.get("reviver")
+
+
 def parse(text: str | bytes, schema=None, extensions: bool = False, limits=None) -> Any:
     """Strict one-shot parse+validate: returns the native value or raises
     the first error (ValidationError analog) / ParseSyntaxError /
     ResourceLimitError (parse.js resource caps).
 
     Like the reference (parse.js:77-81), a CALLABLE in the schema position
-    is a JSON.parse-style reviver, not a schema."""
+    is a JSON.parse-style reviver, not a schema; a dict containing a
+    'schema' key is the reference's options form."""
     from .errors import ResourceLimitError
 
     reviver = None
     if callable(schema) and not isinstance(schema, (dict, bool)):
         reviver = schema
         schema = None
-    info = parse_info(text, schema, extensions=extensions, limits=limits)
+    schema, opt_kw, opt_reviver = _split_options(schema)
+    reviver = reviver or opt_reviver
+    info = parse_info(text, schema, extensions=extensions, limits=limits, **opt_kw)
     for e in info.errors:
         if e.keyword == "resourceLimit":
             raise ResourceLimitError(e.message)
@@ -177,6 +200,11 @@ def parse_info(text: str | bytes, schema=None, annotations: bool = True,
     schema/relaxed_json.py. reference_quirks=True reproduces the
     reference's report BUG-FOR-BUG (item-0 path drop, finish-cascade
     duplication — Evaluator docstring); annotations are then empty."""
+    if isinstance(schema, dict) and "schema" in schema:
+        schema, opt_kw, _ = _split_options(schema)
+        big_number = opt_kw.get("big_number", big_number)
+        interoperable = opt_kw.get("interoperable", interoperable)
+        max_number_length = opt_kw.get("max_number_length", max_number_length)
     if isinstance(text, (bytes, bytearray)):
         try:
             text = bytes(text).decode("utf-8", errors="strict")

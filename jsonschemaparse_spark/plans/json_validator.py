@@ -637,3 +637,81 @@ def validate_json_rows(
     )
     return validate_json_column(with_doc, "_jsp_doc", rules, key_cols=key_cols,
                                 extensions=extensions, big_number=big_number)
+
+
+def validate_json_positions(
+    df: DataFrame,
+    json_col: str,
+    rules,
+    key_cols: Optional[Sequence[str]] = None,
+    extensions: bool = False,
+) -> DataFrame:
+    """TABLE-scope positioned violation report: (key..., constraint_id,
+    path, keyword, expected, actual, message, line, column) — the
+    reference's ValidationError.position surfaced per row (north-star
+    'structured violation rows'; anchors = the executed-reference
+    convention, see IncrementalJSONParser.positions).
+
+    Cost model: the FSM anchor-map re-parse runs ONLY for documents that
+    produced errors (the trickle); clean documents pay one loads_strict.
+    Rows for syntax errors carry the SyntaxError position itself."""
+    from ..api import _position_map
+    from ..schema.strict_json import loads_strict as _loads
+
+    cs = rules if isinstance(rules, CompiledSchema) else compile_rules(rules)
+    if key_cols is None:
+        key_cols = [df.columns[0]]
+    key_cols = list(key_cols)
+
+    fields = [df.schema[c] for c in key_cols]
+    for name in ("constraint_id", "path", "keyword", "expected", "actual", "message"):
+        fields.append(T.StructField(name, T.StringType(), True))
+    fields.append(T.StructField("line", T.IntegerType(), True))
+    fields.append(T.StructField("column", T.IntegerType(), True))
+    out_schema = T.StructType(fields)
+
+    narrowed = _ensure_parallelism(df.select(*key_cols, json_col))
+    evaluator = Evaluator(extensions=extensions)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..schema.incremental import IncrementalSyntaxError  # noqa: F401
+
+        for pdf in batches:
+            rows: list[dict] = []
+            for i in range(len(pdf)):
+                doc = pdf[json_col].iloc[i]
+                if doc is None:
+                    continue
+                keys = {c: pdf[c].iloc[i] for c in key_cols}
+
+                def emit(row6, line, col):
+                    rows.append({**keys, **row6, "line": line, "column": col})
+
+                try:
+                    value = _loads(doc)
+                except ValueError:
+                    # re-parse for the reference-position syntax error
+                    from ..api import _positioned_syntax_error
+
+                    err = _positioned_syntax_error(doc, ValueError("syntax"))
+                    p = getattr(err, "position", None) or {}
+                    emit({"constraint_id": cs.id, "path": "",
+                          "keyword": "syntax", "expected": None,
+                          "actual": None, "message": str(err)},
+                         p.get("line"), p.get("column"))
+                    continue
+                errors, _ = evaluator.validate(cs, value)
+                if not errors:
+                    continue
+                try:
+                    pos = _position_map(doc)
+                except ValueError:
+                    pos = {}
+                for e in errors:
+                    at = pos.get(e.path) or {}
+                    emit(e.as_row(), at.get("line"), at.get("column"))
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields]) \
+                if rows else pd.DataFrame(
+                    {f.name: pd.Series(dtype="object") for f in out_schema.fields})
+
+    return narrowed.mapInPandas(run, schema=out_schema)

@@ -125,3 +125,61 @@ def test_registry_get_unresolved():
     reg.import_schema("http://localhost/b.json", {"type": "string"})
     assert "http://localhost/b.json" not in reg.get_unresolved()
     assert "http://localhost/b.json" in reg.seen
+
+
+# ---------------------------------------------------------------------------
+# reference options-dict form (test/parse.test.js 'parse(text, options)')
+# ---------------------------------------------------------------------------
+def test_parse_options_dict_form():
+    from jsonschemaparse_spark.api import ParseValidationError, parse, parse_info
+
+    assert parse('""', {"schema": {"type": "string"}}) == ""
+    with pytest.raises(ParseValidationError):
+        parse("{}", {"schema": {"type": "string"}})
+    # bare dicts remain schemas (documented convenience divergence)
+    assert parse('""', {"type": "string"}) == ""
+    # options carry the policy family through
+    info = parse_info('{"n": 12345678901234567890123}',
+                      {"schema": {}, "bigNumber": "error"})
+    assert [e.keyword for e in info.errors] == ["bigNumber"]
+    # reviver via options (reference parse.js:77-97)
+    doubled = parse('{"a": 1}', {
+        "schema": {},
+        "reviver": lambda k, v: v * 2
+        if isinstance(v, int) and not isinstance(v, bool) else v,
+    })
+    assert doubled == {"a": 2}
+
+
+def test_validate_json_positions_table(spark):
+    """Table-scope positioned report matches the api-level positions for
+    the same documents (which are node-differential-verified), including
+    the syntax-error position row."""
+    from jsonschemaparse_spark.api import parse_info
+    from jsonschemaparse_spark.plans.json_validator import validate_json_positions
+
+    docs = [
+        (1, '{"a": 5}'), (2, '{\n  "a": 5\n}'), (3, '{"a": "ok"}'),
+        (4, '[1, tru'), (5, None), (6, '{"a": [1, 2]}'),
+    ]
+    rules = {"properties": {"a": {"type": "string"}}}
+    df = spark.createDataFrame(docs, "id long, doc string")
+    got = {
+        (r["id"], r["path"], r["keyword"]): (r["line"], r["column"])
+        for r in validate_json_positions(df, "doc", rules, key_cols=["id"]).collect()
+    }
+    assert got[(1, "/a", "type")] == (0, 4)
+    assert got[(2, "/a", "type")] == (1, 6)
+    assert got[(6, "/a", "type")] == (0, 4)
+    assert got[(4, "", "syntax")] == (0, 7)  # the SyntaxError position
+    assert not any(k[0] in (3, 5) for k in got)
+    # api-level agreement per doc
+    for i, doc in docs:
+        if doc is None or i == 4:
+            continue
+        info = parse_info(doc, rules)
+        api_rows = {(i, e.path, e.keyword):
+                    (e.position["line"], e.position["column"])
+                    for e in info.errors}
+        for k, v in api_rows.items():
+            assert got[k] == v
