@@ -78,7 +78,7 @@ def _position_map(text: str) -> dict:
     parser anchor map; see IncrementalJSONParser.positions)."""
     from .schema.incremental import IncrementalJSONParser
 
-    p = IncrementalJSONParser()
+    p = IncrementalJSONParser(track_positions=True)
     p.write(text)
     p.end()
     return {
@@ -86,20 +86,24 @@ def _position_map(text: str) -> dict:
     }
 
 
-def _attach_positions(text: str, errors, anns):
+def _attach_from_map(pos: dict, errors, anns):
     """Rebuild records with .position looked up by path (frozen
     dataclasses). Unknown paths (reference_quirks item-0 drops, limit
     rows above containers) keep position=None."""
     from dataclasses import replace
 
-    try:
-        pos = _position_map(text)
-    except ValueError:
-        return errors, anns  # value came from a path the FSM rejects
     return (
         [replace(e, position=pos.get(e.path)) for e in errors],
         [replace(a, position=pos.get(a.path)) for a in anns],
     )
+
+
+def _attach_positions(text: str, errors, anns):
+    try:
+        pos = _position_map(text)
+    except ValueError:
+        return errors, anns  # value came from a path the FSM rejects
+    return _attach_from_map(pos, errors, anns)
 
 
 @dataclass
@@ -158,6 +162,15 @@ def _split_options(schema):
         kw["interoperable"] = bool(opts["interoperable"])
     if "maxNumberLength" in opts:
         kw["max_number_length"] = opts["maxNumberLength"]
+    caps = {"maxStringLength": "max_string_length", "maxKeyLength": "max_key_length",
+            "maxItems": "max_items", "maxProperties": "max_properties"}
+    if any(c in opts for c in caps):
+        # the reference's parser resource caps (parse.js:146-150) map onto
+        # ResourceLimits (r4 review: these were silently dropped)
+        from .schema.evaluate import ResourceLimits
+
+        kw["limits"] = ResourceLimits(
+            **{py: opts[js] for js, py in caps.items() if js in opts})
     return opts["schema"], kw, opts.get("reviver")
 
 
@@ -177,6 +190,7 @@ def parse(text: str | bytes, schema=None, extensions: bool = False, limits=None)
         schema = None
     schema, opt_kw, opt_reviver = _split_options(schema)
     reviver = reviver or opt_reviver
+    limits = opt_kw.pop("limits", limits)
     info = parse_info(text, schema, extensions=extensions, limits=limits, **opt_kw)
     for e in info.errors:
         if e.keyword == "resourceLimit":
@@ -205,6 +219,7 @@ def parse_info(text: str | bytes, schema=None, annotations: bool = True,
         big_number = opt_kw.get("big_number", big_number)
         interoperable = opt_kw.get("interoperable", interoperable)
         max_number_length = opt_kw.get("max_number_length", max_number_length)
+        limits = opt_kw.get("limits", limits)
     if isinstance(text, (bytes, bytearray)):
         try:
             text = bytes(text).decode("utf-8", errors="strict")
@@ -271,7 +286,9 @@ class StreamParser:
     def __init__(self, schema=None, extensions: bool = False, limits=None):
         from .schema.incremental import IncrementalJSONParser
 
-        self._parser = IncrementalJSONParser()
+        # anchor map only when something will read it (errors/annotations
+        # need a schema; bare tokenizer/SAX use stays map-free)
+        self._parser = IncrementalJSONParser(track_positions=schema is not None)
         self._schema = _as_schema(schema)
         self._extensions = extensions
         self._limits = limits
@@ -308,16 +325,12 @@ class StreamParser:
         if self.errors or self.annotations:
             # the incremental parser already built the anchor map — attach
             # reference positions without any re-parse
-            from dataclasses import replace
-
             pos = {
                 k: {"line": line, "column": col}
                 for k, (line, col) in self._parser.positions.items()
             }
-            self.errors = [replace(e, position=pos.get(e.path)) for e in self.errors]
-            self.annotations = [
-                replace(a, position=pos.get(a.path)) for a in self.annotations
-            ]
+            self.errors, self.annotations = _attach_from_map(
+                pos, self.errors, self.annotations)
         return ParseInfo(self.value, self.errors, self.annotations)
 
 

@@ -674,8 +674,6 @@ def validate_json_positions(
     evaluator = Evaluator(extensions=extensions)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..schema.incremental import IncrementalSyntaxError  # noqa: F401
-
         for pdf in batches:
             rows: list[dict] = []
             for i in range(len(pdf)):
@@ -689,11 +687,13 @@ def validate_json_positions(
 
                 try:
                     value = _loads(doc)
-                except ValueError:
-                    # re-parse for the reference-position syntax error
+                except ValueError as scan_err:
+                    # re-parse for the reference-position syntax error;
+                    # pass the REAL scanner error so parser-disagreement
+                    # docs keep a descriptive message (r4 review)
                     from ..api import _positioned_syntax_error
 
-                    err = _positioned_syntax_error(doc, ValueError("syntax"))
+                    err = _positioned_syntax_error(doc, scan_err)
                     p = getattr(err, "position", None) or {}
                     emit({"constraint_id": cs.id, "path": "",
                           "keyword": "syntax", "expected": None,

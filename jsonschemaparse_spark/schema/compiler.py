@@ -90,6 +90,12 @@ class SchemaRegistry:
         # every base URI referenced by a $ref/$recursiveRef seen during
         # compilation — getUnresolved()'s input (schema.js seen set)
         self.seen: set[str] = set()
+        # import-level maps keyed by the IMPORT URI with the ORIGINAL
+        # schema object (r4 review: sources[] is keyed by the resolved $id
+        # and holds the canonicalized form, so booleans and $id-divergent
+        # schemas failed the idempotent-re-import contract)
+        self._import_sources: dict[str, Any] = {}
+        self._imports: dict[str, "CompiledSchema"] = {}
 
     def import_schema(self, uri: str, schema: Any) -> "CompiledSchema":
         if not isinstance(uri, str) or ":" not in uri:
@@ -97,17 +103,19 @@ class SchemaRegistry:
         if not _is_schema(schema):
             raise SchemaError("Expected a schema (object or boolean)")
         key = uri[:-1] if uri.endswith("#") else uri
-        if key in self.sources:
+        if key in self._import_sources:
             # reference import idempotence (schema.js:64-76): an identical
             # re-import returns the PREVIOUS instance; a different
             # definition under the same URI is an error. Identity is the
-            # serialized form, like the reference's JSON.stringify compare.
-            if json.dumps(self.sources[key]) != json.dumps(schema):
+            # serialized ORIGINAL form, like JSON.stringify — booleans and
+            # $id-divergent schemas included.
+            if json.dumps(self._import_sources[key]) != json.dumps(schema):
                 raise SchemaError("Schema already defined: <" + key + ">")
-            hit = self.schemas.get(key)
-            if hit is not None:
-                return hit
-        return CompiledSchema(uri, schema, self)
+            return self._imports[key]
+        compiled = CompiledSchema(uri, schema, self)
+        self._import_sources[key] = schema
+        self._imports[key] = compiled
+        return compiled
 
     def get_unresolved(self) -> list[str]:
         """Base URIs referenced by some $ref but never imported —
@@ -117,6 +125,7 @@ class SchemaRegistry:
         return sorted(
             u for u in self.seen
             if u not in self.sources and u not in self.schemas
+            and u not in self._import_sources
         )
 
     def register(self, uri: str, compiled: "CompiledSchema") -> None:

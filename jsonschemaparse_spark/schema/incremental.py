@@ -146,8 +146,11 @@ class IncrementalJSONParser:
     with 1-based line/column on malformed input.
     """
 
-    def __init__(self, max_depth: int = 512):
+    def __init__(self, max_depth: int = 512, track_positions: bool = False):
         self._decoder = codecs.getincrementaldecoder("utf-8")(errors="strict")
+        # positions map is opt-in (r4 review: SAX/error-path users were
+        # paying an O(values * depth) dict they never read)
+        self._track_positions = track_positions
         self._buf = ""
         self._pos = 0              # consumed offset within _buf
         self._line = 1
@@ -158,12 +161,17 @@ class IncrementalJSONParser:
         self._last_nl_abs: Optional[int] = None
         self._ref_line = 0
         self._stack: list[tuple] = []   # ('O', dict, pending_key) | ('A', list)
-        # reference-position map for every parsed VALUE, keyed by the same
-        # path strings the evaluator emits (''/a/0...). Anchors pinned by
-        # executing the reference (r4): root at (0,0) BEFORE any
-        # whitespace; property values at their COLON; array items at the
-        # first value character. Used by parse_info/StreamParser to attach
-        # ValidationError.position / Annotation.position.
+        # reference-position map for every parsed VALUE (track_positions
+        # only), keyed by the same path strings the evaluator emits
+        # (''/a/0...). Anchors pinned by executing the reference (r4):
+        # root at (0,0) BEFORE any whitespace; property values at their
+        # COLON; array items at the first value character. Used by
+        # parse_info/StreamParser to attach ValidationError.position /
+        # Annotation.position. Paths are UNESCAPED like the reference's
+        # (a key containing '/' yields the same string as a nested path —
+        # the reference emits the ambiguous path too, but carries each
+        # layer's own position; this map keeps the FIRST value's anchor
+        # per path string, so later same-string values are best-effort).
         self.positions: dict[str, tuple[int, int]] = {"": (0, 0)}
         self._container_paths: list[str] = []
         self._expect = "value"          # value|key|key_or_close|colon|after
@@ -309,10 +317,13 @@ class IncrementalJSONParser:
             if self._expect == "colon":
                 if ch != ":":
                     raise self._err_char(pos, " (expected ':')")
-                # property-value anchor = the colon (reference layer push)
-                key = self._stack[-1][2]
-                self.positions[f"{self._container_paths[-1]}/{key}"] = \
-                    self._ref_pos(pos)
+                if self._track_positions:
+                    # property-value anchor = the colon (reference layer
+                    # push); setdefault = first-writer-wins on ambiguous
+                    # unescaped paths (see self.positions)
+                    key = self._stack[-1][2]
+                    self.positions.setdefault(
+                        f"{self._container_paths[-1]}/{key}", self._ref_pos(pos))
                 self._advance(1)
                 self._expect = "value"
                 continue
@@ -338,10 +349,11 @@ class IncrementalJSONParser:
             # expect == 'value'
             # array-item anchor = the first value character (root and
             # property values were anchored earlier)
-            if self._stack and self._stack[-1][0] == "A" and ch != "]":
+            if (self._track_positions and self._stack
+                    and self._stack[-1][0] == "A" and ch != "]"):
                 idx = len(self._stack[-1][1])
-                self.positions[f"{self._container_paths[-1]}/{idx}"] = \
-                    self._ref_pos(pos)
+                self.positions.setdefault(
+                    f"{self._container_paths[-1]}/{idx}", self._ref_pos(pos))
             if ch == "{":
                 if len(self._stack) >= self._max_depth:
                     raise self._err("Nesting too deep")

@@ -136,8 +136,15 @@ def compare(groups, ref, eng) -> list[dict]:
         if "error" in r or "error" in e:
             continue
         for rv, ev_ in zip(r["verdicts"], e["verdicts"]):
-            if "err" in rv or "err" in ev_:
-                continue  # refusal timing covered by the verdict differential
+            if "err" in rv:
+                continue  # reference refusal: timing covered elsewhere
+            if "err" in ev_:
+                # an ENGINE crash on a doc the reference handled is a
+                # finding, not a skip (r4 review: recall on the feature
+                # under test)
+                mismatches.append({"text": rv.get("text"),
+                                   "engine_error": ev_["err"]})
+                continue
             if _norm(rv["rows"]) != _norm(ev_["rows"]):
                 mismatches.append({
                     "schema": g["schemas"][0]["schema"],

@@ -183,3 +183,60 @@ def test_validate_json_positions_table(spark):
                     for e in info.errors}
         for k, v in api_rows.items():
             assert got[k] == v
+
+
+def test_registry_boolean_and_id_divergent_idempotence():
+    """r4 second-review fixes: boolean schemas and \$id-divergent schemas
+    re-import idempotently (import maps key by the IMPORT URI with the
+    ORIGINAL object, not the canonicalized resolved-\$id form)."""
+    from jsonschemaparse_spark import SchemaRegistry
+
+    reg = SchemaRegistry()
+    b1 = reg.import_schema("http://x/bool.json", True)
+    assert reg.import_schema("http://x/bool.json", True) is b1
+    f1 = reg.import_schema("http://x/f.json", False)
+    assert reg.import_schema("http://x/f.json", False) is f1
+    s1 = reg.import_schema("http://x/a.json",
+                           {"$id": "http://x/b.json", "type": "string"})
+    assert reg.import_schema(
+        "http://x/a.json", {"$id": "http://x/b.json", "type": "string"}) is s1
+
+
+def test_parse_options_resource_caps():
+    """r4 second-review fix: the options form carries the reference's
+    parser resource caps (parse.js:146-150) through ResourceLimits."""
+    from jsonschemaparse_spark.api import parse
+    from jsonschemaparse_spark.errors import ResourceLimitError
+
+    with pytest.raises(ResourceLimitError):
+        parse("[1,2,3,4]", {"schema": {}, "maxItems": 2})
+    with pytest.raises(ResourceLimitError):
+        parse('{"a":1,"b":2}', {"schema": {}, "maxProperties": 1})
+    with pytest.raises(ResourceLimitError):
+        parse('"abcdef"', {"schema": {}, "maxStringLength": 3})
+    assert parse("[1,2]", {"schema": {}, "maxItems": 2}) == [1, 2]
+
+
+def test_position_collision_first_writer_wins():
+    """Unescaped paths collide when a key contains '/' (the reference
+    emits the ambiguous path too); the map keeps the FIRST value's
+    anchor, so the shallow a/b property reports its own colon."""
+    from jsonschemaparse_spark.api import parse_info
+
+    info = parse_info('{"a/b": 5, "a": {"b": 6}}',
+                      {"properties": {"a/b": {"type": "string"}}})
+    assert [(e.path, e.position) for e in info.errors] == [
+        ("/a/b", {"line": 0, "column": 6})
+    ]
+
+
+def test_json_positions_table_keeps_scanner_message(spark):
+    """Parser-disagreement docs in the table kernel keep the real scanner
+    message (not the fabricated 'syntax' placeholder)."""
+    from jsonschemaparse_spark.plans.json_validator import validate_json_positions
+
+    df = spark.createDataFrame([(1, "NaN")], "id long, doc string")
+    row = validate_json_positions(df, "doc", {"type": "number"},
+                                  key_cols=["id"]).first()
+    assert row["keyword"] == "syntax"
+    assert "Unexpected" in row["message"]  # loads_strict's NaN rejection text
