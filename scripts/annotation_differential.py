@@ -47,12 +47,16 @@ for (const group of input) {
   } catch (e) { out.push({name: group.name, error: String(e.message)}); continue; }
   const verdicts = [];
   for (const data of group.cases) {
+    const text = JSON.stringify(data);
     try {
-      const p = lib.parseInfo(JSON.stringify(data), root);
+      const p = lib.parseInfo(text, root);
       verdicts.push({
+        text: text,
         valid: p.errors.length === 0,
         anns: (p.annotations || []).map(a => ({
-          v: a.value, k: a.keyword, p: String(a.path ?? '')})),
+          v: a.value, k: a.keyword, p: String(a.path ?? ''),
+          l: a.position ? a.position.line : null,
+          c: a.position ? a.position.column : null})),
       });
     } catch (e) { verdicts.push('ERR:' + e.message); }
   }
@@ -109,13 +113,17 @@ def run_reference(groups) -> list:
         Path(harness).unlink(missing_ok=True)
 
 
-def run_engine(groups) -> list:
+def run_engine(groups, ref=None) -> list:
+    """When the reference output is provided, validate the NODE-serialized
+    text and attach annotation POSITIONS (r4) so the comparison covers
+    Annotation.position too."""
     from jsonschemaparse_spark import SchemaRegistry
+    from jsonschemaparse_spark.api import _attach_positions
     from jsonschemaparse_spark.schema.evaluate import Evaluator
 
     ev = Evaluator(annotations=True)
     out = []
-    for g in groups:
+    for gi, g in enumerate(groups):
         reg = SchemaRegistry()
         root = None
         try:
@@ -127,12 +135,21 @@ def run_engine(groups) -> list:
             out.append({"name": g["name"], "error": str(e)})
             continue
         verdicts = []
-        for data in g["cases"]:
+        for ci, data in enumerate(g["cases"]):
             try:
                 errs, anns = ev.validate(root, data)
+                text = None
+                if ref is not None and "error" not in ref[gi]:
+                    rv = ref[gi]["verdicts"][ci]
+                    if isinstance(rv, dict):
+                        text = rv.get("text")
+                if text is not None and anns:
+                    errs, anns = _attach_positions(text, errs, anns)
                 verdicts.append({
                     "valid": not errs,
-                    "anns": [{"v": a.value, "k": a.keyword, "p": a.path}
+                    "anns": [{"v": a.value, "k": a.keyword, "p": a.path,
+                              "l": a.position["line"] if a.position else None,
+                              "c": a.position["column"] if a.position else None}
                              for a in anns],
                 })
             except Exception as e:
@@ -149,8 +166,9 @@ def _norm(anns) -> tuple:
     def strip(p):
         return "/".join(x for x in p.split("/") if not x.isdigit())
 
-    return tuple(sorted({(a["v"], a["k"], strip(a["p"])) for a in anns},
-                        key=repr))
+    return tuple(sorted(
+        {(a["v"], a["k"], strip(a["p"]), a.get("l"), a.get("c")) for a in anns},
+        key=repr))
 
 
 def compare(groups, ref, eng) -> list[dict]:
@@ -181,7 +199,8 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     groups = generate_groups(n, seed)
-    mism = compare(groups, run_reference(groups), run_engine(groups))
+    ref = run_reference(groups)
+    mism = compare(groups, ref, run_engine(groups, ref))
     print(json.dumps({
         "n_schemas": n, "seed": seed, "mismatches": len(mism),
         "detail": mism[:6],

