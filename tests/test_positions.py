@@ -186,9 +186,9 @@ def test_validate_json_positions_table(spark):
 
 
 def test_registry_boolean_and_id_divergent_idempotence():
-    """r4 second-review fixes: boolean schemas and \$id-divergent schemas
+    """r4 second-review fixes: boolean schemas and $id-divergent schemas
     re-import idempotently (import maps key by the IMPORT URI with the
-    ORIGINAL object, not the canonicalized resolved-\$id form)."""
+    ORIGINAL object, not the canonicalized resolved-$id form)."""
     from jsonschemaparse_spark import SchemaRegistry
 
     reg = SchemaRegistry()
