@@ -6,11 +6,17 @@ spark-submit --py-files dist/jsonschemaparse_spark.zip \
     --rules  <rules.json path (ruleset document)>        \
     --output <report dir>                                \
     [--state <checkpoint state dir>] [--snapshot <id>]   \
-    [--key-cols url]
+    [--key-cols url] [--json-col props] [--reprocess] [--positions]
 
 Writes: <output>/violations (parquet), <output>/verdicts (parquet),
         <output>/summary.json. With --state, runs resumable per-file
         checkpointing instead of a flat pass.
+
+--json-col validates a JSON-string column (hybrid JVM/Arrow engine). With
+--state it uses the checkpointed run that records per-file clean flags;
+--reprocess revalidates, routing proven-clean files through the UDF-free
+typed plan. --positions adds (line, column) columns to the violations
+output (the reference's ValidationError.position at table scope).
 
 No master/config hardcoding: all sizing comes from spark-submit flags, so
 the SAME artifact runs at N and 4N executors (north-rule deployment shape).
@@ -32,6 +38,14 @@ def main() -> None:
     ap.add_argument("--key-cols", default="url")
     ap.add_argument("--tables", default=None,
                     help="JSON map name->path for referential/drift reference tables")
+    ap.add_argument("--json-col", default=None,
+                    help="validate this JSON-string column instead of the row")
+    ap.add_argument("--reprocess", action="store_true",
+                    help="with --state --json-col: revalidate all files; "
+                         "proven-clean files use the typed (UDF-free) plan")
+    ap.add_argument("--positions", action="store_true",
+                    help="with --json-col (flat run): emit positioned "
+                         "violation rows (line, column)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -49,7 +63,43 @@ def main() -> None:
     suite = compile_rule_suite(ruleset)
     key_cols = args.key_cols.split(",")
 
-    if args.state and suite.schema is not None:
+    if args.json_col and suite.schema is not None:
+        from jsonschemaparse_spark.plans.checkpoint import run_json_with_checkpoint
+        from jsonschemaparse_spark.plans.json_validator import (
+            validate_json_column,
+            validate_json_positions,
+        )
+
+        if args.state:
+            jrun = run_json_with_checkpoint(
+                spark, args.input, args.json_col, suite.schema, args.state,
+                snapshot_id=args.snapshot, key_cols=key_cols,
+                reprocess=args.reprocess,
+            )
+            jrun.violations.write.mode("append").parquet(f"{args.output}/violations")
+            jrun.verdicts.write.mode("overwrite").parquet(f"{args.output}/verdicts")
+            summary = {
+                "n_files_total": jrun.n_files_total,
+                "n_files_skipped": jrun.n_files_skipped,
+                "n_files_typed": jrun.n_files_typed,
+                "engine_used": jrun.engine_used,
+            }
+        else:
+            df = spark.read.parquet(args.input)
+            if args.positions:
+                out = validate_json_positions(
+                    df, args.json_col, suite.schema, key_cols=key_cols)
+                out.write.mode("overwrite").parquet(f"{args.output}/violations")
+                summary = {"mode": "json-positions"}
+            else:
+                res = validate_json_column(
+                    df, args.json_col, suite.schema, key_cols=key_cols)
+                res.violations().write.mode("overwrite").parquet(
+                    f"{args.output}/violations")
+                res.verdicts().write.mode("overwrite").parquet(
+                    f"{args.output}/verdicts")
+                summary = res.summary()
+    elif args.state and suite.schema is not None:
         run = run_with_checkpoint(
             spark, args.input, suite.schema, args.state,
             snapshot_id=args.snapshot, key_cols=key_cols,
