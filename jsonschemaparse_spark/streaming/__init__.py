@@ -1,6 +1,7 @@
 from .validate_stream import (
     foreach_batch_sink,
     stateful_validation_monitor,
+    validate_json_stream,
     streaming_dedup,
     validate_stream,
     windowed_verdicts,
@@ -9,6 +10,7 @@ from .validate_stream import (
 __all__ = [
     "foreach_batch_sink",
     "stateful_validation_monitor",
+    "validate_json_stream",
     "streaming_dedup",
     "validate_stream",
     "windowed_verdicts",

@@ -150,3 +150,39 @@ def foreach_batch_sink(
         on_batch(res.violations(), res.verdicts(), batch_id)
 
     return _sink
+
+
+def validate_json_stream(
+    stream_df: DataFrame,
+    json_col: str,
+    rules,
+    key_cols: Optional[Sequence[str]] = None,
+    engine: str = "typed",
+    extensions: bool = False,
+):
+    """Streaming twin of validate_json_column (r4): validate a JSON-string
+    column on a streaming DataFrame.
+
+    engine='typed' (default): from_json + Column kernels — a PURE
+    projection, so it composes with any streaming sink/window with zero
+    state; the right default for known-shape payloads (event streams).
+    engine='arrow': the exact-report Python evaluator via mapInPandas
+    (streaming-compatible; each micro-batch ships Arrow batches). The
+    HYBRID engine is deliberately not offered here: its flagged-count
+    Observation and parallelism probe are batch-only concepts.
+
+    Returns the annotated streaming frame (key cols + _jsp_valid +
+    _jsp_violations); compose with windowed_verdicts/foreach_batch_sink.
+    """
+    from ..plans.json_validator import validate_json_column, validate_json_typed
+
+    if engine == "typed":
+        return validate_json_typed(
+            stream_df, json_col, rules, key_cols=key_cols, extensions=extensions
+        ).annotated
+    if engine == "arrow":
+        return validate_json_column(
+            stream_df, json_col, rules, key_cols=key_cols,
+            extensions=extensions, engine="arrow",
+        ).annotated
+    raise ValueError(f"engine must be 'typed' or 'arrow'; got {engine!r}")

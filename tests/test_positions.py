@@ -240,3 +240,27 @@ def test_json_positions_table_keeps_scanner_message(spark):
                                   key_cols=["id"]).first()
     assert row["keyword"] == "syntax"
     assert "Unexpected" in row["message"]  # loads_strict's NaN rejection text
+
+
+def test_positions_chunk_split_invariant():
+    """The anchor map must be identical no matter how the input is split
+    across write() calls (hypothesis-style sweep over chunk sizes 1-7,
+    matching the incremental suite's byte-replay contract)."""
+    from jsonschemaparse_spark.schema.incremental import IncrementalJSONParser
+
+    texts = [
+        '{"a": 5, "b": [1, {"c": 2}], "d": "x"}',
+        '{\n "k": [\n  1,\n  {"z": [true, null]}\n ]\n}',
+        '[ {"\U0001F432": 1}, "s", [2, 3] ]',
+        '{"a/b": 5, "a": {"b": 6}}',
+    ]
+    for text in texts:
+        whole = IncrementalJSONParser(track_positions=True)
+        whole.write(text)
+        whole.end()
+        for size in range(1, 8):
+            p = IncrementalJSONParser(track_positions=True)
+            for i in range(0, len(text), size):
+                p.write(text[i:i + size])
+            p.end()
+            assert p.positions == whole.positions, (text, size)

@@ -319,3 +319,39 @@ def test_json_checkpoint_per_file_graduation_and_no_dup(spark, tmp_path_factory)
     )
     assert _verdict_map(r3) == v1
     assert spark.read.parquet(f"{state}/violations").count() == n_persisted_1
+
+
+def test_validate_json_stream(spark, tmp_path_factory):
+    """Streaming JSON validation (typed + arrow engines) agrees with the
+    batch hybrid pass on verdict totals; the typed plan is a pure
+    projection (composes with availableNow file streams)."""
+    from jsonschemaparse_spark.plans.json_validator import validate_json_column
+    from jsonschemaparse_spark.streaming import validate_json_stream
+
+    d = str(tmp_path_factory.mktemp("json_stream"))
+    spark.createDataFrame(
+        [(i, '{"k": %d}' % (i % 70)) for i in range(400)]
+        + [(1000, '{"k": "bad"}'), (1001, None)],
+        "id long, doc string",
+    ).write.mode("overwrite").parquet(d)
+    batch = spark.read.parquet(d)
+    expected_failed = (
+        validate_json_column(batch, "doc", JSON_RULES, key_cols=["id"])
+        .annotated.filter("NOT _jsp_valid").count()
+    )
+
+    schema = batch.schema
+    for engine in ("typed", "arrow"):
+        stream = spark.readStream.schema(schema).parquet(d)
+        ann = validate_json_stream(stream, "doc", JSON_RULES,
+                                   key_cols=["id"], engine=engine)
+        assert ann.isStreaming
+        name = f"json_stream_{engine}"
+        q = (ann.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = spark.sql(
+            f"select count(*) n, sum(case when _jsp_valid then 0 else 1 end) f "
+            f"from {name}").first()
+        assert got["n"] == 402
+        assert got["f"] == expected_failed, engine
