@@ -86,6 +86,17 @@ def test_catalog_snapshot_fallback(spark, tmp_path):
     res = chi2_drift(read_table(spark, root, "s1"), read_table(spark, root, "s2"), "v")
     assert res.drifted  # disjoint category sets
 
+    # referential integrity ACROSS snapshots (north-rule wording): FK rows
+    # present in snapshot s2 whose parents were removed by snapshot s1's
+    # state — the same composition Iceberg time travel gives via
+    # snapshot-id pinned reads
+    from jsonschemaparse_spark.functions.integrity import referential_violations
+
+    child = read_table(spark, root, "s2").withColumnRenamed("id", "fk")
+    parent = read_table(spark, root, "s1")
+    orphans = referential_violations(child, "fk", parent, "id")
+    assert sorted(r["fk"] for r in orphans.collect()) == [5, 6, 7, 8]
+
 
 def test_observe_metrics_single_action(spark):
     from jsonschemaparse_spark.plans import validate_dataframe
