@@ -162,6 +162,8 @@ def _split_options(schema):
         kw["interoperable"] = bool(opts["interoperable"])
     if "maxNumberLength" in opts:
         kw["max_number_length"] = opts["maxNumberLength"]
+    if "charset" in opts:
+        kw["charset"] = opts["charset"]
     caps = {"maxStringLength": "max_string_length", "maxKeyLength": "max_key_length",
             "maxItems": "max_items", "maxProperties": "max_properties"}
     if any(c in opts for c in caps):
@@ -205,7 +207,8 @@ def parse(text: str | bytes, schema=None, extensions: bool = False, limits=None)
 def parse_info(text: str | bytes, schema=None, annotations: bool = True,
                extensions: bool = False, limits=None, syntax=None,
                big_number: str = "default", interoperable: bool = False,
-               max_number_length=None, reference_quirks: bool = False) -> ParseInfo:
+               max_number_length=None, reference_quirks: bool = False,
+               charset: "str | None" = None) -> ParseInfo:
     """Reporting one-shot: syntax errors raise; validation errors are
     RETURNED, matching parseInfo (test/parseInfo.test.js:33-46).
 
@@ -220,7 +223,19 @@ def parse_info(text: str | bytes, schema=None, annotations: bool = True,
         interoperable = opt_kw.get("interoperable", interoperable)
         max_number_length = opt_kw.get("max_number_length", max_number_length)
         limits = opt_kw.get("limits", limits)
+        charset = opt_kw.get("charset", charset)
     if isinstance(text, (bytes, bytearray)):
+        # reference charset gate (parse.js parseBlock, pinned by execution):
+        # checked for BYTE input only — native strings are already decoded
+        if charset == "string":
+            raise ParseSyntaxError("Expected arguments[0] `block` to be a string")
+        if charset == "ASCII":
+            hi = next((b for b in bytes(text) if b >= 0x80), None)
+            if hi is not None:
+                raise ParseSyntaxError("Unexpected high-byte character")
+        elif charset not in (None, "UTF-8", "ASCII"):
+            raise ParseSyntaxError(
+                'Unknown `charset`, expected "ASCII" or "UTF-8"')
         try:
             text = bytes(text).decode("utf-8", errors="strict")
         except UnicodeDecodeError as e:

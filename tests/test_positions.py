@@ -264,3 +264,20 @@ def test_positions_chunk_split_invariant():
                 p.write(text[i:i + size])
             p.end()
             assert p.positions == whole.positions, (text, size)
+
+
+def test_parse_charset_option():
+    """charset gate pinned by executing the reference: checked for BYTE
+    input only; ASCII rejects high bytes; 'string' rejects byte input;
+    unknown charsets reject byte input and are ignored for strings."""
+    from jsonschemaparse_spark.api import ParseSyntaxError, parse
+
+    with pytest.raises(ParseSyntaxError, match="high-byte"):
+        parse(b'"a\xc3\xa9"', {"schema": None, "charset": "ASCII"})
+    assert parse(b'"a"', {"schema": None, "charset": "ASCII"}) == "a"
+    assert parse(b'"a\xc3\xa9"', {"schema": None, "charset": "UTF-8"}) == "aé"
+    assert parse("[1]", {"schema": None, "charset": "bogus"}) == [1]
+    with pytest.raises(ParseSyntaxError, match="to be a string"):
+        parse(b"[1]", {"schema": None, "charset": "string"})
+    with pytest.raises(ParseSyntaxError, match="Unknown"):
+        parse(b"[1]", {"schema": None, "charset": "bogus"})
