@@ -298,12 +298,26 @@ class StreamParser:
     SAX callbacks via .on(name, fn) use the same event names/arities as
     api.iter_events."""
 
-    def __init__(self, schema=None, extensions: bool = False, limits=None):
+    def __init__(self, schema=None, extensions: bool = False, limits=None,
+                 big_number: str = "default", nice_number: str = "default",
+                 max_number_length=None):
         from .schema.incremental import IncrementalJSONParser
 
+        hooks = None
+        if (big_number != "default" or nice_number != "default"
+                or max_number_length is not None):
+            # reference StreamParser({bigNumber}/{niceNumber}/
+            # {maxNumberLength}) — policies run per complete number token;
+            # BigNumberError surfaces from write()/end() as
+            # ResourceLimitError, the reference's throw
+            # (parse.js:1183 badCase; probed under node, r4)
+            from .schema.relaxed_json import make_number_hooks
+
+            hooks = make_number_hooks(big_number, max_number_length, nice_number)
         # anchor map only when something will read it (errors/annotations
         # need a schema; bare tokenizer/SAX use stays map-free)
-        self._parser = IncrementalJSONParser(track_positions=schema is not None)
+        self._parser = IncrementalJSONParser(
+            track_positions=schema is not None, number_hooks=hooks)
         self._schema = _as_schema(schema)
         self._extensions = extensions
         self._limits = limits
@@ -318,20 +332,30 @@ class StreamParser:
     def write(self, chunk: str | bytes) -> "StreamParser":
         from .schema.incremental import IncrementalSyntaxError
 
+        from .errors import ResourceLimitError
+        from .schema.relaxed_json import BigNumberError
+
         try:
             self._parser.write(chunk)
         except IncrementalSyntaxError as e:
             raise ParseSyntaxError(str(e), position=e.position) from None
+        except BigNumberError as e:
+            raise ResourceLimitError(str(e)) from None
         return self
 
     def end(self) -> ParseInfo:
         from .schema.evaluate import check_limits
         from .schema.incremental import IncrementalSyntaxError
 
+        from .errors import ResourceLimitError
+        from .schema.relaxed_json import BigNumberError
+
         try:
             self.value = self._parser.end()
         except IncrementalSyntaxError as e:
             raise ParseSyntaxError(str(e), position=e.position) from None
+        except BigNumberError as e:
+            raise ResourceLimitError(str(e)) from None
         if self._schema is not None:
             ev = Evaluator(extensions=self._extensions, annotations=True)
             self.errors, self.annotations = ev.validate(self._schema, self.value)

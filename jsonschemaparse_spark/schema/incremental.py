@@ -146,11 +146,18 @@ class IncrementalJSONParser:
     with 1-based line/column on malformed input.
     """
 
-    def __init__(self, max_depth: int = 512, track_positions: bool = False):
+    def __init__(self, max_depth: int = 512, track_positions: bool = False,
+                 number_hooks=None):
         self._decoder = codecs.getincrementaldecoder("utf-8")(errors="strict")
         # positions map is opt-in (r4 review: SAX/error-path users were
         # paying an O(values * depth) dict they never read)
         self._track_positions = track_positions
+        # (parse_int, parse_float) pair — relaxed_json.make_number_hooks —
+        # applied per complete NUMBER token so StreamParser carries the
+        # reference's bigNumber/niceNumber policies incrementally
+        # (StreamParser({bigNumber}) option rows). BigNumberError
+        # propagates to the caller.
+        self._number_hooks = number_hooks
         self._buf = ""
         self._pos = 0              # consumed offset within _buf
         self._line = 1
@@ -493,12 +500,12 @@ class IncrementalJSONParser:
         status, idx = _scan_number(raw)
         if status == "complete":
             self._advance(len(raw))
-            return json.loads(raw)
+            return self._parse_number(raw)
         if status == "split":
             # raw[:idx] is a complete number; leave raw[idx:] unconsumed
             # for the outer loop (which produces the reference's
             # state-after-value error on it)
-            val = json.loads(raw[:idx])
+            val = self._parse_number(raw[:idx])
             self._advance(idx)
             return val
         if status == "char":
@@ -509,6 +516,12 @@ class IncrementalJSONParser:
         raise self._err_char(start + len(raw))  # terminator broke the number
 
     # ------------------------------------------------------------------
+    def _parse_number(self, raw: str):
+        if self._number_hooks is None:
+            return json.loads(raw)
+        parse_int, parse_float = self._number_hooks
+        return parse_int(raw) if raw.lstrip("-").isdigit() else parse_float(raw)
+
     def _attach(self, value: Any) -> None:
         if not self._stack:
             if self._have_root:

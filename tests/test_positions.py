@@ -281,3 +281,31 @@ def test_parse_charset_option():
         parse(b"[1]", {"schema": None, "charset": "string"})
     with pytest.raises(ParseSyntaxError, match="Unknown"):
         parse(b"[1]", {"schema": None, "charset": "bogus"})
+
+
+def test_stream_parser_bignumber_policies():
+    """StreamParser({bigNumber}/{niceNumber}/{maxNumberLength}) — policies
+    apply per complete number token across arbitrary chunk splits;
+    'error' surfaces as ResourceLimitError (the reference's throw)."""
+    from jsonschemaparse_spark.api import StreamParser
+    from jsonschemaparse_spark.errors import ResourceLimitError
+
+    sp = StreamParser(big_number="error")
+    sp.write("123456789012345678")
+    with pytest.raises(ResourceLimitError, match="too precise"):
+        sp.write("90123")
+        sp.end()
+
+    sp = StreamParser(big_number="json")
+    sp.write('{"n": 123456789012345678')
+    sp.write("90123}")
+    assert sp.end().value == {"n": "12345678901234567890123"}
+
+    sp = StreamParser(max_number_length=5)
+    with pytest.raises(ResourceLimitError, match="maxNumberLength"):
+        sp.write("123456 ")
+        sp.end()
+
+    sp = StreamParser(big_number="error")
+    sp.write("42")
+    assert sp.end().value == 42  # representable: no policy fire
