@@ -300,7 +300,7 @@ class StreamParser:
 
     def __init__(self, schema=None, extensions: bool = False, limits=None,
                  big_number: str = "default", nice_number: str = "default",
-                 max_number_length=None):
+                 max_number_length=None, strict_limits: bool = False):
         from .schema.incremental import IncrementalJSONParser
 
         hooks = None
@@ -316,8 +316,13 @@ class StreamParser:
             hooks = make_number_hooks(big_number, max_number_length, nice_number)
         # anchor map only when something will read it (errors/annotations
         # need a schema; bare tokenizer/SAX use stays map-free)
+        # strict_limits=True enforces `limits` DURING the parse with the
+        # reference's ResourceLimitError throw (parse.js caps) and keeps
+        # memory O(cap) on unbounded tokens; the default keeps the table
+        # contract (limit violations are reported rows at end())
         self._parser = IncrementalJSONParser(
-            track_positions=schema is not None, number_hooks=hooks)
+            track_positions=schema is not None, number_hooks=hooks,
+            limits=limits if strict_limits else None)
         self._schema = _as_schema(schema)
         self._extensions = extensions
         self._limits = limits

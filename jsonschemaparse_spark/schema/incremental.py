@@ -147,7 +147,7 @@ class IncrementalJSONParser:
     """
 
     def __init__(self, max_depth: int = 512, track_positions: bool = False,
-                 number_hooks=None):
+                 number_hooks=None, limits=None):
         self._decoder = codecs.getincrementaldecoder("utf-8")(errors="strict")
         # positions map is opt-in (r4 review: SAX/error-path users were
         # paying an O(values * depth) dict they never read)
@@ -158,6 +158,12 @@ class IncrementalJSONParser:
         # (StreamParser({bigNumber}) option rows). BigNumberError
         # propagates to the caller.
         self._number_hooks = number_hooks
+        # optional ResourceLimits-like object enforced DURING the parse
+        # (reference parse.js:146-150 caps, which THROW ResourceLimitError
+        # mid-stream): strings/keys abort near their cap instead of
+        # buffering unbounded tokens, containers abort at size — memory
+        # stays O(cap), the point of parser caps on unbounded streams.
+        self._limits = limits
         self._buf = ""
         self._pos = 0              # consumed offset within _buf
         self._line = 1
@@ -313,7 +319,7 @@ class IncrementalJSONParser:
                     continue
                 if ch != '"':
                     raise self._err_char(pos, " (expected a key)")
-                tok = self._take_string(eof)
+                tok = self._take_string(eof, is_key=True)
                 if tok is None:
                     return
                 self._stack[-1] = ("O", self._stack[-1][1], tok)
@@ -411,7 +417,19 @@ class IncrementalJSONParser:
             raise self._err_char(pos)
 
     # ------------------------------------------------------------------
-    def _take_string(self, eof: bool) -> Optional[str]:
+    def _limit_err(self, message: str):
+        from ..errors import ResourceLimitError
+
+        raise ResourceLimitError(message)
+
+    def _string_cap(self, is_key: bool):
+        if self._limits is None:
+            return None
+        cap = (getattr(self._limits, "max_key_length", None) if is_key
+               else getattr(self._limits, "max_string_length", None))
+        return cap
+
+    def _take_string(self, eof: bool, is_key: bool = False) -> Optional[str]:
         """Return the decoded string if its closing quote is buffered,
         else None (wait for more input). Bad escapes / bad \\u hex /
         control chars error AT THE OFFENDING CHAR (reference STRING2-6
@@ -419,8 +437,15 @@ class IncrementalJSONParser:
         buf, start = self._buf, self._pos
         i = start + 1
         n = len(buf)
+        cap = self._string_cap(is_key)
         mid_escape = False  # at buffer end: inside \x / \uXXXX (STRING2-6)?
         while i < n:
+            if cap is not None and (i - start - 1) > 6 * cap + 6:
+                # raw scan length bounds decoded length (an escape is at
+                # most 6 raw chars per content char): definitely over the
+                # cap — abort BEFORE buffering more (reference message,
+                # parse.js ResourceLimitError)
+                self._limit_err("String too long")
             c = buf[i]
             if c == "\\":
                 j = i + 1
@@ -449,6 +474,8 @@ class IncrementalJSONParser:
                     val = loads_strict(raw)
                 except ValueError as e:
                     raise self._err(f"Bad string: {e}", at=start) from None
+                if cap is not None and len(val) > cap:
+                    self._limit_err("String too long")
                 self._advance(i + 1 - start)
                 return val
             if ord(c) < 0x20:
@@ -532,10 +559,18 @@ class IncrementalJSONParser:
         top = self._stack[-1]
         if top[0] == "A":
             top[1].append(value)
+            if self._limits is not None:
+                cap = getattr(self._limits, "max_items", None)
+                if cap is not None and len(top[1]) > cap:
+                    self._limit_err("Too many items in array")
         else:
             if top[2] is None:
                 raise self._err("Value without a key")
             top[1][top[2]] = value
+            if self._limits is not None:
+                cap = getattr(self._limits, "max_properties", None)
+                if cap is not None and len(top[1]) > cap:
+                    self._limit_err("Too many properties in object")
 
     def _finish_value(self, value: Any) -> None:
         self._attach(value)

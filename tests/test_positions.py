@@ -309,3 +309,42 @@ def test_stream_parser_bignumber_policies():
     sp = StreamParser(big_number="error")
     sp.write("42")
     assert sp.end().value == 42  # representable: no policy fire
+
+
+def test_stream_parser_strict_limits():
+    """strict_limits=True enforces parser caps DURING the parse with the
+    reference's messages/throw (parse.js:146-150; probed under node:
+    'String too long', 'Too many items in array', 'Too many properties in
+    object'); the default keeps limit violations as end() rows. A giant
+    string aborts near its cap — memory stays O(cap) on hostile input."""
+    from jsonschemaparse_spark.api import StreamParser
+    from jsonschemaparse_spark.errors import ResourceLimitError
+    from jsonschemaparse_spark.schema.evaluate import ResourceLimits
+
+    def strict(text, **lim):
+        sp = StreamParser(limits=ResourceLimits(**lim), strict_limits=True)
+        for i in range(0, len(text), 3):
+            sp.write(text[i:i + 3])
+        return sp.end()
+
+    with pytest.raises(ResourceLimitError, match="String too long"):
+        strict('"abcdefgh"', max_string_length=4)
+    with pytest.raises(ResourceLimitError, match="String too long"):
+        strict('{"abcdef": 1}', max_key_length=3)
+    with pytest.raises(ResourceLimitError, match="Too many items"):
+        strict("[1,2,3,4]", max_items=2)
+    with pytest.raises(ResourceLimitError, match="Too many properties"):
+        strict('{"a":1,"b":2,"c":3}', max_properties=2)
+    assert strict('"ab"', max_string_length=4).value == "ab"
+
+    # hostile unbounded string aborts before buffering it all
+    sp = StreamParser(limits=ResourceLimits(max_string_length=10),
+                      strict_limits=True)
+    with pytest.raises(ResourceLimitError):
+        sp.write('"' + "x" * 100)  # never closed; cap fires at ~6*cap raw
+
+    # default: reported as rows at end(), not thrown (table contract)
+    sp = StreamParser(limits=ResourceLimits(max_string_length=4))
+    sp.write('"abcdefgh"')
+    info = sp.end()
+    assert [e.message for e in info.errors] == ["String too long"]
