@@ -300,10 +300,14 @@ class StreamParser:
 
     def __init__(self, schema=None, extensions: bool = False, limits=None,
                  big_number: str = "default", nice_number: str = "default",
-                 max_number_length=None, strict_limits: bool = False):
+                 max_number_length=None, strict_limits: bool = False,
+                 interoperable: bool = False, charset: "str | None" = None):
         from .schema.incremental import IncrementalJSONParser
 
+        self._charset = charset
         hooks = None
+        if interoperable and big_number == "default":
+            big_number = "error"  # I-JSON default (loads_relaxed parity)
         if (big_number != "default" or nice_number != "default"
                 or max_number_length is not None):
             # reference StreamParser({bigNumber}/{niceNumber}/
@@ -322,7 +326,8 @@ class StreamParser:
         # contract (limit violations are reported rows at end())
         self._parser = IncrementalJSONParser(
             track_positions=schema is not None, number_hooks=hooks,
-            limits=limits if strict_limits else None)
+            limits=limits if strict_limits else None,
+            interoperable=interoperable)
         self._schema = _as_schema(schema)
         self._extensions = extensions
         self._limits = limits
@@ -340,6 +345,17 @@ class StreamParser:
         from .errors import ResourceLimitError
         from .schema.relaxed_json import BigNumberError
 
+        if isinstance(chunk, (bytes, bytearray)) and self._charset is not None:
+            # byte-input charset gate, same pins as parse_info (r4)
+            if self._charset == "string":
+                raise ParseSyntaxError(
+                    "Expected arguments[0] `block` to be a string")
+            if self._charset == "ASCII":
+                if any(b >= 0x80 for b in bytes(chunk)):
+                    raise ParseSyntaxError("Unexpected high-byte character")
+            elif self._charset != "UTF-8":
+                raise ParseSyntaxError(
+                    'Unknown `charset`, expected "ASCII" or "UTF-8"')
         try:
             self._parser.write(chunk)
         except IncrementalSyntaxError as e:

@@ -147,7 +147,7 @@ class IncrementalJSONParser:
     """
 
     def __init__(self, max_depth: int = 512, track_positions: bool = False,
-                 number_hooks=None, limits=None):
+                 number_hooks=None, limits=None, interoperable: bool = False):
         self._decoder = codecs.getincrementaldecoder("utf-8")(errors="strict")
         # positions map is opt-in (r4 review: SAX/error-path users were
         # paying an O(values * depth) dict they never read)
@@ -158,6 +158,10 @@ class IncrementalJSONParser:
         # (StreamParser({bigNumber}) option rows). BigNumberError
         # propagates to the caller.
         self._number_hooks = number_hooks
+        # RFC 7493 I-JSON: reject duplicate object keys at insert time and
+        # unpaired surrogates per string token (loads_relaxed's one-shot
+        # twin, incremental)
+        self._interoperable = interoperable
         # optional ResourceLimits-like object enforced DURING the parse
         # (reference parse.js:146-150 caps, which THROW ResourceLimitError
         # mid-stream): strings/keys abort near their cap instead of
@@ -322,6 +326,8 @@ class IncrementalJSONParser:
                 tok = self._take_string(eof, is_key=True)
                 if tok is None:
                     return
+                if self._interoperable and tok in self._stack[-1][1]:
+                    raise self._err("Duplicate object keys (I-JSON)")
                 self._stack[-1] = ("O", self._stack[-1][1], tok)
                 self._emit("key", tok)
                 self._expect = "colon"
@@ -476,6 +482,13 @@ class IncrementalJSONParser:
                     raise self._err(f"Bad string: {e}", at=start) from None
                 if cap is not None and len(val) > cap:
                     self._limit_err("String too long")
+                if self._interoperable:
+                    from .strict_json import _check_surrogates
+
+                    try:
+                        _check_surrogates(val)
+                    except ValueError as e:
+                        raise self._err(str(e), at=start) from None
                 self._advance(i + 1 - start)
                 return val
             if ord(c) < 0x20:

@@ -348,3 +348,35 @@ def test_stream_parser_strict_limits():
     sp.write('"abcdefgh"')
     info = sp.end()
     assert [e.message for e in info.errors] == ["String too long"]
+
+
+def test_stream_parser_interoperable_and_charset():
+    """StreamParser({interoperable}) rejects duplicate keys at INSERT time
+    and unpaired surrogates per string token (I-JSON, RFC 7493), and
+    defaults bigNumber to 'error' like loads_relaxed;
+    StreamParser({charset}) gates byte chunks with the reference's
+    messages. Plain mode keeps lone surrogates accepted (reference
+    parity)."""
+    from jsonschemaparse_spark.api import ParseSyntaxError, StreamParser
+    from jsonschemaparse_spark.errors import ResourceLimitError
+
+    def run(chunks, **kw):
+        sp = StreamParser(**kw)
+        for c in chunks:
+            sp.write(c)
+        return sp.end().value
+
+    with pytest.raises(ParseSyntaxError, match="Duplicate object keys"):
+        run(['{"a":1,', '"a":2}'], interoperable=True)
+    assert run(['{"a":1,"b":2}'], interoperable=True) == {"a": 1, "b": 2}
+    with pytest.raises(ResourceLimitError, match="too precise"):
+        run(["123456789012345678901"], interoperable=True)
+    with pytest.raises(ParseSyntaxError, match="Unpaired high surrogate"):
+        run(['"\\ud800"'], interoperable=True)
+    assert run(['"\\ud800"']) == "\ud800"  # plain mode: reference parity
+
+    with pytest.raises(ParseSyntaxError, match="high-byte"):
+        run([b'"a\xc3\xa9"'], charset="ASCII")
+    assert run([b'"a"'], charset="ASCII") == "a"
+    with pytest.raises(ParseSyntaxError, match="to be a string"):
+        run([b"[1]"], charset="string")
