@@ -301,7 +301,8 @@ class StreamParser:
     def __init__(self, schema=None, extensions: bool = False, limits=None,
                  big_number: str = "default", nice_number: str = "default",
                  max_number_length=None, strict_limits: bool = False,
-                 interoperable: bool = False, charset: "str | None" = None):
+                 interoperable: bool = False, charset: "str | None" = None,
+                 syntax=None):
         from .schema.incremental import IncrementalJSONParser
 
         self._charset = charset
@@ -324,10 +325,28 @@ class StreamParser:
         # reference's ResourceLimitError throw (parse.js caps) and keeps
         # memory O(cap) on unbounded tokens; the default keeps the table
         # contract (limit violations are reported rows at end())
+        # syntax=SyntaxOptions(...): the reference's relaxed-dialect family
+        # on the incremental surface — a chunk-resumable transcoder
+        # (relaxed_json.IncrementalTranscoder) rewrites each chunk to
+        # strict JSON before the tokenizer; positions are not tracked for
+        # relaxed dialects (transcoded offsets differ from the source)
+        self._transcoder = None
+        self._syntax_decoder = None
+        if syntax is not None:
+            import codecs as _codecs
+
+            from .schema.relaxed_json import IncrementalTranscoder
+
+            self._transcoder = IncrementalTranscoder(syntax)
+            self._syntax_decoder = _codecs.getincrementaldecoder("utf-8")(
+                errors="strict")
         self._parser = IncrementalJSONParser(
-            track_positions=schema is not None, number_hooks=hooks,
+            track_positions=(schema is not None and syntax is None),
+            number_hooks=hooks,
             limits=limits if strict_limits else None,
-            interoperable=interoperable)
+            interoperable=interoperable,
+            allow_inf=bool(syntax is not None and syntax.inf),
+            allow_nan=bool(syntax is not None and syntax.nan))
         self._schema = _as_schema(schema)
         self._extensions = extensions
         self._limits = limits
@@ -356,6 +375,18 @@ class StreamParser:
             elif self._charset != "UTF-8":
                 raise ParseSyntaxError(
                     'Unknown `charset`, expected "ASCII" or "UTF-8"')
+        if self._transcoder is not None:
+            if isinstance(chunk, (bytes, bytearray)):
+                try:
+                    chunk = self._syntax_decoder.decode(bytes(chunk))
+                except UnicodeDecodeError as e:
+                    raise ParseSyntaxError(f"Invalid UTF-8: {e.reason}") from None
+            try:
+                chunk = self._transcoder.feed(chunk)
+            except ValueError as e:
+                raise ParseSyntaxError(str(e)) from None
+            if not chunk:
+                return self
         try:
             self._parser.write(chunk)
         except IncrementalSyntaxError as e:
@@ -371,6 +402,20 @@ class StreamParser:
         from .errors import ResourceLimitError
         from .schema.relaxed_json import BigNumberError
 
+        if self._transcoder is not None:
+            try:
+                tail = self._syntax_decoder.decode(b"", final=True)
+                tail = self._transcoder.feed(tail) if tail else ""
+                tail += self._transcoder.finish()
+            except ValueError as e:
+                raise ParseSyntaxError(str(e)) from None
+            if tail:
+                try:
+                    self._parser.write(tail)
+                except IncrementalSyntaxError as e:
+                    raise ParseSyntaxError(str(e), position=e.position) from None
+                except BigNumberError as e:
+                    raise ResourceLimitError(str(e)) from None
         try:
             self.value = self._parser.end()
         except IncrementalSyntaxError as e:

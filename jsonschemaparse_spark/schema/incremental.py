@@ -147,7 +147,8 @@ class IncrementalJSONParser:
     """
 
     def __init__(self, max_depth: int = 512, track_positions: bool = False,
-                 number_hooks=None, limits=None, interoperable: bool = False):
+                 number_hooks=None, limits=None, interoperable: bool = False,
+                 allow_inf: bool = False, allow_nan: bool = False):
         self._decoder = codecs.getincrementaldecoder("utf-8")(errors="strict")
         # positions map is opt-in (r4 review: SAX/error-path users were
         # paying an O(values * depth) dict they never read)
@@ -162,6 +163,14 @@ class IncrementalJSONParser:
         # unpaired surrogates per string token (loads_relaxed's one-shot
         # twin, incremental)
         self._interoperable = interoperable
+        # extra literal words for the relaxed dialects (syntaxInf/syntaxNaN
+        # via the incremental transcoder): Infinity / -Infinity / NaN
+        self._literals = dict(_LITERALS)
+        if allow_inf:
+            self._literals["Infinity"] = float("inf")
+        if allow_nan:
+            self._literals["NaN"] = float("nan")
+        self._allow_inf = allow_inf
         # optional ResourceLimits-like object enforced DURING the parse
         # (reference parse.js:146-150 caps, which THROW ResourceLimitError
         # mid-stream): strings/keys abort near their cap instead of
@@ -403,7 +412,8 @@ class IncrementalJSONParser:
                 self._emit("string", tok)
                 self._finish_value(tok)
                 continue
-            if ch in "tfn":
+            if ch in "tfn" or (ch in "IN" and any(
+                    w[0] == ch for w in self._literals)):
                 val = self._take_literal(eof)
                 if val is _PENDING:
                     return
@@ -509,14 +519,15 @@ class IncrementalJSONParser:
         that breaks the word (reference TRUE1..NULL4 states: 'tru ' errors
         on the space at offset 3, not the token start)."""
         buf, start = self._buf, self._pos
-        lit = {"t": "true", "f": "false", "n": "null"}[buf[start]]
+        first = {w[0]: w for w in self._literals}
+        lit = first[buf[start]]
         rest = buf[start:start + len(lit)]
         for j in range(min(len(rest), len(lit))):
             if rest[j] != lit[j]:
                 raise self._err_char(start + j)
         if len(rest) == len(lit):
             self._advance(len(lit))
-            return _LITERALS[lit]
+            return self._literals[lit]
         if eof:
             raise self._err_eof()  # 'nul' -> end-of-doc at offset 3
         return _PENDING  # proper prefix: could complete in the next chunk
@@ -537,6 +548,18 @@ class IncrementalJSONParser:
         if i == n and not eof:
             return _PENDING  # the number may continue in the next chunk
         raw = buf[start:i]
+        if self._allow_inf and raw == "-" and buf[start + 1:start + 2] == "I":
+            # relaxed dialect: -Infinity (the transcoder passes the word
+            # through; strict mode never reaches here — 'I' is junk there)
+            word = buf[start + 1:start + 9]
+            if "Infinity".startswith(word) and len(word) < 8:
+                if eof:
+                    raise self._err_eof()
+                return _PENDING
+            if word == "Infinity":
+                self._advance(9)
+                return float("-inf")
+            raise self._err_char(start + 1)
         status, idx = _scan_number(raw)
         if status == "complete":
             self._advance(len(raw))

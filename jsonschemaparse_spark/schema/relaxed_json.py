@@ -351,3 +351,265 @@ def loads_relaxed(
         # see strict_json docstring); only the I-JSON subset rejects.
         _check_surrogates(value)
     return value
+
+
+class IncrementalTranscoder:
+    """Chunk-resumable twin of transcode() (r4): feed(chunk) returns the
+    strict-JSON rewrite of every construct that is COMPLETE in the buffer
+    so far; constructs that may extend into the next chunk (open strings,
+    comments, number/word tails, lookahead-dependent ',', '+', '0x', '.')
+    stay in the carry until more input or finish(). Emitted whitespace may
+    differ from the one-shot (runs are not collapsed across chunk
+    boundaries) — semantically neutral to the strict parser; VALUES are
+    chunking-invariant (tests replay byte-at-a-time vs loads_relaxed).
+
+    Powers StreamParser(syntax=...) — the reference's syntax* option
+    family on the incremental surface."""
+
+    def __init__(self, opt: SyntaxOptions):
+        self.opt = opt
+        self._buf = ""
+        self._stack: list[str] = []
+        self._expect_key = False
+
+    def feed(self, chunk: str) -> str:
+        self._buf += chunk
+        return self._drain(eof=False)
+
+    def finish(self) -> str:
+        return self._drain(eof=True)
+
+    # ------------------------------------------------------------------
+    def _drain(self, eof: bool) -> str:  # noqa: C901 (mirror of transcode)
+        opt = self.opt
+        out: list[str] = []
+        buf = self._buf
+        i, n = 0, len(buf)
+        WAIT = object()
+
+        def skip_ws_comments(j: int):
+            """End index of the ws/comment run from j, WAIT if it may
+            continue, or raises at eof on an unterminated comment."""
+            while j < n:
+                c = buf[j]
+                if c in " \t\r\n":
+                    j += 1
+                elif opt.hash_comment and c == "#":
+                    k = buf.find("\n", j)
+                    if k < 0:
+                        if not eof:
+                            return WAIT
+                        return n
+                    j = k
+                elif (opt.line_comment or opt.block_comment or opt.nested_comment) \
+                        and c == "/":
+                    if j + 1 >= n:
+                        return WAIT if not eof else j
+                    if opt.line_comment and buf[j + 1] == "/":
+                        k = buf.find("\n", j)
+                        if k < 0:
+                            if not eof:
+                                return WAIT
+                            return n
+                        j = k
+                    elif (opt.block_comment or opt.nested_comment) and buf[j + 1] == "*":
+                        depth = 1
+                        k = j + 2
+                        while k < n and depth:
+                            if opt.nested_comment and buf[k:k + 2] == "/*":
+                                depth += 1
+                                k += 2
+                            elif buf[k:k + 2] == "*/":
+                                depth -= 1
+                                k += 2
+                            else:
+                                k += 1
+                        if depth:
+                            if not eof:
+                                return WAIT
+                            raise StrictSyntaxError("Unterminated comment")
+                        j = k
+                    else:
+                        return j
+                else:
+                    return j
+            return j
+
+        def read_string(j: int, quote: str):
+            """(strict_string, end_index) or WAIT; raises only at eof."""
+            piece = ['"']
+            j += 1
+            while j < n:
+                c = buf[j]
+                if c == "\\":
+                    if j + 1 >= n:
+                        if not eof:
+                            return WAIT
+                        raise StrictSyntaxError("Unterminated escape")
+                    nxt = buf[j + 1]
+                    if opt.escape_lf and nxt == "\n":
+                        j += 2
+                        continue
+                    if opt.utf32 and nxt == "U":
+                        if j + 9 >= n and not eof:
+                            return WAIT
+                        if j + 9 < n:
+                            piece.append(_escape_cp(int(buf[j + 2:j + 10], 16)))
+                            j += 10
+                            continue
+                        piece.append(c + nxt)
+                        j += 2
+                        continue
+                    if opt.utf32 and nxt == "u":
+                        if j + 2 >= n and not eof:
+                            return WAIT
+                        if j + 2 < n and buf[j + 2] == "{":
+                            end = buf.find("}", j + 3)
+                            if end < 0:
+                                if not eof:
+                                    return WAIT
+                                raise StrictSyntaxError("Unterminated escape")
+                            piece.append(_escape_cp(int(buf[j + 3:end], 16)))
+                            j = end + 1
+                            continue
+                    if quote == "'" and nxt == "'":
+                        piece.append("'")
+                        j += 2
+                        continue
+                    piece.append(c + nxt)
+                    j += 2
+                    continue
+                if c == quote:
+                    piece.append('"')
+                    return "".join(piece), j + 1
+                if c == '"' and quote == "'":
+                    piece.append('\\"')
+                    j += 1
+                    continue
+                piece.append(c)
+                j += 1
+            if not eof:
+                return WAIT
+            raise StrictSyntaxError("Unterminated string")
+
+        while i < n:
+            j = skip_ws_comments(i)
+            if j is WAIT:
+                break
+            if j > i:
+                out.append(" ")
+                i = j
+                continue
+            c = buf[i]
+            if c == '"' or (opt.single_quote and c == "'"):
+                r = read_string(i, c)
+                if r is WAIT:
+                    break
+                s, i = r
+                out.append(s)
+                continue
+            if c in "{[":
+                self._stack.append(c)
+                self._expect_key = c == "{"
+                out.append(c)
+                i += 1
+                continue
+            if c in "}]":
+                if self._stack:
+                    self._stack.pop()
+                self._expect_key = bool(self._stack) and self._stack[-1] == "{"
+                out.append(c)
+                i += 1
+                continue
+            if c == ",":
+                if opt.trailing_comma:
+                    k = skip_ws_comments(i + 1)
+                    if k is WAIT or (k >= n and not eof):
+                        break  # lookahead may span chunks
+                    if k < n and buf[k] in "}]":
+                        i += 1  # drop the trailing comma
+                        continue
+                self._expect_key = bool(self._stack) and self._stack[-1] == "{"
+                out.append(c)
+                i += 1
+                continue
+            if c == ":":
+                self._expect_key = False
+                out.append(c)
+                i += 1
+                continue
+            if opt.plus and c == "+":
+                if i + 1 >= n and not eof:
+                    break
+                if i + 1 < n and (buf[i + 1].isdigit() or buf[i + 1] == "."):
+                    i += 1  # drop leading plus
+                    continue
+                out.append(c)
+                i += 1
+                continue
+            if opt.hexadecimal and c == "0":
+                if i + 1 >= n and not eof:
+                    break
+                if i + 1 < n and buf[i + 1] in "xX":
+                    j = i + 2
+                    while j < n and buf[j] in "0123456789abcdefABCDEF":
+                        j += 1
+                    if j >= n and not eof:
+                        break
+                    out.append(str(int(buf[i + 2:j], 16)))
+                    i = j
+                    continue
+                # plain number starting with 0: falls through below
+            if opt.bare_decimal and c == ".":
+                if i + 1 >= n and not eof:
+                    break
+                if i + 1 < n and buf[i + 1].isdigit():
+                    out.append("0.")
+                    i += 1
+                    continue
+                out.append(c)
+                i += 1
+                continue
+            if c.isdigit() or c == "-":
+                j = i + (1 if c == "-" else 0)
+                if j >= n and not eof:
+                    break
+                if opt.bare_decimal and j < n and buf[j] == ".":
+                    out.append(buf[i:j] + "0")
+                    i = j
+                    continue
+                while j < n and (buf[j].isdigit() or buf[j] in ".eE+-"):
+                    j += 1
+                if j >= n and not eof:
+                    break
+                tok = buf[i:j]
+                if opt.bare_decimal and tok.endswith("."):
+                    tok += "0"
+                out.append(tok)
+                i = j
+                continue
+            if _is_ident_char(c, True):
+                j = i
+                while j < n and _is_ident_char(buf[j], j == i):
+                    j += 1
+                if j >= n and not eof:
+                    break
+                word = buf[i:j]
+                if word in ("true", "false", "null"):
+                    out.append(word)
+                elif word == "Infinity" and opt.inf:
+                    out.append("Infinity")
+                elif word == "NaN" and opt.nan:
+                    out.append("NaN")
+                elif opt.unquoted_keys and self._stack and self._stack[-1] == "{" \
+                        and self._expect_key:
+                    out.append(json.dumps(word))
+                else:
+                    out.append(word)  # strict parser will reject
+                i = j
+                continue
+            out.append(c)
+            i += 1
+
+        self._buf = buf[i:]
+        return "".join(out)

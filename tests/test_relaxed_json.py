@@ -120,3 +120,92 @@ def test_interoperable_ijson():
     with pytest.raises(BigNumberError):
         loads_relaxed(BIG, interoperable=True)
     assert loads_relaxed('{"a": 1}', interoperable=True) == {"a": 1}
+
+
+# ---------------------------------------------------------------------------
+# r4: incremental transcoder — StreamParser(syntax=...) relaxed dialects
+# ---------------------------------------------------------------------------
+def _all_opts():
+    return SyntaxOptions(
+        line_comment=True, hash_comment=True, block_comment=True,
+        nested_comment=True, unquoted_keys=True, trailing_comma=True,
+        single_quote=True, escape_lf=True, utf32=True, hexadecimal=True,
+        bare_decimal=True, inf=True, nan=True, plus=True,
+    )
+
+
+RELAXED_CORPUS = [
+    '{a: 1, b: [2, 3,], /* c /* nested */ */ d: "x\\u{1F432}" }',
+    "# hash\n[Infinity, -Infinity, NaN, 5., .25, +7, 0x1F]",
+    "{'q': 'sin\\'gle'} // tail\n",
+    '"a\\\n b"',
+    "[.5, 5., -0.5e3, 0xFF, +.25]",
+    "{x$_1: '\\U0001F432', y: [true, null,],}",
+]
+
+
+def test_incremental_transcoder_chunk_invariant():
+    """feed()/finish() over every chunking 1-7 yields the same VALUE as
+    the one-shot loads_relaxed (whitespace emission may differ — strict
+    parser neutral)."""
+    import json as _json
+
+    from jsonschemaparse_spark.schema.relaxed_json import (
+        IncrementalTranscoder,
+        loads_relaxed,
+        transcode,
+    )
+
+    opt = _all_opts()
+    for text in RELAXED_CORPUS:
+        want = _json.dumps(loads_relaxed(text, syntax=opt), sort_keys=True)
+        for size in range(1, 8):
+            tr = IncrementalTranscoder(opt)
+            out = []
+            for i in range(0, len(text), size):
+                out.append(tr.feed(text[i:i + size]))
+            out.append(tr.finish())
+            got = _json.loads("".join(out))
+            assert _json.dumps(got, sort_keys=True) == want, (text, size)
+        # and the emitted text matches one-shot transcode modulo whitespace
+        tr = IncrementalTranscoder(opt)
+        whole = tr.feed(text) + tr.finish()
+        assert whole.replace(" ", "") == transcode(text, opt).replace(" ", "")
+
+
+def test_stream_parser_syntax_option():
+    """StreamParser(syntax=...): the reference's relaxed-dialect option
+    family on the incremental surface — byte-at-a-time replay, bytes
+    input through the UTF-8 decoder, Infinity/-Infinity/NaN literals."""
+    import json as _json
+    import math
+
+    from jsonschemaparse_spark.api import StreamParser
+    from jsonschemaparse_spark.schema.relaxed_json import loads_relaxed
+
+    opt = _all_opts()
+    for text in RELAXED_CORPUS:
+        want = loads_relaxed(text, syntax=opt)
+        sp = StreamParser(syntax=opt)
+        for ch in text:  # one char per write
+            sp.write(ch)
+        got = sp.end().value
+        assert _json.dumps(got, sort_keys=True) == _json.dumps(want, sort_keys=True), text
+    # bytes, one byte per write (multi-byte UTF-8 split across writes)
+    raw = "{k: 'é\U0001F432', n: .5,} // c\n".encode()
+    sp = StreamParser(syntax=opt)
+    for i in range(len(raw)):
+        sp.write(raw[i:i + 1])
+    assert sp.end().value == {"k": "é\U0001F432", "n": 0.5}
+    # nonfinite across chunk splits
+    sp = StreamParser(syntax=opt)
+    sp.write("[-Inf")
+    sp.write("inity, Na")
+    sp.write("N]")
+    v = sp.end().value
+    assert v[0] == float("-inf") and math.isnan(v[1])
+    # validation composes with the relaxed dialect
+    sp = StreamParser(schema={"type": "object"}, syntax=opt)
+    sp.write("[1,]")
+    info = sp.end()
+    assert [e.keyword for e in info.errors] == ["type"]
