@@ -302,7 +302,7 @@ class StreamParser:
                  big_number: str = "default", nice_number: str = "default",
                  max_number_length=None, strict_limits: bool = False,
                  interoperable: bool = False, charset: "str | None" = None,
-                 syntax=None):
+                 syntax=None, reviver=None):
         from .schema.incremental import IncrementalJSONParser
 
         self._charset = charset
@@ -350,6 +350,7 @@ class StreamParser:
         self._schema = _as_schema(schema)
         self._extensions = extensions
         self._limits = limits
+        self._reviver = reviver  # JSON.parse-style, applied at end()
         self.value: Any = None
         self.errors: list[ValidationRecord] = []
         self.annotations: list[AnnotationRecord] = []
@@ -422,6 +423,8 @@ class StreamParser:
             raise ParseSyntaxError(str(e), position=e.position) from None
         except BigNumberError as e:
             raise ResourceLimitError(str(e)) from None
+        if self._reviver is not None:
+            self.value = _apply_reviver(self.value, self._reviver)
         if self._schema is not None:
             ev = Evaluator(extensions=self._extensions, annotations=True)
             self.errors, self.annotations = ev.validate(self._schema, self.value)
