@@ -55,6 +55,21 @@ class ParseSyntaxError(ValueError):
         self.position = position
 
 
+def _charset_gate(data: "bytes | bytearray", charset: "str | None") -> None:
+    """Byte-input charset gate (parse.js parseBlock, messages pinned by
+    execution). Native strings are already decoded — callers only gate
+    bytes. Shared by parse_info and StreamParser (review #10)."""
+    if charset is None:
+        return
+    if charset == "string":
+        raise ParseSyntaxError("Expected arguments[0] `block` to be a string")
+    if charset == "ASCII":
+        if any(b >= 0x80 for b in bytes(data)):
+            raise ParseSyntaxError("Unexpected high-byte character")
+    elif charset != "UTF-8":
+        raise ParseSyntaxError('Unknown `charset`, expected "ASCII" or "UTF-8"')
+
+
 def _positioned_syntax_error(text: str, original: Exception) -> ParseSyntaxError:
     """Re-parse a known-bad document with the incremental FSM to recover
     the reference-convention (line, column) — error-path only, so the
@@ -217,25 +232,16 @@ def parse_info(text: str | bytes, schema=None, annotations: bool = True,
     schema/relaxed_json.py. reference_quirks=True reproduces the
     reference's report BUG-FOR-BUG (item-0 path drop, finish-cascade
     duplication — Evaluator docstring); annotations are then empty."""
+    reviver = None
     if isinstance(schema, dict) and "schema" in schema:
-        schema, opt_kw, _ = _split_options(schema)
+        schema, opt_kw, reviver = _split_options(schema)
         big_number = opt_kw.get("big_number", big_number)
         interoperable = opt_kw.get("interoperable", interoperable)
         max_number_length = opt_kw.get("max_number_length", max_number_length)
         limits = opt_kw.get("limits", limits)
         charset = opt_kw.get("charset", charset)
     if isinstance(text, (bytes, bytearray)):
-        # reference charset gate (parse.js parseBlock, pinned by execution):
-        # checked for BYTE input only — native strings are already decoded
-        if charset == "string":
-            raise ParseSyntaxError("Expected arguments[0] `block` to be a string")
-        if charset == "ASCII":
-            hi = next((b for b in bytes(text) if b >= 0x80), None)
-            if hi is not None:
-                raise ParseSyntaxError("Unexpected high-byte character")
-        elif charset not in (None, "UTF-8", "ASCII"):
-            raise ParseSyntaxError(
-                'Unknown `charset`, expected "ASCII" or "UTF-8"')
+        _charset_gate(text, charset)
         try:
             text = bytes(text).decode("utf-8", errors="strict")
         except UnicodeDecodeError as e:
@@ -276,12 +282,18 @@ def parse_info(text: str | bytes, schema=None, annotations: bool = True,
         reference_quirks=reference_quirks,
     ).validate(cs, value)
     errors = limit_errors + errors
-    if (errors or anns) and syntax is None and not interoperable:
+    if (errors or anns) and syntax is None:
         # attach reference positions (ValidationError.position /
         # Annotation.position) by re-parsing for the value-anchor map —
         # ERROR/ANNOTATION path only, so clean validations never pay the
         # FSM re-parse; relaxed dialects have no position contract
+        # (interoperable docs DO get positions: the plain FSM accepts a
+        # superset, and StreamParser attaches them — review #6 alignment)
         errors, anns = _attach_positions(text, errors, anns)
+    if reviver is not None:
+        # reference parseInfo({reviver}): validation sees the RAW parsed
+        # value; the reviver shapes only the returned value (review #5)
+        value = _apply_reviver(value, reviver)
     return ParseInfo(value=value, errors=errors, annotations=anns)
 
 
@@ -304,6 +316,26 @@ class StreamParser:
                  interoperable: bool = False, charset: "str | None" = None,
                  syntax=None, reviver=None):
         from .schema.incremental import IncrementalJSONParser
+
+        if isinstance(schema, dict) and "schema" in schema:
+            # reference options-dict form (review #1: this surface silently
+            # compiled the options object AS a schema before)
+            opts = schema
+            schema = opts["schema"]
+            big_number = opts.get("bigNumber", big_number)
+            nice_number = opts.get("niceNumber", nice_number)
+            max_number_length = opts.get("maxNumberLength", max_number_length)
+            interoperable = bool(opts.get("interoperable", interoperable))
+            charset = opts.get("charset", charset)
+            reviver = opts.get("reviver", reviver)
+            caps = {"maxStringLength": "max_string_length",
+                    "maxKeyLength": "max_key_length",
+                    "maxItems": "max_items", "maxProperties": "max_properties"}
+            if limits is None and any(c in opts for c in caps):
+                from .schema.evaluate import ResourceLimits
+
+                limits = ResourceLimits(
+                    **{py: opts[js] for js, py in caps.items() if js in opts})
 
         self._charset = charset
         hooks = None
@@ -351,6 +383,7 @@ class StreamParser:
         self._extensions = extensions
         self._limits = limits
         self._reviver = reviver  # JSON.parse-style, applied at end()
+        self._info: "ParseInfo | None" = None  # end() idempotence cache
         self.value: Any = None
         self.errors: list[ValidationRecord] = []
         self.annotations: list[AnnotationRecord] = []
@@ -365,17 +398,8 @@ class StreamParser:
         from .errors import ResourceLimitError
         from .schema.relaxed_json import BigNumberError
 
-        if isinstance(chunk, (bytes, bytearray)) and self._charset is not None:
-            # byte-input charset gate, same pins as parse_info (r4)
-            if self._charset == "string":
-                raise ParseSyntaxError(
-                    "Expected arguments[0] `block` to be a string")
-            if self._charset == "ASCII":
-                if any(b >= 0x80 for b in bytes(chunk)):
-                    raise ParseSyntaxError("Unexpected high-byte character")
-            elif self._charset != "UTF-8":
-                raise ParseSyntaxError(
-                    'Unknown `charset`, expected "ASCII" or "UTF-8"')
+        if isinstance(chunk, (bytes, bytearray)):
+            _charset_gate(chunk, self._charset)
         if self._transcoder is not None:
             if isinstance(chunk, (bytes, bytearray)):
                 try:
@@ -417,29 +441,36 @@ class StreamParser:
                     raise ParseSyntaxError(str(e), position=e.position) from None
                 except BigNumberError as e:
                     raise ResourceLimitError(str(e)) from None
+        if self._info is not None:
+            return self._info  # idempotent (review #7): no re-revive/re-validate
         try:
             self.value = self._parser.end()
         except IncrementalSyntaxError as e:
             raise ParseSyntaxError(str(e), position=e.position) from None
         except BigNumberError as e:
             raise ResourceLimitError(str(e)) from None
-        if self._reviver is not None:
-            self.value = _apply_reviver(self.value, self._reviver)
+        # validation + limits see the RAW parsed value (reference validates
+        # during the parse, pre-reviver — review #3 parity with parse())
         if self._schema is not None:
             ev = Evaluator(extensions=self._extensions, annotations=True)
             self.errors, self.annotations = ev.validate(self._schema, self.value)
         if self._limits is not None:
             self.errors = self.errors + check_limits(self.value, self._limits)
-        if self.errors or self.annotations:
+        if (self.errors or self.annotations) and self._transcoder is None:
             # the incremental parser already built the anchor map — attach
-            # reference positions without any re-parse
+            # reference positions without any re-parse. Relaxed dialects
+            # attach nothing (untracked map — review #6 alignment with
+            # parse_info's no-positions contract for syntax modes)
             pos = {
                 k: {"line": line, "column": col}
                 for k, (line, col) in self._parser.positions.items()
             }
             self.errors, self.annotations = _attach_from_map(
                 pos, self.errors, self.annotations)
-        return ParseInfo(self.value, self.errors, self.annotations)
+        if self._reviver is not None:
+            self.value = _apply_reviver(self.value, self._reviver)
+        self._info = ParseInfo(self.value, self.errors, self.annotations)
+        return self._info
 
 
 def iter_events(value: Any, _key=None):

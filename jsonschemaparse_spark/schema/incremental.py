@@ -456,11 +456,13 @@ class IncrementalJSONParser:
         cap = self._string_cap(is_key)
         mid_escape = False  # at buffer end: inside \x / \uXXXX (STRING2-6)?
         while i < n:
-            if cap is not None and (i - start - 1) > 6 * cap + 6:
-                # raw scan length bounds decoded length (an escape is at
-                # most 6 raw chars per content char): definitely over the
-                # cap — abort BEFORE buffering more (reference message,
-                # parse.js ResourceLimitError)
+            if cap is not None and (i - start - 1) > 12 * cap + 12:
+                # raw scan length bounds decoded length (an escaped astral
+                # char is 12 raw chars for ONE code point — review #2 fixed
+                # the 6x bound that threw on within-cap escape-heavy
+                # strings): definitely over the cap — abort BEFORE
+                # buffering more (reference message, ResourceLimitError).
+                # Exactness is still len(val) at the closing quote.
                 self._limit_err("String too long")
             c = buf[i]
             if c == "\\":

@@ -63,175 +63,12 @@ def _escape_cp(cp: int) -> str:
 
 
 def transcode(text: str, opt: SyntaxOptions) -> str:
-    """Rewrite the relaxed dialect into strict JSON (single scan)."""
-    out: list[str] = []
-    i, n = 0, len(text)
-    stack: list[str] = []  # container stack of '{' / '['
-    expect_key = False     # inside an object, before the ':'
-
-    def skip_ws_and_comments(j: int) -> int:
-        while j < n:
-            c = text[j]
-            if c in " \t\r\n":
-                j += 1
-            elif opt.hash_comment and c == "#":
-                while j < n and text[j] != "\n":
-                    j += 1
-            elif (opt.line_comment or opt.block_comment or opt.nested_comment) and c == "/" and j + 1 < n:
-                if opt.line_comment and text[j + 1] == "/":
-                    while j < n and text[j] != "\n":
-                        j += 1
-                elif (opt.block_comment or opt.nested_comment) and text[j + 1] == "*":
-                    depth = 1
-                    j += 2
-                    while j < n and depth:
-                        if opt.nested_comment and text[j : j + 2] == "/*":
-                            depth += 1
-                            j += 2
-                        elif text[j : j + 2] == "*/":
-                            depth -= 1
-                            j += 2
-                        else:
-                            j += 1
-                    if depth:
-                        raise StrictSyntaxError("Unterminated comment")
-                else:
-                    break
-            else:
-                break
-        return j
-
-    def read_string(j: int, quote: str) -> tuple[str, int]:
-        buf = ['"']
-        j += 1
-        while j < n:
-            c = text[j]
-            if c == "\\":
-                if j + 1 >= n:
-                    raise StrictSyntaxError("Unterminated escape")
-                nxt = text[j + 1]
-                if opt.escape_lf and nxt == "\n":
-                    j += 2
-                    continue
-                if opt.utf32 and nxt == "U" and j + 9 < n:
-                    cp = int(text[j + 2 : j + 10], 16)
-                    buf.append(_escape_cp(cp))
-                    j += 10
-                    continue
-                if opt.utf32 and nxt == "u" and j + 2 < n and text[j + 2] == "{":
-                    end = text.index("}", j + 3)
-                    cp = int(text[j + 3 : end], 16)
-                    buf.append(_escape_cp(cp))
-                    j = end + 1
-                    continue
-                if quote == "'" and nxt == "'":
-                    buf.append("'")
-                    j += 2
-                    continue
-                buf.append(c + nxt)
-                j += 2
-                continue
-            if c == quote:
-                buf.append('"')
-                return "".join(buf), j + 1
-            if c == '"' and quote == "'":
-                buf.append('\\"')
-                j += 1
-                continue
-            buf.append(c)
-            j += 1
-        raise StrictSyntaxError("Unterminated string")
-
-    while i < n:
-        j = skip_ws_and_comments(i)
-        if j > i:
-            out.append(" ")
-            i = j
-            continue
-        c = text[i]
-        if c == '"' or (opt.single_quote and c == "'"):
-            s, i = read_string(i, c)
-            out.append(s)
-            if stack and stack[-1] == "{" and expect_key:
-                pass  # key written; ':' flips expect_key below
-            continue
-        if c in "{[":
-            stack.append(c)
-            expect_key = c == "{"
-            out.append(c)
-            i += 1
-            continue
-        if c in "}]":
-            if stack:
-                stack.pop()
-            expect_key = bool(stack) and stack[-1] == "{"
-            out.append(c)
-            i += 1
-            continue
-        if c == ",":
-            if opt.trailing_comma:
-                k = skip_ws_and_comments(i + 1)
-                if k < n and text[k] in "}]":
-                    i += 1  # drop the trailing comma
-                    continue
-            expect_key = bool(stack) and stack[-1] == "{"
-            out.append(c)
-            i += 1
-            continue
-        if c == ":":
-            expect_key = False
-            out.append(c)
-            i += 1
-            continue
-        if opt.plus and c == "+" and i + 1 < n and (text[i + 1].isdigit() or text[i + 1] == "."):
-            i += 1  # drop leading plus
-            continue
-        if opt.hexadecimal and c == "0" and i + 1 < n and text[i + 1] in "xX":
-            j = i + 2
-            while j < n and text[j] in "0123456789abcdefABCDEF":
-                j += 1
-            out.append(str(int(text[i + 2 : j], 16)))
-            i = j
-            continue
-        if opt.bare_decimal and c == "." and i + 1 < n and text[i + 1].isdigit():
-            out.append("0")
-            out.append(".")
-            i += 1
-            continue
-        if c.isdigit() or c == "-":
-            j = i + (1 if c == "-" else 0)
-            if opt.bare_decimal and j < n and text[j] == ".":
-                out.append(text[i:j] + "0")
-                i = j
-                continue
-            while j < n and (text[j].isdigit() or text[j] in ".eE+-"):
-                j += 1
-            tok = text[i:j]
-            if opt.bare_decimal and tok.endswith("."):
-                tok += "0"
-            out.append(tok)
-            i = j
-            continue
-        if _is_ident_char(c, True):
-            j = i
-            while j < n and _is_ident_char(text[j], j == i):
-                j += 1
-            word = text[i:j]
-            if word in ("true", "false", "null"):
-                out.append(word)
-            elif word == "Infinity" and opt.inf:
-                out.append("Infinity")
-            elif word == "NaN" and opt.nan:
-                out.append("NaN")
-            elif opt.unquoted_keys and stack and stack[-1] == "{" and expect_key:
-                out.append(json.dumps(word))
-            else:
-                out.append(word)  # strict parser will reject
-            i = j
-            continue
-        out.append(c)
-        i += 1
-    return "".join(out)
+    """Rewrite the relaxed dialect into strict JSON (one shot). Delegates
+    to IncrementalTranscoder so there is exactly ONE copy of the dialect
+    state machine (r4 review #9 — a bare-decimal fix had to be made twice
+    before this)."""
+    tr = IncrementalTranscoder(opt)
+    return tr.feed(text) + tr.finish()
 
 
 # ---------------------------------------------------------------------------
@@ -575,8 +412,8 @@ class IncrementalTranscoder:
                 if j >= n and not eof:
                     break
                 if opt.bare_decimal and j < n and buf[j] == ".":
-                    out.append(buf[i:j] + "0")
-                    i = j
+                    out.append(buf[i:j] + "0.")  # '-.5' -> '-0.5' (review #4)
+                    i = j + 1
                     continue
                 while j < n and (buf[j].isdigit() or buf[j] in ".eE+-"):
                     j += 1

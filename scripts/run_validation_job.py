@@ -63,7 +63,17 @@ def main() -> None:
     suite = compile_rule_suite(ruleset)
     key_cols = args.key_cols.split(",")
 
-    if args.json_col and suite.schema is not None:
+    if args.json_col:
+        # explicit guards (r4 third-review #8): no silent drops/fallbacks
+        if suite.schema is None:
+            ap.error("--json-col requires a 'schema' rule in the ruleset")
+        extra = [k for k in ("unique", "referential", "drift") if getattr(suite, k, None)]
+        if extra or args.tables:
+            ap.error(f"--json-col validates the JSON column only; "
+                     f"unsupported with {extra or '--tables'} — run a second "
+                     f"pass without --json-col for table-scope rules")
+        if args.positions and args.state:
+            ap.error("--positions is a flat-run report; drop --state")
         from jsonschemaparse_spark.plans.checkpoint import run_json_with_checkpoint
         from jsonschemaparse_spark.plans.json_validator import (
             validate_json_column,

@@ -341,7 +341,15 @@ def test_stream_parser_strict_limits():
     sp = StreamParser(limits=ResourceLimits(max_string_length=10),
                       strict_limits=True)
     with pytest.raises(ResourceLimitError):
-        sp.write('"' + "x" * 100)  # never closed; cap fires at ~6*cap raw
+        # never closed; the raw-scan bound fires at 12*cap+12 (the escape
+        # bound: an escaped astral char is 12 raw chars per code point)
+        sp.write('"' + "x" * 200)
+    # within-cap escape-heavy content is ACCEPTED regardless of lexical
+    # form (r4 third-review #2: the old 6x bound threw on this)
+    sp = StreamParser(limits=ResourceLimits(max_string_length=10),
+                      strict_limits=True)
+    sp.write('"' + "\\ud83d\\udc32" * 10 + '"')
+    assert len(sp.end().value) == 10  # ten astral chars, within cap
 
     # default: reported as rows at end(), not thrown (table contract)
     sp = StreamParser(limits=ResourceLimits(max_string_length=4))
@@ -380,3 +388,62 @@ def test_stream_parser_interoperable_and_charset():
     assert run([b'"a"'], charset="ASCII") == "a"
     with pytest.raises(ParseSyntaxError, match="to be a string"):
         run([b"[1]"], charset="string")
+
+
+def test_stream_parser_options_dict_and_ordering():
+    """r4 third-review fixes: StreamParser accepts the reference
+    options-dict form (#1); validation sees the RAW value with the reviver
+    applied only to .value (#3); parse_info honors the options reviver
+    (#5); end() is idempotent (#7)."""
+    import math
+
+    from jsonschemaparse_spark.api import StreamParser, parse, parse_info
+    from jsonschemaparse_spark.errors import ResourceLimitError
+
+    # options-dict form: schema + bigNumber honored (was silently a schema)
+    sp = StreamParser({"schema": {"type": "integer"}, "bigNumber": "error"})
+    sp.write('"not an int"')
+    assert [e.keyword for e in sp.end().errors] == ["type"]
+    sp = StreamParser({"schema": None, "bigNumber": "error"})
+    with pytest.raises(ResourceLimitError):
+        sp.write("123456789012345678901")
+        sp.end()
+    sp = StreamParser({"schema": None, "maxItems": 2})
+    sp.write("[1,2,3]")
+    assert [e.keyword for e in sp.end().errors] == ["resourceLimit"]
+
+    # reviver ordering: validation sees the raw value on BOTH surfaces
+    rev = lambda k, v: "str" if isinstance(v, int) and not isinstance(v, bool) else v  # noqa: E731
+    schema = {"properties": {"a": {"type": "integer"}}}
+    assert parse('{"a": 1}', {"schema": schema, "reviver": rev}) == {"a": "str"}
+    sp = StreamParser({"schema": schema, "reviver": rev})
+    sp.write('{"a": 1}')
+    info = sp.end()
+    assert info.errors == [] and info.value == {"a": "str"}
+
+    # parse_info options reviver applies to the returned value
+    pi = parse_info('{"a": 1}', {"schema": schema, "reviver": rev})
+    assert pi.value == {"a": "str"} and pi.errors == []
+
+    # end() idempotence: no double-revive
+    sp = StreamParser(reviver=lambda k, v: v + 1 if isinstance(v, int)
+                      and not isinstance(v, bool) else v)
+    sp.write("[1]")
+    assert sp.end().value == [2]
+    assert sp.end().value == [2]
+
+    # positions policy: syntax mode attaches nothing on either surface
+    from jsonschemaparse_spark.schema.relaxed_json import SyntaxOptions
+
+    opt = SyntaxOptions(trailing_comma=True)
+    sp = StreamParser(schema={"type": "object"}, syntax=opt)
+    sp.write("[1,]")
+    assert all(e.position is None for e in sp.end().errors)
+    pi = parse_info("[1,]", {"type": "object"}, syntax=opt)
+    assert all(e.position is None for e in pi.errors)
+    # interoperable: positions attach on BOTH surfaces now
+    pi = parse_info('{"a": 1}', {"type": "array"}, interoperable=False)
+    pi2 = parse_info('{"a": 1}', {"type": "array"}, interoperable=True,
+                     big_number="default")
+    assert pi.errors[0].position == pi2.errors[0].position == \
+        {"line": 0, "column": 0}
