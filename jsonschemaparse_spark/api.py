@@ -231,7 +231,10 @@ def parse_info(text: str | bytes, schema=None, annotations: bool = True,
     reference's StreamParser options (README.md:100-137) via
     schema/relaxed_json.py. reference_quirks=True reproduces the
     reference's report BUG-FOR-BUG (item-0 path drop, finish-cascade
-    duplication — Evaluator docstring); annotations are then empty."""
+    duplication — Evaluator docstring); annotations are then empty, and
+    positions on quirk-mode rows are BEST-EFFORT (the dropped item-0 path
+    segment makes some rows alias a shallower map entry — combine
+    positions with the default report shape when you need both exact)."""
     reviver = None
     if isinstance(schema, dict) and "schema" in schema:
         schema, opt_kw, reviver = _split_options(schema)
