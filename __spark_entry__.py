@@ -285,6 +285,70 @@ def q_json_positions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "message", "line", F.col("column").alias("col"))
 
 
+def _multiline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-line corpus for the line-level ops: the shipped
+    documents are single-line, so each query builds the SAME text in Spark
+    and in the DuckDB oracle (shared header, duplicated snippet lines,
+    bullet/ellipsis tail, per-doc-id-mod footer)."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    t2 = F.concat(
+        F.lit("SHARED HEADER LINE\n"),
+        F.col("text"),
+        F.lit("\n"), F.substring("text", 1, 30),
+        F.lit("\n"), F.substring("text", 1, 30),
+        F.lit("\n- item one\n- item two\nTrailing line...\nFOOTER "),
+        (F.col("doc_id") % 3).cast("string"),
+    )
+    return d.select("doc_id", t2.alias("text"))
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021 A1.1) over a constructed
+    multi-line corpus — every metric is a codegen expression the DuckDB
+    oracle reproduces arithmetically."""
+    from jsonschemaparse_spark.functions.text import gopher_quality_flags
+
+    out = gopher_quality_flags(_multiline_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "n_words", "mean_word_length", "symbol_word_ratio",
+        "bullet_line_fraction", "ellipsis_line_fraction",
+        "alpha_word_fraction", "duplicate_line_fraction", "gopher_keep",
+    )
+
+
+def q_duplicate_line_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document line dedup (boilerplate detection): lines appearing
+    in >= 50 distinct docs of the constructed corpus."""
+    from jsonschemaparse_spark.functions.dedup import duplicate_line_groups
+
+    out = duplicate_line_groups(_multiline_docs(spark, sf_dir), "doc_id",
+                                min_docs=50)
+    return out.select("line", F.col("n_docs").cast("long").alias("n_docs"),
+                      F.col("n_occurrences").cast("long").alias("n_occurrences"))
+
+
+def q_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization over deterministic crawl-variant URLs: four
+    variants per page id collapse to one canonical form."""
+    from jsonschemaparse_spark.functions.web import canonical_url
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    page = (F.col("doc_id") / 4).cast("long").cast("string")
+    url = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("HTTPS://Example.COM:443/p/"), page,
+                        F.lit("?utm_source=x&id="), page, F.lit("#frag")))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.lit("https://example.com/p/"), page,
+                       F.lit("?id="), page))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit("http://Site.org:80/q/"), page,
+                       F.lit("?gclid=zz&x=1")))
+        .otherwise(F.concat(F.lit("http://site.org/q/"), page, F.lit("?x=1")))
+    )
+    return d.select("doc_id", canonical_url(url).alias("canonical_url"))
+
+
 def q_ks_drift_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binned two-sample KS statistic; the bucket arithmetic in _bucket_expr is
     spelled out so the DuckDB oracle reproduces it bit-for-bit (the
@@ -461,6 +525,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_pricing": q_lineitem_pricing,
         "events_json_validation": q_events_json_validation,
         "json_positions_events": q_json_positions_events,
+        "gopher_quality": q_gopher_quality,
+        "duplicate_line_groups": q_duplicate_line_groups,
+        "canonical_urls": q_canonical_urls,
         "ks_drift_nchars": q_ks_drift_nchars,
         "webpages_flagship": q_webpages_flagship,
         "simhash_sample": q_simhash_sample,
@@ -767,6 +834,82 @@ SELECT event_id,
 FROM events
 WHERE props IS NOT NULL
   AND CAST(json_extract(props, '$.k') AS BIGINT) > 50
+""",
+        "gopher_quality": r"""
+WITH m AS (
+  SELECT doc_id,
+         'SHARED HEADER LINE' || chr(10) || text || chr(10) ||
+         substr(text, 1, 30) || chr(10) || substr(text, 1, 30) || chr(10) ||
+         '- item one' || chr(10) || '- item two' || chr(10) ||
+         'Trailing line...' || chr(10) || 'FOOTER ' || CAST(doc_id % 3 AS VARCHAR) AS text
+  FROM documents WHERE doc_id < 300
+),
+feats AS (
+  SELECT doc_id, text,
+    list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS words,
+    list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines
+  FROM m
+),
+r AS (
+  SELECT doc_id,
+    len(words) AS n_words,
+    ROUND(CASE WHEN len(words) > 0 THEN list_aggregate(list_transform(words, w -> length(w)), 'sum') * 1.0 / len(words) ELSE 0 END, 6) AS mean_word_length,
+    ROUND(CASE WHEN len(words) > 0 THEN ((length(text) - length(replace(text, '#', ''))) + len(regexp_extract_all(text, '\.\.\.|…'))) * 1.0 / len(words) ELSE 0 END, 6) AS symbol_word_ratio,
+    ROUND(CASE WHEN len(lines) > 0 THEN len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) * 1.0 / len(lines) ELSE 0 END, 6) AS bullet_line_fraction,
+    ROUND(CASE WHEN len(lines) > 0 THEN len(list_filter(lines, l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) * 1.0 / len(lines) ELSE 0 END, 6) AS ellipsis_line_fraction,
+    ROUND(CASE WHEN len(words) > 0 THEN len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) * 1.0 / len(words) ELSE 0 END, 6) AS alpha_word_fraction,
+    ROUND(CASE WHEN len(lines) > 0 THEN (len(lines) - len(list_distinct(lines))) * 1.0 / len(lines) ELSE 0 END, 6) AS duplicate_line_fraction
+  FROM feats
+)
+SELECT *,
+  (n_words >= 50 AND n_words <= 100000
+   AND mean_word_length >= 3 AND mean_word_length <= 10
+   AND symbol_word_ratio <= 0.1
+   AND bullet_line_fraction <= 0.9
+   AND ellipsis_line_fraction <= 0.3
+   AND alpha_word_fraction >= 0.8
+   AND duplicate_line_fraction <= 0.3) AS gopher_keep
+FROM r
+""",
+        "duplicate_line_groups": r"""
+WITH m AS (
+  SELECT doc_id,
+         'SHARED HEADER LINE' || chr(10) || text || chr(10) ||
+         substr(text, 1, 30) || chr(10) || substr(text, 1, 30) || chr(10) ||
+         '- item one' || chr(10) || '- item two' || chr(10) ||
+         'Trailing line...' || chr(10) || 'FOOTER ' || CAST(doc_id % 3 AS VARCHAR) AS text
+  FROM documents WHERE doc_id < 300
+),
+l AS (
+  SELECT m.doc_id, trim(t.x) AS line
+  FROM m, unnest(string_split(m.text, chr(10))) AS t(x)
+)
+SELECT line, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences
+FROM l WHERE line <> ''
+GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 50
+""",
+        "canonical_urls": r"""
+WITH u AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 0 THEN 'HTTPS://Example.COM:443/p/' || p || '?utm_source=x&id=' || p || '#frag'
+      WHEN 1 THEN 'https://example.com/p/' || p || '?id=' || p
+      WHEN 2 THEN 'http://Site.org:80/q/' || p || '?gclid=zz&x=1'
+      ELSE 'http://site.org/q/' || p || '?x=1'
+    END AS url
+  FROM (SELECT doc_id, CAST(doc_id // 4 AS VARCHAR) AS p
+        FROM documents WHERE doc_id < 200)
+),
+c1 AS (SELECT doc_id,
+  lower(regexp_extract(trim(url), '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)) ||
+  regexp_replace(trim(url), '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '') AS u FROM u),
+c2 AS (SELECT doc_id, regexp_replace(u, '#.*$', '') AS u FROM c1),
+c3 AS (SELECT doc_id, regexp_replace(u, '^(https://[^/?#:]*):443($|[/?])', '\1\2') AS u FROM c2),
+c4 AS (SELECT doc_id, regexp_replace(u, '^(http://[^/?#:]*):80($|[/?])', '\1\2') AS u FROM c3),
+c5 AS (SELECT doc_id, regexp_replace(u, '(utm_[a-z]+|fbclid|gclid|msclkid|ref_src)=[^&#]*&', '', 'g') AS u FROM c4),
+c6 AS (SELECT doc_id, regexp_replace(u, '[?&](utm_[a-z]+|fbclid|gclid|msclkid|ref_src)=[^&#]*$', '', 'g') AS u FROM c5),
+c7 AS (SELECT doc_id, regexp_replace(u, '\?(utm_[a-z]+|fbclid|gclid|msclkid|ref_src)=[^&#]*&', '?', 'g') AS u FROM c6)
+SELECT doc_id, regexp_replace(u, '[?&]$', '') AS canonical_url FROM c7
 """,
         "events_json_typed": """
 SELECT event_id,

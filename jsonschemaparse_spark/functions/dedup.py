@@ -536,3 +536,77 @@ def simhash_near_duplicates(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# line-level dedup (boilerplate removal): nav menus / footers repeat the
+# SAME line across thousands of pages — the C4/RefinedWeb-style cross-doc
+# line dedup that document-level dedup cannot catch.
+# ---------------------------------------------------------------------------
+def duplicate_line_groups(
+    df: DataFrame, id_col: str, text_col: str = "text", min_docs: int = 2
+) -> DataFrame:
+    """(line, n_docs, n_occurrences) for normalized lines appearing in at
+    least `min_docs` DISTINCT documents. Shuffle key = the line itself
+    (high-cardinality; map-side combine applies); per-doc line sets are
+    deduped BEFORE the shuffle so a line repeated inside one page counts
+    that page once for n_docs."""
+    lines = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias("raw"),
+        )
+        .select("doc", F.trim(F.col("raw")).alias("line"))
+        .filter(F.col("line") != "")
+    )
+    return (
+        lines.groupBy("line")
+        .agg(
+            F.countDistinct("doc").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def strip_boilerplate_lines(
+    df: DataFrame, id_col: str, text_col: str = "text", min_docs: int = 2,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Remove lines occurring in >= min_docs documents, preserving the
+    remaining lines' ORDER (posexplode -> anti-join the hot-line set ->
+    re-assemble via sort_array(collect_list(struct(pos,line)))). The hot
+    set is usually tiny relative to the corpus (it IS the boilerplate), so
+    the anti-join broadcast-shrinks under AQE; the reassembly shuffles one
+    (doc, pos, line) row per KEPT line — strictly smaller than the input."""
+    out_col = out_col or text_col
+    hot = duplicate_line_groups(df, id_col, text_col, min_docs).select("line")
+    exploded = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.posexplode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+            ).alias("pos", "raw"),
+        )
+        .withColumn("line", F.trim(F.col("raw")))
+        .filter(F.col("line") != "")
+    )
+    kept = exploded.join(hot, "line", "left_anti")
+    rebuilt = (
+        kept.groupBy("doc")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s.getField("line"),
+                ),
+                "\n",
+            ).alias("_rebuilt")
+        )
+    )
+    return (
+        df.join(rebuilt, df[id_col] == rebuilt["doc"], "left")
+        .drop("doc")
+        .withColumn(out_col, F.coalesce(F.col("_rebuilt"), F.lit("")))
+        .drop("_rebuilt")
+    )

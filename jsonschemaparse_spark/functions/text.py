@@ -146,3 +146,72 @@ def fingerprint(text: Column) -> Column:
 def with_fingerprint(df: DataFrame, text_col: str = "text",
                      out_col: str = "fingerprint") -> DataFrame:
     return df.withColumn(out_col, fingerprint(F.col(text_col)))
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style document quality rules (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", Appendix A1.1 repetition/quality filters — the
+# standard web-pipeline keep/reject gate). Pure Column expressions: one
+# codegen projection per document, no Python, DuckDB-reproducible.
+# ---------------------------------------------------------------------------
+def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Gopher quality metrics + the keep verdict.
+
+    Columns added (all from ONE projection):
+      n_words, mean_word_length, symbol_word_ratio, bullet_line_fraction,
+      ellipsis_line_fraction, alpha_word_fraction, duplicate_line_fraction,
+      gopher_keep.
+    Thresholds are the paper's: 50 <= words <= 100k; 3 <= mean word length
+    <= 10; symbol-to-word ratio (#, ...) <= 0.1; <= 90% bullet lines;
+    <= 30% ellipsis-ending lines; >= 80% words with an alphabetic char;
+    duplicate-line fraction <= 0.30.
+
+    At 100 TB this is the same shape as the flagship validation: a
+    shuffle-free scan with all metrics inside whole-stage codegen (the
+    per-line lambdas are array HOFs over short arrays, not Python)."""
+    t = F.col(text_col)
+    words = F.filter(F.split(F.coalesce(t, F.lit("")), r"\s+"),
+                     lambda w: w != F.lit(""))
+    lines = F.filter(F.split(F.coalesce(t, F.lit("")), "\n"),
+                     lambda ln: F.trim(ln) != F.lit(""))
+    n_words = F.size(words)
+    n_lines = F.size(lines)
+    total_word_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
+    mean_wl = F.when(n_words > 0, total_word_chars / n_words).otherwise(F.lit(0.0))
+    # Gopher counts '#' and the ellipsis (either the char or '...')
+    symbols = (F.coalesce(F.length(t), F.lit(0))
+               - F.coalesce(F.length(F.regexp_replace(t, r"#", "")), F.lit(0))
+               + F.coalesce(F.regexp_count(t, F.lit(r"\.\.\.|…")), F.lit(0)))
+    sym_ratio = F.when(n_words > 0, symbols / n_words).otherwise(F.lit(0.0))
+    bullet = F.size(F.filter(
+        lines, lambda ln: F.trim(ln).rlike(r"^[-*•]")))
+    bullet_frac = F.when(n_lines > 0, bullet / n_lines).otherwise(F.lit(0.0))
+    ellipsis = F.size(F.filter(
+        lines, lambda ln: F.trim(ln).rlike(r"(\.\.\.|…)$")))
+    ellipsis_frac = F.when(n_lines > 0, ellipsis / n_lines).otherwise(F.lit(0.0))
+    alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    alpha_frac = F.when(n_words > 0, alpha / n_words).otherwise(F.lit(0.0))
+    dup_lines = F.when(
+        n_lines > 0,
+        (n_lines - F.size(F.array_distinct(lines))) / n_lines,
+    ).otherwise(F.lit(0.0))
+    out = (
+        df.withColumn("n_words", n_words)
+        .withColumn("mean_word_length", F.round(mean_wl, 6))
+        .withColumn("symbol_word_ratio", F.round(sym_ratio, 6))
+        .withColumn("bullet_line_fraction", F.round(bullet_frac, 6))
+        .withColumn("ellipsis_line_fraction", F.round(ellipsis_frac, 6))
+        .withColumn("alpha_word_fraction", F.round(alpha_frac, 6))
+        .withColumn("duplicate_line_fraction", F.round(dup_lines, 6))
+    )
+    keep = (
+        (F.col("n_words") >= 50) & (F.col("n_words") <= 100_000)
+        & (F.col("mean_word_length") >= 3) & (F.col("mean_word_length") <= 10)
+        & (F.col("symbol_word_ratio") <= 0.1)
+        & (F.col("bullet_line_fraction") <= 0.9)
+        & (F.col("ellipsis_line_fraction") <= 0.3)
+        & (F.col("alpha_word_fraction") >= 0.8)
+        & (F.col("duplicate_line_fraction") <= 0.3)
+    )
+    return out.withColumn("gopher_keep", keep)

@@ -365,3 +365,81 @@ def test_reviver_and_nice_number():
     assert loads_relaxed("42", nice_number="string") == "42"
     assert loads_relaxed("42", nice_number="float64") == 42.0
     assert loads_relaxed("42", nice_number="fraction") == [42, 1]
+
+
+# ---------------------------------------------------------------------------
+# r4: Gopher quality rules, line-level dedup, URL canonicalization
+# ---------------------------------------------------------------------------
+def test_gopher_quality_flags(spark):
+    from jsonschemaparse_spark.functions.text import gopher_quality_flags
+
+    good = "word " * 60 + "\nanother line of useful content here"
+    listy = "\n".join("- item %d" % i for i in range(10))
+    symbols = "# " * 30
+    dup = "same line\n" * 10 + "unique words " * 30
+    df = spark.createDataFrame(
+        [(1, good), (2, listy), (3, symbols), (4, dup), (5, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict()
+           for r in gopher_quality_flags(df).collect()}
+    assert got[1]["gopher_keep"] is True
+    assert got[2]["gopher_keep"] is False  # all-bullet + too few words
+    assert got[2]["bullet_line_fraction"] == 1.0
+    assert got[3]["gopher_keep"] is False  # symbol ratio + no alpha
+    assert got[3]["symbol_word_ratio"] == 1.0
+    assert got[4]["duplicate_line_fraction"] == pytest.approx(9 / 11, abs=1e-6)
+    assert got[5]["n_words"] == 0 and got[5]["gopher_keep"] is False
+
+
+def test_line_dedup_and_strip(spark):
+    from jsonschemaparse_spark.functions.dedup import (
+        duplicate_line_groups,
+        strip_boilerplate_lines,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "NAV MENU\nbody %d alpha\nbody %d beta\nFOOTER" % (i, i))
+         for i in range(6)],
+        "doc_id long, text string",
+    )
+    hot = {r["line"]: (r["n_docs"], r["n_occurrences"])
+           for r in duplicate_line_groups(docs, "doc_id").collect()}
+    assert hot == {"NAV MENU": (6, 6), "FOOTER": (6, 6)}
+    stripped = strip_boilerplate_lines(docs, "doc_id", min_docs=6)
+    rows = {r["doc_id"]: r["text"] for r in stripped.collect()}
+    assert rows[3] == "body 3 alpha\nbody 3 beta"  # order preserved, hot gone
+    assert len(rows) == 6
+    # a line repeated INSIDE one doc does not count that doc twice
+    one = spark.createDataFrame(
+        [(1, "x\nx\nx"), (2, "y")], "doc_id long, text string")
+    assert duplicate_line_groups(one, "doc_id").count() == 0
+
+
+def test_canonical_url(spark):
+    from jsonschemaparse_spark.functions.web import (
+        canonical_url,
+        url_duplicate_groups,
+    )
+
+    urls = spark.createDataFrame(
+        [
+            (1, "HTTPS://Example.COM:443/Path?utm_source=a&utm_medium=b&id=5#frag"),
+            (2, "https://example.com/Path?id=5"),
+            (3, "http://Site.org:80/a?fbclid=zz"),
+            (4, "http://site.org/a"),
+            (5, "https://other.net:8443/x"),       # non-default port kept
+            (6, "https://example.com/Path?id=6"),  # different query survives
+        ],
+        "doc_id long, url string",
+    )
+    got = {r["doc_id"]: r["c"] for r in
+           urls.select("doc_id", canonical_url(F.col("url")).alias("c")).collect()}
+    assert got[1] == got[2] == "https://example.com/Path?id=5"
+    assert got[3] == got[4] == "http://site.org/a"
+    assert got[5] == "https://other.net:8443/x"
+    assert got[6] == "https://example.com/Path?id=6"
+    groups = {r["canonical_url"]: r["doc_ids"] for r in
+              url_duplicate_groups(urls, "doc_id").collect()}
+    assert groups == {"https://example.com/Path?id=5": [1, 2],
+                      "http://site.org/a": [3, 4]}

@@ -209,3 +209,42 @@ def test_stream_parser_syntax_option():
     sp.write("[1,]")
     info = sp.end()
     assert [e.keyword for e in info.errors] == ["type"]
+
+
+def test_incremental_transcoder_fuzz():
+    """Fixed-seed fuzz: random dialect soup through every chunking must
+    agree with the one-shot on accept/reject and (modulo whitespace) on
+    output. The r4 authoring sweep ran 1600x3x2; this pins a 200-text
+    batch in CI."""
+    import random
+
+    from jsonschemaparse_spark.schema.relaxed_json import (
+        IncrementalTranscoder,
+        transcode,
+    )
+
+    opt = _all_opts()
+    rnd = random.Random(99)
+    chars = list('{}[],:"\'\\/#*+-.0123456789abxXeEu nt\n\t_$') + [
+        "true", "false", "null", "Infinity", "NaN", "//", "/*", "*/",
+        "\\u{1F4}", "0x1F", "\\'", '"s"', "'q'",
+    ]
+    for _ in range(200):
+        t = "".join(rnd.choice(chars) for _ in range(rnd.randint(1, 40)))
+        try:
+            want, err = transcode(t, opt), None
+        except Exception:
+            want, err = None, True
+        for size in (1, 3, 7):
+            tr = IncrementalTranscoder(opt)
+            try:
+                out = []
+                for i in range(0, len(t), size):
+                    out.append(tr.feed(t[i:i + size]))
+                out.append(tr.finish())
+                got, gerr = "".join(out), None
+            except Exception:
+                got, gerr = None, True
+            assert (err is None) == (gerr is None), (t, size)
+            if err is None:
+                assert got.replace(" ", "") == want.replace(" ", ""), (t, size)
