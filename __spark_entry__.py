@@ -312,7 +312,9 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "n_words", "mean_word_length", "symbol_word_ratio",
         "bullet_line_fraction", "ellipsis_line_fraction",
-        "alpha_word_fraction", "duplicate_line_fraction", "gopher_keep",
+        "alpha_word_fraction", "duplicate_line_fraction",
+        "duplicate_paragraph_fraction", "duplicate_line_char_fraction",
+        "duplicate_paragraph_char_fraction", "gopher_keep",
     )
 
 
@@ -847,7 +849,8 @@ WITH m AS (
 feats AS (
   SELECT doc_id, text,
     list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS words,
-    list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines
+    list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines,
+    list_filter(regexp_split_to_array(text, '\n\n+'), p -> trim(p) <> '') AS paras
   FROM m
 ),
 r AS (
@@ -858,7 +861,16 @@ r AS (
     ROUND(CASE WHEN len(lines) > 0 THEN len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) * 1.0 / len(lines) ELSE 0 END, 6) AS bullet_line_fraction,
     ROUND(CASE WHEN len(lines) > 0 THEN len(list_filter(lines, l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) * 1.0 / len(lines) ELSE 0 END, 6) AS ellipsis_line_fraction,
     ROUND(CASE WHEN len(words) > 0 THEN len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) * 1.0 / len(words) ELSE 0 END, 6) AS alpha_word_fraction,
-    ROUND(CASE WHEN len(lines) > 0 THEN (len(lines) - len(list_distinct(lines))) * 1.0 / len(lines) ELSE 0 END, 6) AS duplicate_line_fraction
+    ROUND(CASE WHEN len(lines) > 0 THEN (len(lines) - len(list_distinct(lines))) * 1.0 / len(lines) ELSE 0 END, 6) AS duplicate_line_fraction,
+    ROUND(CASE WHEN len(paras) > 0 THEN (len(paras) - len(list_distinct(paras))) * 1.0 / len(paras) ELSE 0 END, 6) AS duplicate_paragraph_fraction,
+    ROUND(CASE WHEN list_aggregate(list_transform(lines, x -> length(x)), 'sum') > 0
+          THEN list_aggregate(list_transform(lines, x -> CASE WHEN len(list_filter(lines, y -> y = x)) > 1 THEN length(x) ELSE 0 END), 'sum') * 1.0
+               / list_aggregate(list_transform(lines, x -> length(x)), 'sum')
+          ELSE 0 END, 6) AS duplicate_line_char_fraction,
+    ROUND(CASE WHEN list_aggregate(list_transform(paras, x -> length(x)), 'sum') > 0
+          THEN list_aggregate(list_transform(paras, x -> CASE WHEN len(list_filter(paras, y -> y = x)) > 1 THEN length(x) ELSE 0 END), 'sum') * 1.0
+               / list_aggregate(list_transform(paras, x -> length(x)), 'sum')
+          ELSE 0 END, 6) AS duplicate_paragraph_char_fraction
   FROM feats
 )
 SELECT *,
@@ -868,7 +880,10 @@ SELECT *,
    AND bullet_line_fraction <= 0.9
    AND ellipsis_line_fraction <= 0.3
    AND alpha_word_fraction >= 0.8
-   AND duplicate_line_fraction <= 0.3) AS gopher_keep
+   AND duplicate_line_fraction <= 0.3
+   AND duplicate_paragraph_fraction <= 0.3
+   AND duplicate_line_char_fraction <= 0.2
+   AND duplicate_paragraph_char_fraction <= 0.2) AS gopher_keep
 FROM r
 """,
         "duplicate_line_groups": r"""

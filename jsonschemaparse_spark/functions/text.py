@@ -159,12 +159,23 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Columns added (all from ONE projection):
       n_words, mean_word_length, symbol_word_ratio, bullet_line_fraction,
-      ellipsis_line_fraction, alpha_word_fraction, duplicate_line_fraction,
+      ellipsis_line_fraction, alpha_word_fraction,
+      duplicate_line_fraction, duplicate_paragraph_fraction,
+      duplicate_line_char_fraction, duplicate_paragraph_char_fraction,
       gopher_keep.
     Thresholds are the paper's: 50 <= words <= 100k; 3 <= mean word length
     <= 10; symbol-to-word ratio (#, ...) <= 0.1; <= 90% bullet lines;
     <= 30% ellipsis-ending lines; >= 80% words with an alphabetic char;
-    duplicate-line fraction <= 0.30.
+    duplicate line/paragraph fraction <= 0.30; chars in duplicated
+    lines/paragraphs <= 0.20 of the text. (The paper's top-n-gram char
+    fractions are intentionally omitted — documented, not silently
+    skipped: the per-doc n-gram frequency table is a poor fit for a
+    single codegen expression; run them via quality_features/token paths
+    if needed.)
+
+    The char-fraction terms use a nested HOF (per line, count its
+    occurrences in the line array) — O(L^2) per DOCUMENT over short
+    arrays, still zero Python and zero shuffle.
 
     At 100 TB this is the same shape as the flagship validation: a
     shuffle-free scan with all metrics inside whole-stage codegen (the
@@ -196,6 +207,27 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
         n_lines > 0,
         (n_lines - F.size(F.array_distinct(lines))) / n_lines,
     ).otherwise(F.lit(0.0))
+    paras = F.filter(F.split(F.coalesce(t, F.lit("")), r"\n\n+"),
+                     lambda p: F.trim(p) != F.lit(""))
+    n_paras = F.size(paras)
+    dup_paras = F.when(
+        n_paras > 0,
+        (n_paras - F.size(F.array_distinct(paras))) / n_paras,
+    ).otherwise(F.lit(0.0))
+
+    def _dup_char_fraction(arr):
+        total = F.aggregate(arr, F.lit(0).cast("long"),
+                            lambda acc, x: acc + F.length(x))
+        dup_chars = F.aggregate(
+            arr, F.lit(0).cast("long"),
+            lambda acc, x: acc + F.when(
+                F.size(F.filter(arr, lambda y: y == x)) > 1, F.length(x)
+            ).otherwise(F.lit(0)),
+        )
+        return F.when(total > 0, dup_chars / total).otherwise(F.lit(0.0))
+
+    dup_line_chars = _dup_char_fraction(lines)
+    dup_para_chars = _dup_char_fraction(paras)
     out = (
         df.withColumn("n_words", n_words)
         .withColumn("mean_word_length", F.round(mean_wl, 6))
@@ -204,6 +236,9 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("ellipsis_line_fraction", F.round(ellipsis_frac, 6))
         .withColumn("alpha_word_fraction", F.round(alpha_frac, 6))
         .withColumn("duplicate_line_fraction", F.round(dup_lines, 6))
+        .withColumn("duplicate_paragraph_fraction", F.round(dup_paras, 6))
+        .withColumn("duplicate_line_char_fraction", F.round(dup_line_chars, 6))
+        .withColumn("duplicate_paragraph_char_fraction", F.round(dup_para_chars, 6))
     )
     keep = (
         (F.col("n_words") >= 50) & (F.col("n_words") <= 100_000)
@@ -213,5 +248,8 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
         & (F.col("ellipsis_line_fraction") <= 0.3)
         & (F.col("alpha_word_fraction") >= 0.8)
         & (F.col("duplicate_line_fraction") <= 0.3)
+        & (F.col("duplicate_paragraph_fraction") <= 0.3)
+        & (F.col("duplicate_line_char_fraction") <= 0.2)
+        & (F.col("duplicate_paragraph_char_fraction") <= 0.2)
     )
     return out.withColumn("gopher_keep", keep)

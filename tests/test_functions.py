@@ -443,3 +443,25 @@ def test_canonical_url(spark):
               url_duplicate_groups(urls, "doc_id").collect()}
     assert groups == {"https://example.com/Path?id=5": [1, 2],
                       "http://site.org/a": [3, 4]}
+
+
+def test_gopher_repetition_metrics(spark):
+    """Paragraph + char-fraction repetition terms (the Gopher set's
+    remaining computable rows; top-n-gram fractions documented-omitted)."""
+    from jsonschemaparse_spark.functions.text import gopher_quality_flags
+
+    para = "repeated paragraph body here\n\n"
+    doc = para + "unique middle words " * 30 + "\n\n" + para
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    r = gopher_quality_flags(df).first()
+    assert r["duplicate_paragraph_fraction"] == pytest.approx(1 / 3, abs=1e-6)
+    assert r["duplicate_paragraph_char_fraction"] > 0
+    assert r["duplicate_line_char_fraction"] > 0  # the repeated line's chars
+    # clean doc: all repetition terms zero
+    clean = spark.createDataFrame(
+        [(1, "one two\n\nthree four " + "filler words " * 30)],
+        "doc_id long, text string")
+    c = gopher_quality_flags(clean).first()
+    assert c["duplicate_paragraph_fraction"] == 0.0
+    assert c["duplicate_line_char_fraction"] == 0.0
+    assert c["gopher_keep"] is True
