@@ -581,32 +581,37 @@ def strip_boilerplate_lines(
     (doc, pos, line) row per KEPT line — strictly smaller than the input."""
     out_col = out_col or text_col
     hot = duplicate_line_groups(df, id_col, text_col, min_docs).select("line")
+    # matching is on TRIMMED content (the hot set's form); kept lines are
+    # emitted VERBATIM — blank lines and indentation survive, so
+    # paragraph segmentation downstream is untouched (r4 fourth-review
+    # #3). The internal columns are _jsp_-prefixed so no caller column
+    # name can collide (#2: drop("doc") used to eat an id column named
+    # 'doc').
     exploded = (
         df.select(
-            F.col(id_col).alias("doc"),
+            F.col(id_col).alias("_jsp_doc"),
             F.posexplode(
                 F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
-            ).alias("pos", "raw"),
+            ).alias("_jsp_pos", "_jsp_raw"),
         )
-        .withColumn("line", F.trim(F.col("raw")))
-        .filter(F.col("line") != "")
+        .withColumn("line", F.trim(F.col("_jsp_raw")))
     )
     kept = exploded.join(hot, "line", "left_anti")
     rebuilt = (
-        kept.groupBy("doc")
+        kept.groupBy("_jsp_doc")
         .agg(
             F.array_join(
                 F.transform(
-                    F.sort_array(F.collect_list(F.struct("pos", "line"))),
-                    lambda s: s.getField("line"),
+                    F.sort_array(F.collect_list(F.struct("_jsp_pos", "_jsp_raw"))),
+                    lambda s: s.getField("_jsp_raw"),
                 ),
                 "\n",
-            ).alias("_rebuilt")
+            ).alias("_jsp_rebuilt")
         )
     )
     return (
-        df.join(rebuilt, df[id_col] == rebuilt["doc"], "left")
-        .drop("doc")
-        .withColumn(out_col, F.coalesce(F.col("_rebuilt"), F.lit("")))
-        .drop("_rebuilt")
+        df.join(rebuilt, df[id_col] == rebuilt["_jsp_doc"], "left")
+        .drop("_jsp_doc")
+        .withColumn(out_col, F.coalesce(F.col("_jsp_rebuilt"), F.lit("")))
+        .drop("_jsp_rebuilt")
     )

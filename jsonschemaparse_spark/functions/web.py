@@ -15,25 +15,38 @@ TRACKING_PARAMS = r"(utm_[a-z]+|fbclid|gclid|msclkid|ref_src)"
 
 
 def canonical_url(url: Column) -> Column:
-    """Canonical form: lowercase scheme+host, default :80/:443 ports
-    dropped, fragment dropped, tracking params dropped, dangling '?'/'&'
-    trimmed, trailing slash on a bare host-path kept as-is (path case is
-    significant and preserved)."""
+    """Canonical form: scheme and HOST lowercased (userinfo preserved —
+    case-significant per RFC 3986), default :80/:443 ports dropped,
+    fragment dropped, tracking params dropped with proper [?&] anchoring,
+    dangling '?' trimmed. Path/query case is significant and preserved.
+
+    Tracking removal is three anchored passes (r4 fourth-review #1/#5 —
+    the earlier unanchored pattern mangled params merely CONTAINING a
+    tracking name and could delete path segments):
+      1. '&param=v' anywhere in the query (global; adjacent params fall in
+         one pass since matches don't overlap);
+      2. leading '?param=v&' -> '?' (tracking first, more params follow);
+      3. leading '?param=v' at end -> '' (tracking was the only param).
+    Documented limitation: a literal '&param=' sequence in the PATH of a
+    URL with no query would also match pass 1 — RE2 (the oracle engine)
+    has no lookbehind to scope passes to after '?', and such paths are
+    effectively tracking anyway."""
     u = F.trim(url)
-    # lowercase scheme://host[:port] (group 1), keep the rest as-is
-    u = F.concat(
-        F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)),
-        F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", ""),
-    )
+    scheme = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://)", 1))
+    userinfo = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#@]*@)", 1)
+    hostport = F.lower(F.regexp_extract(
+        u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]*)", 1))
+    rest = F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
+    u = F.concat(scheme, userinfo, hostport, rest)
     u = F.regexp_replace(u, r"#.*$", "")                     # fragment
     # default ports: capture the delimiter instead of a lookahead so the
     # DuckDB oracle (RE2: no lookahead) reproduces the same rewrite
-    u = F.regexp_replace(u, r"^(https://[^/?#:]*):443($|[/?])", r"$1$2")
-    u = F.regexp_replace(u, r"^(http://[^/?#:]*):80($|[/?])", r"$1$2")
-    u = F.regexp_replace(u, TRACKING_PARAMS + r"=[^&#]*&", "")   # mid-query
-    u = F.regexp_replace(u, r"[?&]" + TRACKING_PARAMS + r"=[^&#]*$", "")
+    u = F.regexp_replace(u, r"^(https://(?:[^/?#@]*@)?[^/?#:]*):443($|[/?])", r"$1$2")
+    u = F.regexp_replace(u, r"^(http://(?:[^/?#@]*@)?[^/?#:]*):80($|[/?])", r"$1$2")
+    u = F.regexp_replace(u, r"&" + TRACKING_PARAMS + r"=[^&#]*", "")
     u = F.regexp_replace(u, r"\?" + TRACKING_PARAMS + r"=[^&#]*&", "?")
-    u = F.regexp_replace(u, r"[?&]$", "")                    # dangling ? / &
+    u = F.regexp_replace(u, r"\?" + TRACKING_PARAMS + r"=[^&#]*$", "")
+    u = F.regexp_replace(u, r"\?$", "")                     # dangling ?
     return u
 
 
@@ -49,7 +62,7 @@ def url_duplicate_groups(df: DataFrame, id_col: str,
     return (
         df.select(F.col(id_col), canonical_url(F.col(url_col)).alias("canonical_url"))
         .groupBy("canonical_url")
-        .agg(F.count(F.lit(1)).alias("n_docs"),
-             F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
+        .agg(F.countDistinct(id_col).alias("n_docs"),
+             F.sort_array(F.collect_set(id_col)).alias("doc_ids"))
         .filter(F.col("n_docs") > 1)
     )

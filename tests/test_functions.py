@@ -465,3 +465,53 @@ def test_gopher_repetition_metrics(spark):
     assert c["duplicate_paragraph_fraction"] == 0.0
     assert c["duplicate_line_char_fraction"] == 0.0
     assert c["gopher_keep"] is True
+
+
+def test_canonical_url_review_fixes(spark):
+    """r4 fourth-review: anchored tracking removal (params CONTAINING a
+    tracking name survive; path segments survive), userinfo case
+    preserved, default port stripped behind userinfo, consecutive
+    tracking params removed in one pass, dup groups count DISTINCT ids."""
+    from jsonschemaparse_spark.functions.web import (
+        canonical_url,
+        url_duplicate_groups,
+    )
+
+    cases = {
+        1: ("https://ex.com/p?pgclid=1&x=2", "https://ex.com/p?pgclid=1&x=2"),
+        2: ("https://ex.com/ref_src=a&b/path", "https://ex.com/ref_src=a&b/path"),
+        3: ("https://ex.com/p?utm_a=1&utm_b=2&x=3", "https://ex.com/p?x=3"),
+        4: ("https://ex.com/p?utm_a=1&utm_b=2", "https://ex.com/p"),
+        5: ("https://User@Example.com:443/x", "https://User@example.com/x"),
+        6: ("https://u:p@Example.com:443/x", "https://u:p@example.com/x"),
+        7: ("https://ex.com/p?x=1&gclid=z&y=2", "https://ex.com/p?x=1&y=2"),
+    }
+    df = spark.createDataFrame(list(cases.items()),
+                               "doc_id long, pair struct<_1:string,_2:string>")
+    got = {r["doc_id"]: r["c"] for r in df.select(
+        "doc_id", canonical_url(F.col("pair._1")).alias("c")).collect()}
+    for k, (_, want) in cases.items():
+        assert got[k] == want, (k, got[k], want)
+
+    # countDistinct: a doubly-ingested row is not a duplicate group
+    dup = spark.createDataFrame(
+        [(1, "http://a/x"), (1, "http://a/x"), (2, "http://b/y")],
+        "doc_id long, url string")
+    assert url_duplicate_groups(dup, "doc_id").count() == 0
+
+
+def test_strip_boilerplate_preserves_blanks_and_doc_column(spark):
+    """r4 fourth-review: kept lines emitted verbatim (blank lines and
+    indentation survive -> paragraph segmentation intact), and an id
+    column literally named 'doc' is not eaten by internal drops."""
+    from jsonschemaparse_spark.functions.dedup import strip_boilerplate_lines
+
+    docs = spark.createDataFrame(
+        [(i, "HOT\npara one %d\n\n  para two %d\nHOT" % (i, i))
+         for i in range(3)],
+        "doc long, text string",
+    )
+    out = strip_boilerplate_lines(docs, "doc", min_docs=3)
+    assert set(out.columns) == {"doc", "text"}
+    assert out.filter(F.col("doc") == 1).first()["text"] == \
+        "para one 1\n\n  para two 1"
