@@ -1,3 +1,3 @@
-from . import dedup, integrity, similarity, stats, stats_math, text
+from . import dedup, formats, integrity, similarity, stats, stats_math, text, web
 
-__all__ = ["dedup", "integrity", "similarity", "stats", "stats_math", "text"]
+__all__ = ["dedup", "formats", "integrity", "similarity", "stats", "stats_math", "text", "web"]
