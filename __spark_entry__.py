@@ -318,6 +318,19 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c4_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning signals (Raffel et al. 2020 §2.2) over the constructed
+    multi-line corpus — sentence counts, code/lorem smells, terminal-punct
+    line fraction, keep verdict; all SQL-reproducible."""
+    from jsonschemaparse_spark.functions.text import c4_quality_flags
+
+    out = c4_quality_flags(_multiline_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "n_sentences", "has_lorem_ipsum", "has_curly_brace",
+        "terminal_punct_line_fraction", "c4_keep",
+    )
+
+
 def q_duplicate_line_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document line dedup (boilerplate detection): lines appearing
     in >= 50 distinct docs of the constructed corpus."""
@@ -529,6 +542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_positions_events": q_json_positions_events,
         "gopher_quality": q_gopher_quality,
         "duplicate_line_groups": q_duplicate_line_groups,
+        "c4_quality": q_c4_quality,
         "canonical_urls": q_canonical_urls,
         "ks_drift_nchars": q_ks_drift_nchars,
         "webpages_flagship": q_webpages_flagship,
@@ -888,6 +902,32 @@ SELECT *,
    AND duplicate_line_char_fraction <= 0.2
    AND duplicate_paragraph_char_fraction <= 0.2) AS gopher_keep
 FROM r
+""",
+        "c4_quality": r"""
+WITH m AS (
+  SELECT doc_id,
+         'SHARED HEADER LINE' || chr(10) || text || chr(10) ||
+         substr(text, 1, 30) || chr(10) || substr(text, 1, 30) || chr(10) ||
+         '- item one' || chr(10) || '- item two' || chr(10) ||
+         'Trailing line...' || chr(10) || 'FOOTER ' || CAST(doc_id % 3 AS VARCHAR) AS text
+  FROM documents WHERE doc_id < 300
+),
+f AS (
+  SELECT doc_id, coalesce(text, '') AS text,
+    list_filter(string_split(coalesce(text, ''), chr(10)), l -> trim(l) <> '') AS lines
+  FROM m
+)
+SELECT doc_id,
+  len(list_filter(regexp_split_to_array(text, '[.!?]'), s -> trim(s) <> '')) AS n_sentences,
+  contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+  contains(text, '{') AS has_curly_brace,
+  ROUND(CASE WHEN len(lines) > 0
+        THEN len(list_filter(lines, l -> regexp_matches(trim(l), '[.!?\"]$'))) * 1.0 / len(lines)
+        ELSE 0 END, 6) AS terminal_punct_line_fraction,
+  (len(list_filter(regexp_split_to_array(text, '[.!?]'), s -> trim(s) <> '')) >= 3
+   AND NOT contains(lower(text), 'lorem ipsum')
+   AND NOT contains(text, '{')) AS c4_keep
+FROM f
 """,
         "duplicate_line_groups": r"""
 WITH m AS (
@@ -1283,6 +1323,32 @@ SELECT *,
    AND duplicate_line_char_fraction <= 0.2
    AND duplicate_paragraph_char_fraction <= 0.2) AS gopher_keep
 FROM r
+""",
+        "c4_quality": r"""
+WITH m AS (
+  SELECT doc_id,
+         'SHARED HEADER LINE' || chr(10) || text || chr(10) ||
+         substr(text, 1, 30) || chr(10) || substr(text, 1, 30) || chr(10) ||
+         '- item one' || chr(10) || '- item two' || chr(10) ||
+         'Trailing line...' || chr(10) || 'FOOTER ' || CAST(doc_id % 3 AS VARCHAR) AS text
+  FROM documents WHERE doc_id < 300
+),
+f AS (
+  SELECT doc_id, coalesce(text, '') AS text,
+    list_filter(string_split(coalesce(text, ''), chr(10)), l -> trim(l) <> '') AS lines
+  FROM m
+)
+SELECT doc_id,
+  len(list_filter(regexp_split_to_array(text, '[.!?]'), s -> trim(s) <> '')) AS n_sentences,
+  contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+  contains(text, '{') AS has_curly_brace,
+  ROUND(CASE WHEN len(lines) > 0
+        THEN len(list_filter(lines, l -> regexp_matches(trim(l), '[.!?\"]$'))) * 1.0 / len(lines)
+        ELSE 0 END, 6) AS terminal_punct_line_fraction,
+  (len(list_filter(regexp_split_to_array(text, '[.!?]'), s -> trim(s) <> '')) >= 3
+   AND NOT contains(lower(text), 'lorem ipsum')
+   AND NOT contains(text, '{')) AS c4_keep
+FROM f
 """,
         "duplicate_line_groups": r"""
 WITH m AS (

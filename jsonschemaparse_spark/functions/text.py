@@ -253,3 +253,57 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
         & (F.col("duplicate_paragraph_char_fraction") <= 0.2)
     )
     return out.withColumn("gopher_keep", keep)
+
+
+# ---------------------------------------------------------------------------
+# C4-style cleaning (Raffel et al. 2020 §2.2 — the other canonical
+# web-pipeline gate next to the Gopher rules). One codegen projection.
+# ---------------------------------------------------------------------------
+def c4_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document-level C4 signals + keep verdict:
+      n_sentences (terminal-punct splits), has_lorem_ipsum,
+      has_curly_brace (code smell), terminal_punct_line_fraction,
+      c4_keep = n_sentences >= 3 AND no lorem ipsum AND no '{'.
+    (C4 also drops docs with bad words and dedupes three-sentence spans —
+    the lexicon is policy, not engine, and span dedup is
+    duplicate_line_groups' territory; both documented, not silent.)"""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(F.split(t, "\n"), lambda ln: F.trim(ln) != F.lit(""))
+    n_lines = F.size(lines)
+    n_sentences = F.size(
+        F.filter(F.split(t, r"[.!?]"), lambda s: F.trim(s) != F.lit(""))
+    )
+    term_lines = F.size(F.filter(
+        lines, lambda ln: F.trim(ln).rlike(r'[.!?"]$')))
+    out = (
+        df.withColumn("n_sentences", n_sentences)
+        .withColumn("has_lorem_ipsum", F.lower(t).contains("lorem ipsum"))
+        .withColumn("has_curly_brace", t.contains("{"))
+        .withColumn(
+            "terminal_punct_line_fraction",
+            F.round(F.when(n_lines > 0, term_lines / n_lines)
+                    .otherwise(F.lit(0.0)), 6),
+        )
+    )
+    return out.withColumn(
+        "c4_keep",
+        (F.col("n_sentences") >= 3)
+        & ~F.col("has_lorem_ipsum") & ~F.col("has_curly_brace"),
+    )
+
+
+def c4_line_filter(df: DataFrame, text_col: str = "text",
+                   min_words: int = 5, out_col: str | None = None) -> DataFrame:
+    """C4's LINE rule: keep only lines with >= min_words words that end in
+    terminal punctuation ('.', '!', '?', '\"'); rebuild the text from the
+    survivors. Pure array expression — zero Python, order preserved by
+    construction (filter keeps array order)."""
+    out_col = out_col or text_col
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    kept = F.filter(
+        F.split(t, "\n"),
+        lambda ln: F.trim(ln).rlike(r'[.!?"]$')
+        & (F.size(F.filter(F.split(F.trim(ln), r"\s+"),
+                           lambda w: w != F.lit(""))) >= min_words),
+    )
+    return df.withColumn(out_col, F.array_join(kept, "\n"))

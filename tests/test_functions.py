@@ -515,3 +515,37 @@ def test_strip_boilerplate_preserves_blanks_and_doc_column(spark):
     assert set(out.columns) == {"doc", "text"}
     assert out.filter(F.col("doc") == 1).first()["text"] == \
         "para one 1\n\n  para two 1"
+
+
+def test_c4_quality_flags_and_line_filter(spark):
+    from jsonschemaparse_spark.functions.text import (
+        c4_line_filter,
+        c4_quality_flags,
+    )
+
+    good = ("This is a first sentence with plenty of words.\n"
+            "Here is a second sentence that also ends properly!\n"
+            "And a third one closes the document?")
+    codey = "function f() { return 1; } // three. sentences. here."
+    lorem = "Lorem Ipsum dolor sit amet. More text here. And more."
+    short = "Just one sentence."
+    df = spark.createDataFrame(
+        [(1, good), (2, codey), (3, lorem), (4, short), (5, None)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in c4_quality_flags(df).collect()}
+    assert got[1]["c4_keep"] is True and got[1]["n_sentences"] == 3
+    assert got[2]["c4_keep"] is False and got[2]["has_curly_brace"]
+    assert got[3]["c4_keep"] is False and got[3]["has_lorem_ipsum"]
+    assert got[4]["c4_keep"] is False
+    assert got[5]["c4_keep"] is False and got[5]["n_sentences"] == 0
+    assert got[1]["terminal_punct_line_fraction"] == 1.0
+
+    lf = spark.createDataFrame([(1,
+        "Menu\n"
+        "A proper sentence with enough words right here.\n"
+        "short one.\n"
+        "Another good line that ends with a question mark maybe?")],
+        "doc_id long, text string")
+    out = c4_line_filter(lf).first()["text"]
+    assert out == ("A proper sentence with enough words right here.\n"
+                   "Another good line that ends with a question mark maybe?")
