@@ -466,24 +466,102 @@ class CompiledSchema:
                 raise SchemaError('Expected "$recursiveRef" to be "#"')
             self.recursive_ref = self.id.split("#", 1)[0]
 
-        # --- $defs / definitions: registry entries only (schema.js:634-645) ---
+        # --- $defs / definitions: registry entries (schema.js:634-645);
+        # kept for the Schema#subschemas introspection surface too ---
+        self.defs_schemas: list = []
         for defs_kw in ("$defs", "definitions"):
-            d = raw.get(defs_kw)
-            if d is not None:
+            if defs_kw in raw:
+                d = raw[defs_kw]
                 if not isinstance(d, dict):
+                    # explicit null / wrong type rejected ('definitions'
+                    # itself is UNUSABLE in the reference — schema.js:643
+                    # re-checks schema.definitions in the $defs else-branch,
+                    # a copy-paste bug that throws for ANY definitions
+                    # without an object $defs; we implement the intended
+                    # draft-04 semantics, documented not copied)
                     raise SchemaError('Expected "%s" to be an object' % defs_kw)
                 for k, v in d.items():
-                    sub(v, f"{defs_kw}/{k}")
+                    self.defs_schemas.append(sub(v, f"{defs_kw}/{k}"))
 
         # --- annotations ---
         self.title = raw.get("title")
         self.description = raw.get("description")
         self.default = raw.get("default")
 
+        # --- explicit-null keyword values are INVALID schema documents
+        # (r4 schema-error differential vs node: the reference rejects
+        # null for every structural keyword; raw.get() used to treat it
+        # as absent) ---
+        # exactly the reference's throw set (probed): properties/
+        # additionalItems/not tolerate null there, these do not
+        for _kw in ("allOf", "anyOf", "oneOf", "required",
+                    "patternProperties", "additionalProperties",
+                    "unevaluatedProperties", "items",
+                    "pattern", "if", "then", "else"):
+            if _kw in raw and raw[_kw] is None:
+                raise SchemaError(
+                    'Expected "%s" to be a schema or keyword value, got null'
+                    % _kw)
+
         # --- unknown keyword collection (schema.js:666-726) ---
         self.unknown = {k: v for k, v in raw.items() if k not in KNOWN_KEYWORDS}
 
     # helpers -------------------------------------------------------------
+    @property
+    def subschemas(self) -> list:
+        """Direct child schema nodes in the reference's scan order
+        (Schema#subschemas — schema.js:261-269 addSubschema sites: allOf,
+        anyOf, oneOf, not, properties, patternProperties, additional/
+        unevaluatedProperties, items, additionalItems, if/then/else,
+        definitions/$defs). Boolean-schema positions are excluded like
+        the reference (it canonicalizes before scanning)."""
+        out: list = []
+        out.extend(self.all_of)
+        out.extend(self.any_of)
+        out.extend(self.one_of)
+        if self.not_ is not None:
+            out.append(self.not_)
+        out.extend(self.properties.values())
+        out.extend(p for _, _, p in self.pattern_properties)
+        out.append(self.additional_properties)
+        out.append(self.unevaluated_properties)
+        if self.items_tuple is not None:
+            out.extend(self.items_tuple)
+        elif self.items_all is not None:
+            out.append(self.items_all)
+        out.append(self.additional_items)
+        out.append(self.if_)
+        out.append(self.then_)
+        out.append(self.else_)
+        out.extend(getattr(self, "defs_schemas", []))
+        return [c for c in out if isinstance(c, CompiledSchema)]
+
+    @property
+    def all_subschemas(self) -> list:
+        """Transitive subschemas, depth-first like Schema#allSubschemas
+        (each child followed by its own allSubschemas)."""
+        out: list = []
+        for c in self.subschemas:
+            out.append(c)
+            out.extend(c.all_subschemas)
+        return out
+
+    @property
+    def references(self) -> list:
+        """Absolute $ref URIs at THIS node (Schema#references)."""
+        return [self.ref] if self.ref is not None else []
+
+    @property
+    def all_references(self) -> list:
+        """Transitive $ref URIs, first-seen order, deduplicated
+        (Schema#allReferences, schema.js:728-738)."""
+        out = list(self.references)
+        for c in self.all_subschemas:
+            for r in c.references:
+                if r not in out:
+                    out.append(r)
+        return out
+
     def _sub(self, schema: Any, path: str) -> "CompiledSchema":
         from urllib.parse import quote
 
