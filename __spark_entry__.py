@@ -959,427 +959,6 @@ WITH u AS (
         FROM documents WHERE doc_id < 200)
 ),
 c1 AS (SELECT doc_id,
-  lower(regexp_extract(trim(url), '^([a-zA-Z][a-zA-Z0-9+.-]*://)', 1)) ||
-  regexp_extract(trim(url), '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#@]*@)', 1) ||
-  lower(regexp_extract(trim(url), '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]*)', 1)) ||
-  regexp_replace(trim(url), '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '') AS u FROM u),
-c2 AS (SELECT doc_id, regexp_replace(u, '#.*$', '') AS u FROM c1),
-c3 AS (SELECT doc_id, regexp_replace(u, '^(https://(?:[^/?#@]*@)?[^/?#:]*):443($|[/?])', '\1\2') AS u FROM c2),
-c4 AS (SELECT doc_id, regexp_replace(u, '^(http://(?:[^/?#@]*@)?[^/?#:]*):80($|[/?])', '\1\2') AS u FROM c3),
-c5 AS (SELECT doc_id, regexp_replace(u, '&(utm_[a-z]+|fbclid|gclid|msclkid|ref_src)=[^&#]*', '', 'g') AS u FROM c4),
-c6 AS (SELECT doc_id, regexp_replace(u, '\?(utm_[a-z]+|fbclid|gclid|msclkid|ref_src)=[^&#]*&', '?') AS u FROM c5),
-c7 AS (SELECT doc_id, regexp_replace(u, '\?(utm_[a-z]+|fbclid|gclid|msclkid|ref_src)=[^&#]*$', '') AS u FROM c6)
-SELECT doc_id, regexp_replace(u, '\?$', '') AS canonical_url FROM c7
-""",
-        "events_json_typed": q_events_json_typed,
-        "chi2_drift_lang": q_chi2_drift_lang,
-        "media_resize_dims": q_media_resize_dims,
-        "audio_resample_ms": q_audio_resample_ms,
-        "bucketed_dup_groups": q_bucketed_dup_groups,
-    }
-
-
-# ---------------------------------------------------------------------------
-# oracle SQL (DuckDB dialect, same table names, same column aliases)
-# ---------------------------------------------------------------------------
-_ENUM_EXPECTED = __import__("json").dumps(LANGS)  # kernels stringify expected via _show/json.dumps — keep in sync
-
-_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
-_WORDS = f"string_split({_NORM}, ' ')"
-_SHINGLES = (
-    f"list_distinct(CASE WHEN len({_WORDS}) >= 3 THEN "
-    f"list_transform(generate_series(1, len({_WORDS}) - 2), "
-    f"i -> concat_ws(' ', {_WORDS}[i], {_WORDS}[i+1], {_WORDS}[i+2])) "
-    f"ELSE [array_to_string({_WORDS}, ' ')] END)"
-)
-
-
-def _mh(perm: int) -> str:
-    from jsonschemaparse_spark.functions.dedup import MINHASH_P, _MINHASH_A, _MINHASH_B
-
-    a, b, p = _MINHASH_A[perm], _MINHASH_B[perm], MINHASH_P
-    h = f"(('0x' || substr(md5(s), 1, 12))::BIGINT % {p})"
-    return f"list_min(list_transform({_SHINGLES}, s -> ({a} * {h} + {b}) % {p}))"
-
-
-_STOP_EN = r"\b(" + "|".join(STOPWORDS["en"]) + r")\b"
-
-
-def _lang_score(lang: str) -> str:
-    pat = r"\b(" + "|".join(STOPWORDS[lang]) + r")\b"
-    return f"len(regexp_extract_all(lower(text), '{pat}'))"
-
-
-def oracle_sql() -> dict[str, str]:
-    viol = f"""
-WITH v AS (
-  SELECT doc_id, '/text' AS path, 'minLength' AS keyword, '1' AS expected,
-         CAST(length(text) AS VARCHAR) AS actual, 'String too short' AS message
-    FROM documents WHERE text IS NOT NULL AND length(text) < 1
-  UNION ALL
-  SELECT doc_id, '/text', 'maxLength', '10000', CAST(length(text) AS VARCHAR),
-         'String too long'
-    FROM documents WHERE text IS NOT NULL AND length(text) > 10000
-  UNION ALL
-  SELECT doc_id, '/lang', 'enum', '{_ENUM_EXPECTED.replace("'", "''")}',
-         CAST(lang AS VARCHAR),
-         'String does not match one of the enumerated values'
-    FROM documents WHERE lang IS NOT NULL AND lang NOT IN ({", ".join("'" + l + "'" for l in LANGS)})
-  UNION ALL
-  SELECT doc_id, '/source', 'pattern', '"^src"', CAST(source AS VARCHAR),
-         'String does not match /^src/'
-    FROM documents WHERE source IS NOT NULL AND NOT regexp_matches(source, '^src')
-  UNION ALL
-  SELECT doc_id, '/doc_id', 'minimum', '0', CAST(doc_id AS VARCHAR),
-         'Number under/equal to minimum'
-    FROM documents WHERE doc_id IS NOT NULL AND doc_id < 0
-  UNION ALL
-  SELECT doc_id, '/n_chars', 'minimum', '0', CAST(n_chars AS VARCHAR),
-         'Number under/equal to minimum'
-    FROM documents WHERE n_chars IS NOT NULL AND n_chars < 0
-  UNION ALL
-  SELECT doc_id, '/n_chars', 'maximum', '500', CAST(n_chars AS VARCHAR),
-         'Number under/equal to maximum'
-    FROM documents WHERE n_chars IS NOT NULL AND n_chars > 500
-  UNION ALL
-  SELECT doc_id, '', 'required', '0',
-         CAST((CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
-            + (CASE WHEN text IS NULL THEN 1 ELSE 0 END)
-            + (CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS VARCHAR),
-         'Required property missing'
-    FROM documents WHERE doc_id IS NULL OR text IS NULL OR lang IS NULL
-  UNION ALL
-  SELECT doc_id, '', 'required',
-         '[' || concat_ws(', ',
-           CASE WHEN doc_id IS NULL THEN '"doc_id"' END,
-           CASE WHEN text IS NULL THEN '"text"' END,
-           CASE WHEN lang IS NULL THEN '"lang"' END) || ']',
-         NULL, 'Required properties missing'
-    FROM documents WHERE doc_id IS NULL OR text IS NULL OR lang IS NULL
-)
-SELECT * FROM v
-"""
-    verdict = """
-SELECT CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(sum(CASE WHEN bad > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_failed_rows,
-       CAST(sum(bad) AS BIGINT) AS n_violations
-FROM (
-  SELECT (CASE WHEN text IS NOT NULL AND length(text) < 1 THEN 1 ELSE 0 END)
-       + (CASE WHEN text IS NOT NULL AND length(text) > 10000 THEN 1 ELSE 0 END)
-       + (CASE WHEN lang IS NOT NULL AND lang NOT IN ({langs}) THEN 1 ELSE 0 END)
-       + (CASE WHEN source IS NOT NULL AND NOT regexp_matches(source, '^src') THEN 1 ELSE 0 END)
-       + (CASE WHEN doc_id IS NOT NULL AND doc_id < 0 THEN 1 ELSE 0 END)
-       + (CASE WHEN n_chars IS NOT NULL AND n_chars < 0 THEN 1 ELSE 0 END)
-       + (CASE WHEN n_chars IS NOT NULL AND n_chars > 500 THEN 1 ELSE 0 END)
-       + (CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
-       + (CASE WHEN text IS NULL THEN 1 ELSE 0 END)
-       + (CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS bad
-  FROM documents
-)
-""".format(langs=", ".join("'" + l + "'" for l in LANGS))
-
-    webpages_flagship = """
-SELECT CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(sum(CASE WHEN bad > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_failed_rows,
-       CAST(sum(bad) AS BIGINT) AS n_violations
-FROM (
-  SELECT (CASE WHEN url IS NULL OR warc_ts IS NULL OR text IS NULL
-                    OR lang IS NULL THEN 2 ELSE 0 END)
-       + (CASE WHEN url IS NOT NULL AND NOT regexp_matches(url, '^https?://') THEN 1 ELSE 0 END)
-       + (CASE WHEN url IS NOT NULL AND length(url) > 2048 THEN 1 ELSE 0 END)
-       + (CASE WHEN text IS NOT NULL AND length(text) < 1 THEN 1 ELSE 0 END)
-       + (CASE WHEN lang IS NOT NULL AND lang NOT IN ({langs}) THEN 1 ELSE 0 END) AS bad
-  FROM read_parquet('{path}/*.parquet')
-)
-""".format(langs=", ".join("'" + l + "'" for l in LANGS),
-           # pinned to sf0.01 — the scale the driver's correctness gate
-           # runs at; each scale's query writes its own snapshot
-           path=WEBPAGES_ORACLE_PATH.format(sf=0.01))
-
-    return {
-        "validate_documents": viol,
-        "verdict_documents": verdict,
-        "webpages_flagship": webpages_flagship,
-        "stats_documents": """
-SELECT CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text,
-       min(n_chars) AS min_n_chars,
-       max(n_chars) AS max_n_chars,
-       round(avg(n_chars), 6) AS avg_n_chars,
-       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
-FROM documents
-""",
-        "topk_lang": """
-SELECT lang AS value, CAST(count(*) AS BIGINT) AS cnt
-FROM documents GROUP BY lang
-ORDER BY cnt DESC, value ASC LIMIT 5
-""",
-        "uniqueness_events_user": """
-SELECT user_id, CAST(count(*) AS BIGINT) AS n_duplicates
-FROM events GROUP BY user_id HAVING count(*) > 1
-""",
-        "referential_orphans": """
-SELECT o.o_orderkey, o.o_custkey
-FROM orders o
-WHERE NOT EXISTS (
-  SELECT 1 FROM customer c
-  WHERE c.c_custkey % 3 <> 0 AND c.c_custkey = o.o_custkey
-)
-""",
-        "exact_dup_groups": f"""
-WITH corpus AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50
-)
-SELECT md5({_NORM}) AS content_key, CAST(count(*) AS BIGINT) AS n_docs
-FROM corpus GROUP BY 1 HAVING count(*) > 1
-""",
-        "minhash_signatures": f"""
-SELECT doc_id, {_mh(0)} AS mh0, {_mh(1)} AS mh1
-FROM documents WHERE doc_id < 100
-""",
-        "minhash_dup_pairs": f"""
-WITH corpus AS (
-  SELECT doc_id, {_SHINGLES} AS sh FROM documents WHERE doc_id < 50
-  UNION ALL
-  SELECT doc_id + 1000000, {_SHINGLES} FROM documents WHERE doc_id < 50
-)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
-FROM corpus a JOIN corpus b ON a.doc_id < b.doc_id
-WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      / len(list_distinct(list_concat(a.sh, b.sh))) >= 1.0
-""",
-        "token_stats": f"""
-SELECT doc_id,
-       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-            ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS ws_tokens,
-       CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT) AS bpe_tokens
-FROM documents
-""",
-        "quality": f"""
-WITH q AS (
-  SELECT doc_id,
-         length(text) AS n_chars,
-         CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
-         len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
-         len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
-         len(regexp_extract_all(lower(text), '{_STOP_EN}')) AS n_stop
-  FROM documents
-)
-SELECT doc_id,
-       CAST(n_tokens AS BIGINT) AS n_tokens,
-       round(CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE)/n_chars ELSE 0 END, 4) AS alpha_ratio,
-       round(CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0 END, 4) AS punct_ratio,
-       round(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE)/n_tokens ELSE 0 END, 4) AS stopword_ratio,
-       round(
-         (CASE WHEN n_chars BETWEEN 50 AND 100000 THEN 0.25 ELSE 0 END)
-         + least((CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE)/n_chars ELSE 0 END) * 0.5, 0.25)
-         + (CASE WHEN (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0 END) < 0.2 THEN 0.25 ELSE 0 END)
-         + least((CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE)/n_tokens ELSE 0 END) * 2.5, 0.25)
-       , 4) AS quality_score
-FROM q
-""",
-        "lang_id": f"""
-SELECT doc_id,
-       CASE
-         WHEN kana > 0 AND kana + han > lat THEN 'ja'
-         WHEN han > lat THEN 'zh'
-         WHEN cyr > lat THEN 'ru'
-         WHEN best.score > 0 THEN best.lang
-         ELSE 'und'
-       END AS lang_pred
-FROM (
-  SELECT doc_id,
-         len(regexp_extract_all(text, '[\\p{{Hiragana}}\\p{{Katakana}}]')) AS kana,
-         len(regexp_extract_all(text, '\\p{{Han}}')) AS han,
-         len(regexp_extract_all(text, '\\p{{Cyrillic}}')) AS cyr,
-         len(regexp_extract_all(text, '[A-Za-z]')) AS lat,
-         list_max([
-           {", ".join(f"struct_pack(score := {_lang_score(lang)}, lang := '{lang}')" for lang in sorted(STOPWORDS))}
-         ]) AS best
-  FROM documents
-)
-""",
-        "fingerprints": f"""
-SELECT doc_id,
-       CAST(('0x' || substr(md5({_NORM}), 1, 15)) AS BIGINT) AS fingerprint
-FROM documents
-""",
-        "ann_topk": """
-SELECT e.vec_id,
-       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                    CAST(q.embedding AS DOUBLE[])), 4) AS score
-FROM embeddings e,
-     (SELECT embedding FROM embeddings WHERE vec_id = 0) q
-ORDER BY score DESC, e.vec_id ASC
-LIMIT 10
-""",
-        "ann_ivf_topk": """
-SELECT e.vec_id,
-       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                    CAST(q.embedding AS DOUBLE[])), 4) AS score
-FROM embeddings e,
-     (SELECT embedding FROM embeddings WHERE vec_id = 0) q
-ORDER BY score DESC, e.vec_id ASC
-LIMIT 10
-""",
-        "embedding_dup_pairs": """
-WITH corpus AS (
-  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50
-  UNION ALL
-  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 50
-)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b
-FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                             CAST(b.embedding AS DOUBLE[])) >= 0.999
-""",
-        "lineitem_pricing": """
-SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(avg(l_discount), 6) AS avg_disc,
-       CAST(count(*) AS BIGINT) AS count_order
-FROM lineitem
-WHERE l_shipdate <= DATE '1998-09-02'
-GROUP BY l_returnflag, l_linestatus
-ORDER BY l_returnflag, l_linestatus
-""",
-        "events_json_validation": """
-SELECT event_id,
-       (props IS NULL) OR (
-         json_valid(props)
-         AND json_type(props::JSON) = 'OBJECT'
-         AND json_type(props::JSON, '$.k') IN ('UBIGINT', 'BIGINT')
-         AND CAST(json_extract(props, '$.k') AS BIGINT) BETWEEN 0 AND 50
-       ) AS valid
-FROM events
-""",
-        "json_positions_events": """
-SELECT event_id,
-       '/k' AS path,
-       'maximum' AS keyword,
-       '50' AS expected,
-       CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS VARCHAR) AS actual,
-       'Number under/equal to maximum' AS message,
-       0 AS line,
-       4 AS col
-FROM events
-WHERE props IS NOT NULL
-  AND CAST(json_extract(props, '$.k') AS BIGINT) > 50
-""",
-        "gopher_quality": r"""
-WITH m AS (
-  SELECT doc_id,
-         'SHARED HEADER LINE' || chr(10) || text || chr(10) ||
-         substr(text, 1, 30) || chr(10) || substr(text, 1, 30) || chr(10) ||
-         '- item one' || chr(10) || '- item two' || chr(10) ||
-         'Trailing line...' || chr(10) || 'FOOTER ' || CAST(doc_id % 3 AS VARCHAR) AS text
-  FROM documents WHERE doc_id < 300
-),
-feats AS (
-  -- coalesce mirrors gopher_quality_flags' NULL handling: a NULL document
-  -- scores 0 everywhere and gopher_keep=false on BOTH engines (the raw
-  -- concat in m propagates NULL exactly like Spark's F.concat)
-  SELECT doc_id, coalesce(text, '') AS text,
-    list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'), w -> w <> '') AS words,
-    list_filter(string_split(coalesce(text, ''), chr(10)), l -> trim(l) <> '') AS lines,
-    list_filter(regexp_split_to_array(coalesce(text, ''), '\n\n+'), p -> trim(p) <> '') AS paras
-  FROM m
-),
-r AS (
-  SELECT doc_id,
-    len(words) AS n_words,
-    ROUND(CASE WHEN len(words) > 0 THEN list_aggregate(list_transform(words, w -> length(w)), 'sum') * 1.0 / len(words) ELSE 0 END, 6) AS mean_word_length,
-    ROUND(CASE WHEN len(words) > 0 THEN ((length(text) - length(replace(text, '#', ''))) + len(regexp_extract_all(text, '\.\.\.|…'))) * 1.0 / len(words) ELSE 0 END, 6) AS symbol_word_ratio,
-    ROUND(CASE WHEN len(lines) > 0 THEN len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) * 1.0 / len(lines) ELSE 0 END, 6) AS bullet_line_fraction,
-    ROUND(CASE WHEN len(lines) > 0 THEN len(list_filter(lines, l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) * 1.0 / len(lines) ELSE 0 END, 6) AS ellipsis_line_fraction,
-    ROUND(CASE WHEN len(words) > 0 THEN len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) * 1.0 / len(words) ELSE 0 END, 6) AS alpha_word_fraction,
-    ROUND(CASE WHEN len(lines) > 0 THEN (len(lines) - len(list_distinct(lines))) * 1.0 / len(lines) ELSE 0 END, 6) AS duplicate_line_fraction,
-    ROUND(CASE WHEN len(paras) > 0 THEN (len(paras) - len(list_distinct(paras))) * 1.0 / len(paras) ELSE 0 END, 6) AS duplicate_paragraph_fraction,
-    ROUND(CASE WHEN list_aggregate(list_transform(lines, x -> length(x)), 'sum') > 0
-          THEN list_aggregate(list_transform(lines, x -> CASE WHEN len(list_filter(lines, y -> y = x)) > 1 THEN length(x) ELSE 0 END), 'sum') * 1.0
-               / list_aggregate(list_transform(lines, x -> length(x)), 'sum')
-          ELSE 0 END, 6) AS duplicate_line_char_fraction,
-    ROUND(CASE WHEN list_aggregate(list_transform(paras, x -> length(x)), 'sum') > 0
-          THEN list_aggregate(list_transform(paras, x -> CASE WHEN len(list_filter(paras, y -> y = x)) > 1 THEN length(x) ELSE 0 END), 'sum') * 1.0
-               / list_aggregate(list_transform(paras, x -> length(x)), 'sum')
-          ELSE 0 END, 6) AS duplicate_paragraph_char_fraction
-  FROM feats
-)
-SELECT *,
-  (n_words >= 50 AND n_words <= 100000
-   AND mean_word_length >= 3 AND mean_word_length <= 10
-   AND symbol_word_ratio <= 0.1
-   AND bullet_line_fraction <= 0.9
-   AND ellipsis_line_fraction <= 0.3
-   AND alpha_word_fraction >= 0.8
-   AND duplicate_line_fraction <= 0.3
-   AND duplicate_paragraph_fraction <= 0.3
-   AND duplicate_line_char_fraction <= 0.2
-   AND duplicate_paragraph_char_fraction <= 0.2) AS gopher_keep
-FROM r
-""",
-        "c4_quality": r"""
-WITH m AS (
-  SELECT doc_id,
-         'SHARED HEADER LINE' || chr(10) || text || chr(10) ||
-         substr(text, 1, 30) || chr(10) || substr(text, 1, 30) || chr(10) ||
-         '- item one' || chr(10) || '- item two' || chr(10) ||
-         'Trailing line...' || chr(10) || 'FOOTER ' || CAST(doc_id % 3 AS VARCHAR) AS text
-  FROM documents WHERE doc_id < 300
-),
-f AS (
-  SELECT doc_id, coalesce(text, '') AS text,
-    list_filter(string_split(coalesce(text, ''), chr(10)), l -> trim(l) <> '') AS lines
-  FROM m
-)
-SELECT doc_id,
-  len(list_filter(regexp_split_to_array(text, '[.!?]'), s -> trim(s) <> '')) AS n_sentences,
-  contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
-  contains(text, '{') AS has_curly_brace,
-  ROUND(CASE WHEN len(lines) > 0
-        THEN len(list_filter(lines, l -> regexp_matches(trim(l), '[.!?\"]$'))) * 1.0 / len(lines)
-        ELSE 0 END, 6) AS terminal_punct_line_fraction,
-  (len(list_filter(regexp_split_to_array(text, '[.!?]'), s -> trim(s) <> '')) >= 3
-   AND NOT contains(lower(text), 'lorem ipsum')
-   AND NOT contains(text, '{')) AS c4_keep
-FROM f
-""",
-        "duplicate_line_groups": r"""
-WITH m AS (
-  SELECT doc_id,
-         'SHARED HEADER LINE' || chr(10) || text || chr(10) ||
-         substr(text, 1, 30) || chr(10) || substr(text, 1, 30) || chr(10) ||
-         '- item one' || chr(10) || '- item two' || chr(10) ||
-         'Trailing line...' || chr(10) || 'FOOTER ' || CAST(doc_id % 3 AS VARCHAR) AS text
-  FROM documents WHERE doc_id < 300
-),
-l AS (
-  SELECT m.doc_id, trim(t.x) AS line
-  FROM m, unnest(string_split(m.text, chr(10))) AS t(x)
-)
-SELECT line, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences
-FROM l WHERE line <> ''
-GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 50
-""",
-        "canonical_urls": r"""
-WITH u AS (
-  SELECT doc_id,
-    CASE doc_id % 4
-      WHEN 0 THEN 'HTTPS://Example.COM:443/p/' || p || '?utm_source=x&id=' || p || '#frag'
-      WHEN 1 THEN 'https://example.com/p/' || p || '?id=' || p
-      WHEN 2 THEN 'http://Site.org:80/q/' || p || '?gclid=zz&x=1'
-      ELSE 'http://site.org/q/' || p || '?x=1'
-    END AS url
-  FROM (SELECT doc_id, CAST(doc_id // 4 AS VARCHAR) AS p
-        FROM documents WHERE doc_id < 200)
-),
-c1 AS (SELECT doc_id,
   lower(regexp_extract(trim(url), '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)) ||
   regexp_replace(trim(url), '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '') AS u FROM u),
 c2 AS (SELECT doc_id, regexp_replace(u, '#.*$', '') AS u FROM c1),

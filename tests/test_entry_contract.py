@@ -8,6 +8,17 @@ import __spark_entry__ as entry
 from jsonschemaparse_spark.plans import VALID_COL, validate_dataframe
 
 
+def test_single_oracle_definition():
+    # Guard against the r4 mis-merge: a dead duplicate oracle_sql() block
+    # shadowed by last-definition-wins would silently swallow future edits.
+    import pathlib
+
+    source = pathlib.Path(entry.__file__).read_text()
+    assert source.count("def oracle_sql") == 1
+    assert source.count("def queries") == 1
+    assert source.count("def entry") == 1
+
+
 def test_contract_shape():
     qs = entry.queries()
     oracles = entry.oracle_sql()
