@@ -26,13 +26,9 @@ def test_contract_shape():
     assert len(qs) >= 20
     # the weak (rows-only) set is intentional and small
     rows_only = set(qs) - set(oracles)
-    assert rows_only <= {
-        "ks_drift_nchars", "webpages_flagship", "simhash_sample", "chi2_drift_lang",
-        # genuinely approximate by design: result depends on the k-means
-        # listing — graded by recall floors + deterministic snapshot in
-        # tests/test_round4_fixes.py instead of SQL reproduction
-        "ann_ivf_partial",
-    }
+    # r5: ann_ivf_partial gained a golden-snapshot oracle — every query is
+    # now oracled (rows_only must be empty).
+    assert rows_only == set()
 
 
 def test_entry_smoke(spark):
