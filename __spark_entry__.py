@@ -305,17 +305,20 @@ def _multiline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality rules (Rae et al. 2021 A1.1) over a constructed
-    multi-line corpus — every metric is a codegen expression the DuckDB
-    oracle reproduces arithmetically."""
-    from jsonschemaparse_spark.functions.text import gopher_quality_flags
+    multi-line corpus — the FULL set including the top-2/3/4-gram char
+    fractions (r5); every metric is reproduced arithmetically by the
+    DuckDB oracle."""
+    from jsonschemaparse_spark.functions.text import gopher_quality_full
 
-    out = gopher_quality_flags(_multiline_docs(spark, sf_dir))
+    out = gopher_quality_full(_multiline_docs(spark, sf_dir))
     return out.select(
         "doc_id", "n_words", "mean_word_length", "symbol_word_ratio",
         "bullet_line_fraction", "ellipsis_line_fraction",
         "alpha_word_fraction", "duplicate_line_fraction",
         "duplicate_paragraph_fraction", "duplicate_line_char_fraction",
         "duplicate_paragraph_char_fraction", "gopher_keep",
+        "top_2gram_char_fraction", "top_3gram_char_fraction",
+        "top_4gram_char_fraction", "gopher_keep_full",
     )
 
 
@@ -902,8 +905,42 @@ r AS (
                / list_aggregate(list_transform(paras, x -> length(x)), 'sum')
           ELSE 0 END, 6) AS duplicate_paragraph_char_fraction
   FROM feats
+),
+-- r5: top-n-gram char fractions (same conventions as
+-- gopher_top_ngram_fractions: space-joined word n-grams, denominator =
+-- length of the space-rejoined words, tie-break count DESC then gram DESC)
+wtc AS (
+  SELECT doc_id, words, length(array_to_string(words, ' ')) AS tc FROM feats
+),
+gr AS (
+  SELECT doc_id, tc, n,
+    CASE WHEN len(words) >= n THEN
+      list_transform(generate_series(1, len(words) - n + 1),
+                     i -> array_to_string(words[i:i+n-1], ' '))
+    ELSE [] END AS gs
+  FROM wtc CROSS JOIN (SELECT unnest([2, 3, 4]) AS n) ns
+),
+cnts AS (
+  SELECT doc_id, tc, n, gram, COUNT(*) AS cnt
+  FROM (SELECT doc_id, tc, n, unnest(gs) AS gram FROM gr) x
+  GROUP BY doc_id, tc, n, gram
+),
+tops AS (
+  SELECT doc_id, n, ROUND(cnt * length(gram) * 1.0 / tc, 6) AS frac
+  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, n
+                                     ORDER BY cnt DESC, gram DESC) AS rn
+        FROM cnts) t
+  WHERE rn = 1 AND tc > 0
+),
+ng AS (
+  SELECT r.doc_id,
+         coalesce(MAX(CASE WHEN n = 2 THEN frac END), 0.0) AS top_2gram_char_fraction,
+         coalesce(MAX(CASE WHEN n = 3 THEN frac END), 0.0) AS top_3gram_char_fraction,
+         coalesce(MAX(CASE WHEN n = 4 THEN frac END), 0.0) AS top_4gram_char_fraction
+  FROM r LEFT JOIN tops ON r.doc_id = tops.doc_id
+  GROUP BY r.doc_id
 )
-SELECT *,
+SELECT r.*,
   (n_words >= 50 AND n_words <= 100000
    AND mean_word_length >= 3 AND mean_word_length <= 10
    AND symbol_word_ratio <= 0.1
@@ -913,8 +950,23 @@ SELECT *,
    AND duplicate_line_fraction <= 0.3
    AND duplicate_paragraph_fraction <= 0.3
    AND duplicate_line_char_fraction <= 0.2
-   AND duplicate_paragraph_char_fraction <= 0.2) AS gopher_keep
-FROM r
+   AND duplicate_paragraph_char_fraction <= 0.2) AS gopher_keep,
+  ng.top_2gram_char_fraction, ng.top_3gram_char_fraction,
+  ng.top_4gram_char_fraction,
+  ((n_words >= 50 AND n_words <= 100000
+   AND mean_word_length >= 3 AND mean_word_length <= 10
+   AND symbol_word_ratio <= 0.1
+   AND bullet_line_fraction <= 0.9
+   AND ellipsis_line_fraction <= 0.3
+   AND alpha_word_fraction >= 0.8
+   AND duplicate_line_fraction <= 0.3
+   AND duplicate_paragraph_fraction <= 0.3
+   AND duplicate_line_char_fraction <= 0.2
+   AND duplicate_paragraph_char_fraction <= 0.2)
+   AND ng.top_2gram_char_fraction <= 0.20
+   AND ng.top_3gram_char_fraction <= 0.18
+   AND ng.top_4gram_char_fraction <= 0.16) AS gopher_keep_full
+FROM r JOIN ng ON r.doc_id = ng.doc_id
 """,
         "c4_quality": r"""
 WITH m AS (

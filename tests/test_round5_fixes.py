@@ -1,0 +1,122 @@
+"""Round-5 verdict tasks: gopher top-n-gram fractions, char-fraction cap,
+C4 sentence-span dedup, golden IVF oracle."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r4 #3: gopher top-2..4-gram char fractions
+# ---------------------------------------------------------------------------
+def test_top_ngram_fractions_hand_computed(spark):
+    from jsonschemaparse_spark.functions.text import gopher_top_ngram_fractions
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat the cat sat again and again and again ok"),
+            (2, "a b"),
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["top_2gram_char_fraction"],
+            r["top_3gram_char_fraction"],
+            r["top_4gram_char_fraction"],
+        )
+        for r in gopher_top_ngram_fractions(df).collect()
+    }
+    # doc 1: 14 words, rejoined length 63.
+    #   top 2-gram "the cat" x2 -> 2*7/63; top 3-gram "the cat sat" x2 ->
+    #   2*11/63; 4-grams all unique -> tie-break picks the lexicographically
+    #   greatest, "the mat the cat" (len 15) -> 15/63.
+    assert got[1] == (
+        round(14 / 63, 6),
+        round(22 / 63, 6),
+        round(15 / 63, 6),
+    )
+    # doc 2: single 2-gram covers the whole text; no 3/4-grams.
+    assert got[2] == (1.0, 0.0, 0.0)
+    # empty / NULL -> all zeros
+    assert got[3] == (0.0, 0.0, 0.0)
+    assert got[4] == (0.0, 0.0, 0.0)
+
+
+def test_top_ngram_overlapping_exceeds_one(spark):
+    """Overlapping occurrences all count — degenerate repetition can push a
+    fraction past 1.0, which is fine: the gate thresholds are <= 0.2."""
+    from jsonschemaparse_spark.functions.text import gopher_top_ngram_fractions
+
+    df = spark.createDataFrame(
+        [(1, "x y x y x y x y x y x y")], "doc_id long, text string"
+    )
+    r = gopher_top_ngram_fractions(df).collect()[0]
+    # 12 words, tc=23; "x y" x6 -> 18/23
+    assert r["top_2gram_char_fraction"] == round(18 / 23, 6)
+    assert r["top_4gram_char_fraction"] > 1.0
+
+
+def test_gopher_quality_full_keep(spark):
+    from jsonschemaparse_spark.functions.text import gopher_quality_full
+
+    # 80 distinct words, every bigram unique -> top fractions stay tiny
+    clean_words = " ".join(f"word{i}x" for i in range(80))
+    repetitive = "spam eggs " * 60  # top 2-gram dominates
+    df = spark.createDataFrame(
+        [(1, clean_words), (2, repetitive.strip())], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in gopher_quality_full(df).collect()}
+    assert rows[1]["gopher_keep_full"] == rows[1]["gopher_keep"]
+    # the repetitive doc passes nothing n-gram-wise
+    assert rows[2]["top_2gram_char_fraction"] > 0.2
+    assert not rows[2]["gopher_keep_full"]
+
+
+def test_top_ngram_plan_has_single_explode_and_combine(spark):
+    """Scale shape: one Generate (explode) feeding partial/final aggregates;
+    no window, no python UDF."""
+    from jsonschemaparse_spark.functions.text import gopher_top_ngram_fractions
+
+    df = spark.createDataFrame([(1, "a b c a b")], "doc_id long, text string")
+    plan = gopher_top_ngram_fractions(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate explode") == 1
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r4 #7: O(L^2) char-fraction guard on degenerate line counts
+# ---------------------------------------------------------------------------
+def test_char_fraction_cap_pathological_doc(spark):
+    from jsonschemaparse_spark.functions.text import gopher_quality_flags
+
+    many = "\n".join(f"line {i}" for i in range(50_000))
+    small = "one line\ntwo line"
+    df = spark.createDataFrame(
+        [(1, many), (2, small)], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in gopher_quality_flags(df, char_fraction_max_items=1000).collect()
+    }
+    assert rows[1]["char_fraction_truncated"] is True
+    assert rows[2]["char_fraction_truncated"] is False
+    # capped metrics still well-defined (all lines unique -> 0 dup chars)
+    assert rows[1]["duplicate_line_char_fraction"] == 0.0
+    # count-based fraction stays exact and uncapped
+    assert rows[1]["duplicate_line_fraction"] == 0.0
+
+
+def test_char_fraction_default_cap_no_effect_on_small_docs(spark):
+    from jsonschemaparse_spark.functions.text import gopher_quality_flags
+
+    df = spark.createDataFrame(
+        [(1, "dup\ndup\nunique one\nunique two")], "doc_id long, text string"
+    )
+    r = gopher_quality_flags(df).collect()[0]
+    assert r["char_fraction_truncated"] is False
+    # 2 dup lines of 3 chars each out of 3+3+10+10 = 26
+    assert r["duplicate_line_char_fraction"] == round(6 / 26, 6)
