@@ -335,6 +335,43 @@ def q_c4_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sentence_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sentence-structured corpus for the C4 span ops: the
+    shipped documents carry no sentence punctuation, so build the SAME text
+    in Spark and DuckDB — a 3-sentence intro shared by all docs, a unique
+    per-doc body sentence, and a 3-sentence tail shared within doc_id%3."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    k = (F.col("doc_id") % 3).cast("string")
+    t2 = F.concat(
+        F.lit("Shared intro sentence. Common second point. Common third point."),
+        F.lit(" Unique body "), F.col("doc_id").cast("string"),
+        F.lit(" says something."),
+        F.lit(" Tail variant "), k, F.lit(" one."),
+        F.lit(" Tail variant "), k, F.lit(" two."),
+        F.lit(" Tail variant "), k, F.lit(" three."),
+    )
+    return d.select("doc_id", t2.alias("text"))
+
+
+def q_c4_span_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 three-sentence-span duplicate groups over the constructed corpus:
+    the all-docs intro span plus one tail span per doc_id%3 variant."""
+    from jsonschemaparse_spark.functions.dedup import duplicate_span_groups
+
+    return duplicate_span_groups(_sentence_docs(spark, sf_dir), "doc_id")
+
+
+def q_c4_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 span REMOVAL (keep-first): rebuilt text per doc after deleting
+    every non-first occurrence of each duplicated 3-sentence span; the
+    DuckDB oracle re-runs the whole algorithm (window rank + anti join +
+    ordered string_agg), not a hand-derived expectation."""
+    from jsonschemaparse_spark.functions.dedup import remove_duplicate_spans
+
+    out = remove_duplicate_spans(_sentence_docs(spark, sf_dir), "doc_id")
+    return out.select("doc_id", "text")
+
+
 def q_duplicate_line_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document line dedup (boilerplate detection): lines appearing
     in >= 50 distinct docs of the constructed corpus."""
@@ -546,6 +583,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_positions_events": q_json_positions_events,
         "gopher_quality": q_gopher_quality,
         "duplicate_line_groups": q_duplicate_line_groups,
+        "c4_span_groups": q_c4_span_groups,
+        "c4_span_dedup": q_c4_span_dedup,
         "c4_quality": q_c4_quality,
         "canonical_urls": q_canonical_urls,
         "ks_drift_nchars": q_ks_drift_nchars,
@@ -1010,6 +1049,87 @@ l AS (
 SELECT line, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences
 FROM l WHERE line <> ''
 GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 50
+""",
+        "c4_span_groups": r"""
+WITH m AS (
+  SELECT doc_id,
+    'Shared intro sentence. Common second point. Common third point.' ||
+    ' Unique body ' || CAST(doc_id AS VARCHAR) || ' says something.' ||
+    ' Tail variant ' || CAST(doc_id % 3 AS VARCHAR) || ' one.' ||
+    ' Tail variant ' || CAST(doc_id % 3 AS VARCHAR) || ' two.' ||
+    ' Tail variant ' || CAST(doc_id % 3 AS VARCHAR) || ' three.' AS text
+  FROM documents WHERE doc_id < 300
+),
+nc AS (
+  SELECT doc_id,
+    list_transform(regexp_extract_all(text, '[^.!?]*[.!?]+|[^.!?]+$'),
+                   c -> regexp_replace(lower(trim(c)), '\s+', ' ', 'g')) AS n
+  FROM m
+),
+spl AS (
+  SELECT doc_id,
+    CASE WHEN len(n) >= 3 THEN
+      list_transform(generate_series(1, len(n) - 2),
+                     i -> array_to_string(n[i:i+2], ' '))
+    ELSE [] END AS spans
+  FROM nc
+),
+sp AS (
+  SELECT doc_id, i AS pos, spans[i] AS span
+  FROM spl, unnest(generate_series(1, len(spans))) AS t(i)
+)
+SELECT span, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences
+FROM sp GROUP BY span HAVING COUNT(*) >= 2
+""",
+        "c4_span_dedup": r"""
+WITH m AS (
+  SELECT doc_id,
+    'Shared intro sentence. Common second point. Common third point.' ||
+    ' Unique body ' || CAST(doc_id AS VARCHAR) || ' says something.' ||
+    ' Tail variant ' || CAST(doc_id % 3 AS VARCHAR) || ' one.' ||
+    ' Tail variant ' || CAST(doc_id % 3 AS VARCHAR) || ' two.' ||
+    ' Tail variant ' || CAST(doc_id % 3 AS VARCHAR) || ' three.' AS text
+  FROM documents WHERE doc_id < 300
+),
+ch AS (
+  SELECT doc_id, regexp_extract_all(text, '[^.!?]*[.!?]+|[^.!?]+$') AS chunks
+  FROM m
+),
+spl AS (
+  SELECT doc_id,
+    CASE WHEN len(chunks) >= 3 THEN
+      list_transform(generate_series(1, len(chunks) - 2),
+        i -> array_to_string(
+               list_transform(chunks[i:i+2],
+                              c -> regexp_replace(lower(trim(c)), '\s+', ' ', 'g')),
+               ' '))
+    ELSE [] END AS spans
+  FROM ch
+),
+sp AS (
+  SELECT doc_id, i AS pos, spans[i] AS span
+  FROM spl, unnest(generate_series(1, len(spans))) AS t(i)
+),
+d AS (SELECT span FROM sp GROUP BY span HAVING COUNT(*) >= 2),
+ranked AS (
+  SELECT sp.doc_id, sp.pos,
+         row_number() OVER (PARTITION BY sp.span ORDER BY sp.doc_id, sp.pos) AS rn
+  FROM sp JOIN d USING (span)
+),
+victims AS (
+  SELECT DISTINCT doc_id, pos + o AS idx
+  FROM ranked, unnest([0, 1, 2]) AS t(o) WHERE rn > 1
+),
+chl AS (
+  SELECT doc_id, i AS idx, chunks[i] AS chunk
+  FROM ch, unnest(generate_series(1, len(chunks))) AS t(i)
+),
+kept AS (SELECT * FROM chl ANTI JOIN victims USING (doc_id, idx)),
+rebuilt AS (
+  SELECT doc_id, string_agg(chunk, '' ORDER BY idx) AS text FROM kept GROUP BY doc_id
+)
+SELECT m.doc_id, coalesce(rebuilt.text, '') AS text
+FROM m LEFT JOIN rebuilt USING (doc_id)
 """,
         "canonical_urls": r"""
 WITH u AS (

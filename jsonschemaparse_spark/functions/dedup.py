@@ -615,3 +615,130 @@ def strip_boilerplate_lines(
         .withColumn(out_col, F.coalesce(F.col("_jsp_rebuilt"), F.lit("")))
         .drop("_jsp_rebuilt")
     )
+
+
+# ---------------------------------------------------------------------------
+# C4 three-sentence-span dedup (Raffel et al. 2020 §2.2: "we discarded any
+# repeated occurrence of any three-sentence span"). Keep-first semantics:
+# the globally first occurrence (min (doc, span_pos)) of each duplicated
+# span survives; every other occurrence has its sentences removed.
+# ---------------------------------------------------------------------------
+# Sentence chunks tile the text exactly (concatenating them reproduces the
+# input byte-for-byte): runs ending in sentence punctuation, plus a trailing
+# punctuation-free remainder. No lookarounds — the same pattern runs on
+# Java regex (Spark) and RE2 (the DuckDB oracle).
+SENTENCE_CHUNK_RE = r"[^.!?]*[.!?]+|[^.!?]+$"
+
+
+def _sentence_chunks(text_col: Column) -> Column:
+    return F.regexp_extract_all(
+        F.coalesce(text_col, F.lit("")), F.lit(SENTENCE_CHUNK_RE), 0)
+
+
+def _span_rows(df: DataFrame, id_col: str, text_col: str,
+               span_sentences: int) -> DataFrame:
+    """One row per (doc, span_pos, span): normalized `span_sentences`-long
+    sliding windows over the doc's sentence chunks. span_pos is the 0-based
+    index of the span's FIRST sentence chunk."""
+    k = span_sentences
+    chunks = _sentence_chunks(F.col(text_col))
+    norm = F.transform(chunks, normalized_text)
+    spans = F.when(
+        F.size(norm) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(norm) - (k - 1)),
+            lambda i: F.array_join(F.slice(norm, i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col).alias("_jsp_doc"),
+        F.posexplode(spans).alias("_jsp_pos", "_jsp_span"),
+    )
+
+
+def duplicate_span_groups(
+    df: DataFrame, id_col: str, text_col: str = "text",
+    span_sentences: int = 3, min_occurrences: int = 2,
+) -> DataFrame:
+    """(span, n_docs, n_occurrences) for normalized sentence spans occurring
+    at least `min_occurrences` times corpus-wide (C4 counts occurrences, not
+    documents — an in-document repeat is a duplicate too). Shuffle key = the
+    span (high-cardinality, map-side combine), the duplicate_line_groups
+    shape one level up the granularity ladder."""
+    return (
+        _span_rows(df, id_col, text_col, span_sentences)
+        .groupBy(F.col("_jsp_span").alias("span"))
+        .agg(
+            F.countDistinct("_jsp_doc").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_occurrences") >= min_occurrences)
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame, id_col: str, text_col: str = "text",
+    span_sentences: int = 3, out_col: str | None = None,
+) -> DataFrame:
+    """C4 span dedup with keep-first semantics: for every span repeated
+    anywhere in the corpus, the occurrence with the smallest (doc, span_pos)
+    is kept and all other occurrences' sentences are deleted; surviving
+    chunks are re-concatenated verbatim (the chunk regex tiles the text, so
+    an untouched document round-trips byte-identically).
+
+    Scale shape (mirrors strip_boilerplate_lines): spans shuffle once on
+    the span string with map-side combine; the duplicated-span set — the
+    only thing joined back — is small relative to the corpus (it IS the
+    boilerplate) and broadcast-shrinks under AQE; victim sentence indices
+    explode to <= span_sentences rows per removed occurrence; the rebuild
+    shuffles one (doc, pos, chunk) row per KEPT sentence. A sentence is
+    removed if ANY non-first duplicated span covers it, so a kept first
+    occurrence can still lose sentences to an overlapping victim span —
+    same behavior as sentence-marking C4 implementations."""
+    k = span_sentences
+    out_col = out_col or text_col
+    occ = _span_rows(df, id_col, text_col, k)
+    firsts = (
+        occ.groupBy("_jsp_span")
+        .agg(
+            F.min(F.struct("_jsp_doc", "_jsp_pos")).alias("_jsp_first"),
+            F.count(F.lit(1)).alias("_jsp_n"),
+        )
+        .filter(F.col("_jsp_n") >= 2)
+        .select("_jsp_span", "_jsp_first")
+    )
+    victims = (
+        occ.join(firsts, "_jsp_span")
+        .filter(
+            (F.col("_jsp_doc") != F.col("_jsp_first._jsp_doc"))
+            | (F.col("_jsp_pos") != F.col("_jsp_first._jsp_pos"))
+        )
+        .select(
+            "_jsp_doc",
+            F.explode(
+                F.sequence(F.col("_jsp_pos"), F.col("_jsp_pos") + (k - 1))
+            ).alias("_jsp_idx"),
+        )
+        .distinct()
+    )
+    exploded = df.select(
+        F.col(id_col).alias("_jsp_doc"),
+        F.posexplode(_sentence_chunks(F.col(text_col))).alias(
+            "_jsp_idx", "_jsp_chunk"),
+    )
+    kept = exploded.join(victims, ["_jsp_doc", "_jsp_idx"], "left_anti")
+    rebuilt = kept.groupBy("_jsp_doc").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_jsp_idx", "_jsp_chunk"))),
+                lambda s: s.getField("_jsp_chunk"),
+            ),
+            "",
+        ).alias("_jsp_rebuilt")
+    )
+    return (
+        df.join(rebuilt, df[id_col] == rebuilt["_jsp_doc"], "left")
+        .drop("_jsp_doc")
+        .withColumn(out_col, F.coalesce(F.col("_jsp_rebuilt"), F.lit("")))
+        .drop("_jsp_rebuilt")
+    )

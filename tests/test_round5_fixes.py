@@ -120,3 +120,83 @@ def test_char_fraction_default_cap_no_effect_on_small_docs(spark):
     assert r["char_fraction_truncated"] is False
     # 2 dup lines of 3 chars each out of 3+3+10+10 = 26
     assert r["duplicate_line_char_fraction"] == round(6 / 26, 6)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r4 #4: C4 three-sentence-span dedup
+# ---------------------------------------------------------------------------
+def test_span_groups_and_keep_first(spark):
+    from jsonschemaparse_spark.functions.dedup import (
+        duplicate_span_groups,
+        remove_duplicate_spans,
+    )
+
+    docs = [
+        (1, "Alpha one. Beta two. Gamma three. Unique tail A."),
+        (2, "Intro B! Alpha one. Beta two. Gamma three. Closing B."),
+        (3, "Totally unrelated. Nothing shared here. Still nothing. Bye."),
+        (4, "Alpha one. Beta two. Gamma three."),
+        (5, ""),
+        (6, "No terminal punctuation at all"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    groups = duplicate_span_groups(df, "doc_id").collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g["span"] == "alpha one. beta two. gamma three."
+    assert (g["n_docs"], g["n_occurrences"]) == (3, 3)
+
+    out = {r["doc_id"]: r["text"]
+           for r in remove_duplicate_spans(df, "doc_id").collect()}
+    # first occurrence (doc 1, pos 0) keeps the span; later ones lose it
+    assert out[1] == docs[0][1]
+    assert out[2] == "Intro B! Closing B."
+    assert out[4] == ""
+    # untouched docs round-trip byte-identically (chunk regex tiles text)
+    assert out[3] == docs[2][1]
+    assert out[6] == docs[5][1]
+    assert out[5] == ""
+
+
+def test_span_dedup_in_document_repeat(spark):
+    """C4 counts occurrences, not documents: a span repeated INSIDE one doc
+    is a duplicate; the second in-doc occurrence is removed."""
+    from jsonschemaparse_spark.functions.dedup import remove_duplicate_spans
+
+    rep = "One a. Two b. Three c. Bridge x. One a. Two b. Three c."
+    df = spark.createDataFrame([(1, rep)], "doc_id long, text string")
+    out = remove_duplicate_spans(df, "doc_id").collect()[0]["text"]
+    assert out == "One a. Two b. Three c. Bridge x."
+
+
+def test_span_dedup_normalized_matching(spark):
+    """Matching is on normalized sentences (case/whitespace-insensitive)
+    but kept text is emitted verbatim."""
+    from jsonschemaparse_spark.functions.dedup import remove_duplicate_spans
+
+    docs = [
+        (1, "Alpha one. Beta two. Gamma three."),
+        (2, "ALPHA   one.  Beta two.   gamma THREE."),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"]
+           for r in remove_duplicate_spans(df, "doc_id").collect()}
+    assert out[1] == docs[0][1]  # verbatim, not normalized
+    assert out[2] == ""
+
+
+def test_span_dedup_overlap_can_bite_kept_occurrence(spark):
+    """Documented semantics: a sentence is removed when ANY non-first
+    duplicated span covers it, even if another span's FIRST occurrence
+    also covers it (sentence-marking C4 behavior)."""
+    from jsonschemaparse_spark.functions.dedup import remove_duplicate_spans
+
+    docs = [
+        (1, "A a. B b. C c."),
+        (2, "Zz z. A a. B b. C c."),  # span (A,B,C) dup; (Zz,A,B) unique
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"]
+           for r in remove_duplicate_spans(df, "doc_id").collect()}
+    assert out[1] == docs[0][1]
+    assert out[2] == "Zz z."
