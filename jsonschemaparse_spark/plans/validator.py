@@ -128,6 +128,17 @@ class ValidationResult:
                 "actual", "message",
             )
         else:
+            # positioned results (validate_json_column(positions=True))
+            # carry line/column in the struct — surface them as columns
+            vfields = {
+                f.name
+                for f in self.annotated.schema[VIOLATIONS_COL]
+                .dataType.elementType.fields
+            }
+            pos_cols = (
+                [F.col("v.line").alias("line"), F.col("v.column").alias("column")]
+                if "line" in vfields else []
+            )
             out = self.annotated.select(*self.key_cols, v).select(
                 *self.key_cols,
                 F.col("v.constraint_id").alias("constraint_id"),
@@ -136,6 +147,7 @@ class ValidationResult:
                 F.col("v.expected").alias("expected"),
                 F.col("v.actual").alias("actual"),
                 F.col("v.message").alias("message"),
+                *pos_cols,
             )
         if self.py_viols_col is not None:
             pv = F.explode(F.col(self.py_viols_col)).alias("v")
