@@ -41,6 +41,19 @@ def _violations_path(state_dir: str) -> str:
     return os.path.join(state_dir, "violations")
 
 
+def _read_verdicts(spark, metrics_path: str, snapshot_id: str,
+                   schema: str) -> DataFrame:
+    """This snapshot's per-file metric rows — or an empty frame with the
+    same schema when the metrics store was never written (zero input
+    files on a fresh state dir; the bare read would raise
+    AnalysisException, ADVICE r4)."""
+    if os.path.exists(metrics_path):
+        return spark.read.parquet(metrics_path).filter(
+            F.col("snapshot_id") == snapshot_id
+        )
+    return spark.createDataFrame([], schema)
+
+
 def run_with_checkpoint(
     spark: SparkSession,
     input_path: str,
@@ -108,8 +121,10 @@ def run_with_checkpoint(
             .add("message", "string")
         violations = spark.createDataFrame([], schema)
 
-    verdicts = spark.read.parquet(metrics_path).filter(
-        F.col("snapshot_id") == snapshot_id
+    verdicts = _read_verdicts(
+        spark, metrics_path, snapshot_id,
+        "snapshot_id string, file string, n_rows long, n_failed_rows long, "
+        "n_violations long, pass boolean",
     )
     return CheckpointedRun(
         verdicts=verdicts,
@@ -299,8 +314,10 @@ def run_json_with_checkpoint(
             .add("actual", "string").add("message", "string")
         violations = spark.createDataFrame([], schema)
 
-    verdicts = spark.read.parquet(metrics_path).filter(
-        F.col("snapshot_id") == snapshot_id
+    verdicts = _read_verdicts(
+        spark, metrics_path, snapshot_id,
+        "snapshot_id string, file string, n_rows long, n_failed_rows long, "
+        "n_violations long, pass boolean, clean_typed_ok boolean",
     )
     engine_used = (
         "mixed" if (auto_files and typed_files)

@@ -108,12 +108,14 @@ class SchemaRegistry:
             # re-import returns the PREVIOUS instance; a different
             # definition under the same URI is an error. Identity is the
             # serialized ORIGINAL form, like JSON.stringify — booleans and
-            # $id-divergent schemas included.
-            if json.dumps(self._import_sources[key]) != json.dumps(schema):
+            # $id-divergent schemas included. The stored side is a
+            # SNAPSHOT taken at import time (ADVICE r4: storing the live
+            # object let a caller's later mutation corrupt the check).
+            if self._import_sources[key] != json.dumps(schema):
                 raise SchemaError("Schema already defined: <" + key + ">")
             return self._imports[key]
         compiled = CompiledSchema(uri, schema, self)
-        self._import_sources[key] = schema
+        self._import_sources[key] = json.dumps(schema)
         self._imports[key] = compiled
         return compiled
 

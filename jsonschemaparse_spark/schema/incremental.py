@@ -187,6 +187,12 @@ class IncrementalJSONParser:
         self._last_nl_abs: Optional[int] = None
         self._ref_line = 0
         self._stack: list[tuple] = []   # ('O', dict, pending_key) | ('A', list)
+        # incomplete-string scan resume point (ADVICE r4: a long string
+        # delivered in many chunks must not rescan from the opening quote
+        # on every write). (token_start, next_scan_index); valid while the
+        # token is pending — _pos cannot move and _buf only appends until
+        # the string completes, so absolute indices stay stable.
+        self._str_resume: Optional[tuple[int, int]] = None
         # reference-position map for every parsed VALUE (track_positions
         # only), keyed by the same path strings the evaluator emits
         # (''/a/0...). Anchors pinned by executing the reference (r4):
@@ -451,7 +457,13 @@ class IncrementalJSONParser:
         control chars error AT THE OFFENDING CHAR (reference STRING2-6
         anchoring); decode of a clean token goes through loads_strict."""
         buf, start = self._buf, self._pos
-        i = start + 1
+        # resume where the previous write() stopped scanning this same
+        # pending token: each chunk is scanned once, O(L) total. Restarting
+        # at a backslash re-checks at most one escape (<= 5 chars).
+        if self._str_resume is not None and self._str_resume[0] == start:
+            i = self._str_resume[1]
+        else:
+            i = start + 1
         n = len(buf)
         cap = self._string_cap(is_key)
         mid_escape = False  # at buffer end: inside \x / \uXXXX (STRING2-6)?
@@ -487,6 +499,7 @@ class IncrementalJSONParser:
                 i = j + 1
                 continue
             if c == '"':
+                self._str_resume = None
                 raw = buf[start:i + 1]
                 try:
                     val = loads_strict(raw)
@@ -514,6 +527,7 @@ class IncrementalJSONParser:
             # states (STRING2-6).
             plus = 0 if (mid_escape or i == start + 1) else 1
             raise self._err_eof(col_plus=plus)
+        self._str_resume = (start, i)
         return None
 
     def _take_literal(self, eof: bool):
