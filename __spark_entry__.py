@@ -325,13 +325,16 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_c4_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 cleaning signals (Raffel et al. 2020 §2.2) over the constructed
     multi-line corpus — sentence counts, code/lorem smells, terminal-punct
-    line fraction, keep verdict; all SQL-reproducible."""
+    line fraction, keep verdict; all SQL-reproducible. r5: exercises the
+    bad-words policy hook with a tiny deterministic lexicon (one token
+    entry that never fires + one phrase entry hitting doc_id%3==2)."""
     from jsonschemaparse_spark.functions.text import c4_quality_flags
 
-    out = c4_quality_flags(_multiline_docs(spark, sf_dir))
+    out = c4_quality_flags(_multiline_docs(spark, sf_dir),
+                           badwords=["zzzunusedtoken", "footer 2"])
     return out.select(
         "doc_id", "n_sentences", "has_lorem_ipsum", "has_curly_brace",
-        "terminal_punct_line_fraction", "c4_keep",
+        "terminal_punct_line_fraction", "has_bad_word", "c4_keep",
     )
 
 
@@ -1028,9 +1031,15 @@ SELECT doc_id,
   ROUND(CASE WHEN len(lines) > 0
         THEN len(list_filter(lines, l -> regexp_matches(trim(l), '[.!?\"]$'))) * 1.0 / len(lines)
         ELSE 0 END, 6) AS terminal_punct_line_fraction,
+  (list_has_any(list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> ''),
+                ['zzzunusedtoken'])
+   OR contains(lower(text), 'footer 2')) AS has_bad_word,
   (len(list_filter(regexp_split_to_array(text, '[.!?]'), s -> trim(s) <> '')) >= 3
    AND NOT contains(lower(text), 'lorem ipsum')
-   AND NOT contains(text, '{')) AS c4_keep
+   AND NOT contains(text, '{')
+   AND NOT (list_has_any(list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> ''),
+                         ['zzzunusedtoken'])
+            OR contains(lower(text), 'footer 2'))) AS c4_keep
 FROM f
 """,
         "duplicate_line_groups": r"""

@@ -370,14 +370,22 @@ def gopher_quality_full(df: DataFrame, id_col: str = "doc_id",
 # C4-style cleaning (Raffel et al. 2020 §2.2 — the other canonical
 # web-pipeline gate next to the Gopher rules). One codegen projection.
 # ---------------------------------------------------------------------------
-def c4_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+def c4_quality_flags(df: DataFrame, text_col: str = "text",
+                     badwords: "list[str] | None" = None) -> DataFrame:
     """Document-level C4 signals + keep verdict:
       n_sentences (terminal-punct splits), has_lorem_ipsum,
       has_curly_brace (code smell), terminal_punct_line_fraction,
-      c4_keep = n_sentences >= 3 AND no lorem ipsum AND no '{'.
-    (C4 also drops docs with bad words and dedupes three-sentence spans —
-    the lexicon is policy, not engine, and span dedup is
-    duplicate_line_groups' territory; both documented, not silent.)"""
+      c4_keep = n_sentences >= 3 AND no lorem ipsum AND no '{'
+                AND (badwords given => no bad word).
+
+    badwords (r5, VERDICT r4 #10): the engine MECHANISM for C4's
+    bad-word page drop — the lexicon itself stays policy and is injected
+    by the caller. Single-token entries match lowercased
+    whitespace-split words exactly (arrays_overlap against an in-plan
+    literal array — whole-stage codegen, no shuffle); entries containing
+    a space match as substrings of the lowercased text (C4 phrase
+    behavior). When set, adds has_bad_word and ANDs its negation into
+    c4_keep. Span dedup lives in dedup.remove_duplicate_spans."""
     t = F.coalesce(F.col(text_col), F.lit(""))
     lines = F.filter(F.split(t, "\n"), lambda ln: F.trim(ln) != F.lit(""))
     n_lines = F.size(lines)
@@ -396,11 +404,25 @@ def c4_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
                     .otherwise(F.lit(0.0)), 6),
         )
     )
-    return out.withColumn(
-        "c4_keep",
+    keep = (
         (F.col("n_sentences") >= 3)
-        & ~F.col("has_lorem_ipsum") & ~F.col("has_curly_brace"),
+        & ~F.col("has_lorem_ipsum") & ~F.col("has_curly_brace")
     )
+    if badwords is not None:
+        low = F.lower(t)
+        words = [w.lower() for w in badwords if " " not in w]
+        phrases = [w.lower() for w in badwords if " " in w]
+        hit = F.lit(False)
+        if words:
+            doc_words = F.filter(F.split(low, r"\s+"),
+                                 lambda w: w != F.lit(""))
+            hit = hit | F.arrays_overlap(
+                doc_words, F.array(*[F.lit(w) for w in words]))
+        for p in phrases:
+            hit = hit | low.contains(p)
+        out = out.withColumn("has_bad_word", hit)
+        keep = keep & ~F.col("has_bad_word")
+    return out.withColumn("c4_keep", keep)
 
 
 def c4_line_filter(df: DataFrame, text_col: str = "text",

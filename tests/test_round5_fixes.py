@@ -365,3 +365,33 @@ def test_import_schema_snapshot_identity():
 
     with _pytest.raises(Exception, match="already defined"):
         reg.import_schema("http://example.com/s", schema)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r4 #10: bad-words policy hook on the C4 gate
+# ---------------------------------------------------------------------------
+def test_c4_badwords_hook(spark):
+    from jsonschemaparse_spark.functions.text import c4_quality_flags
+
+    docs = [
+        (1, "Good page one. Fine page two. Clean page three."),
+        (2, "Good page one. BADTOKEN in line. Clean page three."),
+        (3, "Good page one. a bad phrase appears here. Clean page three."),
+        (4, "Good page one. badtokenish compound untouched. Page three."),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in c4_quality_flags(
+            df, badwords=["badtoken", "bad phrase"]
+        ).collect()
+    }
+    assert not out[1]["has_bad_word"] and out[1]["c4_keep"]
+    # token entries match whole lowercased words
+    assert out[2]["has_bad_word"] and not out[2]["c4_keep"]
+    # phrase entries match as substrings
+    assert out[3]["has_bad_word"] and not out[3]["c4_keep"]
+    # compound words do NOT match token entries
+    assert not out[4]["has_bad_word"] and out[4]["c4_keep"]
+    # no lexicon -> no has_bad_word column, verdict unchanged
+    assert "has_bad_word" not in c4_quality_flags(df).columns
