@@ -118,15 +118,24 @@ def minhash_signature(text: Column, num_hashes: int = 8, k: int = 3,
     if hash_mode == "fast":
         words = F.split(normalized_text(text), " ")
         n = F.size(words)
+        # index 0 marks the short-text fallback (n < k): hash the whole
+        # text, like the portable path. Guarding with when() matters under
+        # ANSI mode — element_at past the array end would raise, and a
+        # web corpus always has sub-k-word documents (r5 smoke finding).
         idxs = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
-            F.array(F.lit(1))
+            F.array(F.lit(0))
         )
         hs = F.array_distinct(
             F.transform(
                 idxs,
-                lambda j: F.abs(
-                    F.xxhash64(*[F.element_at(words, j + i) for i in range(k)])
-                ) % MINHASH_P,
+                lambda j: F.when(
+                    j > 0,
+                    F.abs(
+                        F.xxhash64(*[F.element_at(words, j + i) for i in range(k)])
+                    ) % MINHASH_P,
+                ).otherwise(
+                    F.abs(F.xxhash64(F.array_join(words, " "))) % MINHASH_P
+                ),
             )
         )
     else:
@@ -207,15 +216,24 @@ def minhash_signatures_agg(
         d = df.select(
             F.col(id_col).alias("doc"),
             words.alias("_w"),
+            # _j == 0 marks the short-text fallback, like the portable arm
+            # below — without the guard, element_at past the array end
+            # raises under ANSI mode on sub-k-word documents (r5 smoke)
             F.explode(
                 F.when(n >= k, F.sequence(F.lit(1), n - (k - 1)))
-                .otherwise(F.array(F.lit(1)))
+                .otherwise(F.array(F.lit(0)))
             ).alias("_j"),
         )
         # identical hash to minhash_signature hash_mode='fast'
-        h = F.abs(
-            F.xxhash64(*[F.element_at(F.col("_w"), F.col("_j") + i) for i in range(k)])
-        ) % MINHASH_P
+        h = F.when(
+            F.col("_j") > 0,
+            F.abs(
+                F.xxhash64(*[F.element_at(F.col("_w"), F.col("_j") + i)
+                             for i in range(k)])
+            ) % MINHASH_P,
+        ).otherwise(
+            F.abs(F.xxhash64(F.array_join(F.col("_w"), " "))) % MINHASH_P
+        )
     else:
         d = df.select(
             F.col(id_col).alias("doc"),
@@ -252,8 +270,19 @@ def minhash_candidates(
     num_partitions: int | None = None,
     hash_mode: str = "portable",
     sig_mode: str = "agg",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b, band_hits). rows/band = H/bands.
+
+    max_bucket_size (r5) bounds the within-bucket self-join: a bucket of c
+    co-hashing docs contributes c^2/2 candidate rows, and clusters of
+    IDENTICAL documents (empty pages, boilerplate-only pages — every web
+    corpus has them) all share every band, going quadratic at scale. When
+    set, buckets larger than the cap are SKIPPED in-plan (group-count +
+    left-semi, the ngram_jaccard_pairs pattern) and named by
+    minhash_bucket_overflow(). The at-scale recipe is exact dedup FIRST
+    (exact_duplicates collapses identical docs in one linear pass), then
+    minhash over the survivors with a cap as the safety net.
 
     Plan shape (the 100-TB lesson, round-2 revision): signatures come from
     minhash_signatures_agg — explode + codegen'd hash aggregate — instead
@@ -288,6 +317,14 @@ def minhash_candidates(
             ])
         ).alias("band_id", "band_hash"),
     )
+    if max_bucket_size is not None:
+        ok = (
+            banded.groupBy("band_id", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket_size)
+            .drop("_n")
+        )
+        banded = banded.join(ok, ["band_id", "band_hash"], "left_semi")
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -302,6 +339,45 @@ def minhash_candidates(
         .agg(F.count(F.lit(1)).alias("band_hits"))
     )
     return pairs
+
+
+def minhash_bucket_overflow(
+    df: DataFrame,
+    id_col: str,
+    max_bucket_size: int,
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    k: int = 3,
+    hash_mode: str = "portable",
+    sig_mode: str = "agg",
+) -> DataFrame:
+    """(band_id, band_hash, n_docs) for every LSH bucket above the cap —
+    the explicit 'what was dropped' view for
+    minhash_candidates(max_bucket_size=N). No silent caps (same contract
+    as ngram_posting_overflow / embedding_bucket_overflow). Oversized
+    buckets are clusters of near-identical documents; run exact dedup
+    first and they disappear."""
+    rows_per_band = num_hashes // bands
+    sig_fn = minhash_signatures_agg if sig_mode == "agg" else minhash_signatures_hof
+    with_sig = sig_fn(df, id_col, text_col, num_hashes, k, hash_mode)
+    banded = with_sig.select(
+        F.col("doc"),
+        F.posexplode(
+            F.array(*[
+                F.md5(F.concat_ws("|", *[
+                    F.element_at(F.col("_sig"), b * rows_per_band + r + 1).cast("string")
+                    for r in range(rows_per_band)
+                ]))
+                for b in range(bands)
+            ])
+        ).alias("band_id", "band_hash"),
+    )
+    return (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > max_bucket_size)
+    )
 
 
 def jaccard(text_a: Column, text_b: Column, k: int = 3) -> Column:
@@ -322,14 +398,16 @@ def minhash_near_duplicates(
     k: int = 3,
     hash_mode: str = "portable",
     sig_mode: str = "agg",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidates from LSH, verified with exact Jaccard >= threshold.
     (id_a, id_b, jaccard). Verification joins texts back for candidate ids
     only — at 100 TB that's the crucial asymmetry: the full corpus is
     scanned once to build signatures; texts are re-read just for the
-    (tiny) candidate set."""
+    (tiny) candidate set. max_bucket_size: see minhash_candidates."""
     cands = minhash_candidates(df, id_col, text_col, num_hashes, bands, k,
-                               hash_mode=hash_mode, sig_mode=sig_mode)
+                               hash_mode=hash_mode, sig_mode=sig_mode,
+                               max_bucket_size=max_bucket_size)
     texts = df.select(F.col(id_col), F.col(text_col))
     a = texts.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta"))
     b = texts.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb"))

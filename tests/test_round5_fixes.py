@@ -395,3 +395,63 @@ def test_c4_badwords_hook(spark):
     assert not out[4]["has_bad_word"] and out[4]["c4_keep"]
     # no lexicon -> no has_bad_word column, verdict unchanged
     assert "has_bad_word" not in c4_quality_flags(df).columns
+
+
+# ---------------------------------------------------------------------------
+# r5 smoke finding: fast-mode minhash must survive sub-k-word documents
+# (ANSI element_at past the array end raised on any web corpus with short
+# docs; the bench corpus just never had one)
+# ---------------------------------------------------------------------------
+def test_fast_minhash_short_docs(spark):
+    from jsonschemaparse_spark.functions.dedup import (
+        minhash_near_duplicates,
+        minhash_signatures_agg,
+        minhash_signatures_hof,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "two words"),
+         (4, "three whole words here now ok"),
+         (5, "three whole words here now ok"), (6, None)],
+        "doc_id long, text string",
+    )
+    a = sorted(tuple(r) for r in
+               minhash_signatures_agg(df, "doc_id", hash_mode="fast").collect())
+    h = sorted(tuple(r) for r in
+               minhash_signatures_hof(df, "doc_id", hash_mode="fast").collect())
+    assert a == h and len(a) == 6
+    pairs = minhash_near_duplicates(
+        df, "doc_id", threshold=0.8, hash_mode="fast"
+    ).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(4, 5)]
+    # identical short texts still collide (whole-text fallback hash)
+    df2 = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "tiny doc")], "doc_id long, text string"
+    )
+    sigs = {r["doc"]: r["_sig"] for r in
+            minhash_signatures_agg(df2, "doc_id", hash_mode="fast").collect()}
+    assert sigs[1] == sigs[2]
+
+
+def test_minhash_bucket_cap_and_overflow(spark):
+    """Identical-doc clusters co-hash in every band -> c^2/2 pairs; the cap
+    skips those buckets in-plan and the overflow view names them."""
+    from jsonschemaparse_spark.functions.dedup import (
+        minhash_bucket_overflow,
+        minhash_near_duplicates,
+    )
+
+    rows = [(i, "identical boilerplate page text here") for i in range(30)]
+    rows += [(100, "a genuinely unique document about spark plans today"),
+             (101, "a genuinely unique document about spark plans today")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = minhash_near_duplicates(df, "doc_id", threshold=0.9).count()
+    assert uncapped == 30 * 29 // 2 + 1  # quadratic cluster + the real pair
+    capped = minhash_near_duplicates(
+        df, "doc_id", threshold=0.9, max_bucket_size=10
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in capped] == [(100, 101)]
+    over = minhash_bucket_overflow(df, "doc_id", max_bucket_size=10)
+    # the identical cluster appears once per band (4 bands by default)
+    assert over.count() == 4
+    assert all(r["n_docs"] == 30 for r in over.collect())
