@@ -126,10 +126,19 @@ class ParseInfo:
     value: Any
     errors: list[ValidationRecord] = field(default_factory=list)
     annotations: list[AnnotationRecord] = field(default_factory=list)
+    # parseInfo.test.js:10-11 surface: characters = UTF-16 length of the
+    # parsed text (astral chars count 2), line_number = 0-based final line
+    # = '\n's consumed, trailing whitespace included (node-pinned r5)
+    line_number: int = 0
+    characters: int = 0
 
     @property
     def valid(self) -> bool:
         return not self.errors
+
+    @property
+    def lineNumber(self) -> int:  # noqa: N802 - reference drop-in alias
+        return self.line_number
 
 
 def _as_schema(schema) -> Optional[CompiledSchema]:
@@ -160,14 +169,26 @@ def _apply_reviver(value: Any, reviver) -> Any:
     return walk(root, "")
 
 
+# Keys that mark a dict as the reference's OPTIONS form. None of these is
+# a JSON-Schema keyword, so bare rule dicts are never misrouted.
+_OPTION_KEYS = frozenset((
+    "schema", "reviver", "charset", "bigNumber", "niceNumber",
+    "interoperable", "parseValue", "parseAnnotations", "parseInfo",
+    "maxStringLength", "maxKeyLength", "maxItems", "maxProperties",
+    "maxNumberLength", "maxUniqueItems",
+))
+
+
 def _split_options(schema):
     """Reference options-dict form (parse.js:77-97; test/parse.test.js
-    'parse(text, options)'): a dict CONTAINING a 'schema' key is an options
-    object, not a schema. Returns (schema, option-kwargs for parse_info,
-    reviver). Bare dicts stay schemas — a deliberate convenience divergence
-    (the reference rejects them with 'Use the "schema" option'); the
-    options form is supported for drop-in parity."""
-    if not (isinstance(schema, dict) and "schema" in schema):
+    'parse(text, options)'): a dict containing a 'schema' key — or any
+    other reference option key (r5: {parseValue: false} has no schema,
+    parseInfo.test.js:17) — is an options object, not a schema. Returns
+    (schema, option-kwargs for parse_info, reviver). Bare rule dicts stay
+    schemas — a deliberate convenience divergence (the reference rejects
+    them with 'Use the "schema" option'); the options form is supported
+    for drop-in parity."""
+    if not (isinstance(schema, dict) and _OPTION_KEYS & set(schema)):
         return schema, {}, None
     opts = schema
     kw = {}
@@ -179,6 +200,17 @@ def _split_options(schema):
         kw["max_number_length"] = opts["maxNumberLength"]
     if "charset" in opts:
         kw["charset"] = opts["charset"]
+    if "schema" in opts and opts["schema"] is not None and not isinstance(
+            opts["schema"], (dict, bool, CompiledSchema)):
+        # reference message for a non-schema options value, e.g.
+        # {schema: []} (parseInfo.test.js:92-99)
+        from .schema.compiler import SchemaError
+
+        raise SchemaError("schema must be instance of Schema")
+    if "parseValue" in opts:
+        kw["parse_value"] = bool(opts["parseValue"])
+    if "parseAnnotations" in opts:
+        kw["annotations"] = bool(opts["parseAnnotations"])
     caps = {"maxStringLength": "max_string_length", "maxKeyLength": "max_key_length",
             "maxItems": "max_items", "maxProperties": "max_properties"}
     if any(c in opts for c in caps):
@@ -188,7 +220,7 @@ def _split_options(schema):
 
         kw["limits"] = ResourceLimits(
             **{py: opts[js] for js, py in caps.items() if js in opts})
-    return opts["schema"], kw, opts.get("reviver")
+    return opts.get("schema"), kw, opts.get("reviver")
 
 
 def parse(text: str | bytes, schema=None, extensions: bool = False, limits=None) -> Any:
@@ -210,7 +242,10 @@ def parse(text: str | bytes, schema=None, extensions: bool = False, limits=None)
     limits = opt_kw.pop("limits", limits)
     info = parse_info(text, schema, extensions=extensions, limits=limits, **opt_kw)
     for e in info.errors:
-        if e.keyword == "resourceLimit":
+        # bigNumber policy errors are ResourceLimitError throws in the
+        # reference too (node-pinned r5: parse({bigNumber:'error'}) and
+        # parse({maxNumberLength}) both raise ResourceLimitError)
+        if e.keyword in ("resourceLimit", "bigNumber"):
             raise ResourceLimitError(e.message)
     if info.errors:
         raise ParseValidationError(info.errors[0])
@@ -223,7 +258,8 @@ def parse_info(text: str | bytes, schema=None, annotations: bool = True,
                extensions: bool = False, limits=None, syntax=None,
                big_number: str = "default", interoperable: bool = False,
                max_number_length=None, reference_quirks: bool = False,
-               charset: "str | None" = None) -> ParseInfo:
+               charset: "str | None" = None,
+               parse_value: bool = True) -> ParseInfo:
     """Reporting one-shot: syntax errors raise; validation errors are
     RETURNED, matching parseInfo (test/parseInfo.test.js:33-46).
 
@@ -236,13 +272,15 @@ def parse_info(text: str | bytes, schema=None, annotations: bool = True,
     segment makes some rows alias a shallower map entry — combine
     positions with the default report shape when you need both exact)."""
     reviver = None
-    if isinstance(schema, dict) and "schema" in schema:
+    if isinstance(schema, dict) and _OPTION_KEYS & set(schema):
         schema, opt_kw, reviver = _split_options(schema)
         big_number = opt_kw.get("big_number", big_number)
         interoperable = opt_kw.get("interoperable", interoperable)
         max_number_length = opt_kw.get("max_number_length", max_number_length)
         limits = opt_kw.get("limits", limits)
         charset = opt_kw.get("charset", charset)
+        parse_value = opt_kw.get("parse_value", parse_value)
+        annotations = opt_kw.get("annotations", annotations)
     if isinstance(text, (bytes, bytearray)):
         _charset_gate(text, charset)
         try:
@@ -250,8 +288,14 @@ def parse_info(text: str | bytes, schema=None, annotations: bool = True,
         except UnicodeDecodeError as e:
             raise ParseSyntaxError(f"Invalid UTF-8: {e}") from e
     from .errors import ValidationRecord as _VR
+    from .schema.incremental import _u16len
     from .schema.relaxed_json import BigNumberError, loads_relaxed
     from .schema.strict_json import loads_strict
+
+    # parseInfo.test.js:10-11 (node-pinned r5): characters counts UTF-16
+    # units of the full parsed text, line_number counts consumed newlines
+    n_chars = _u16len(text)
+    n_lines = text.count("\n")
 
     try:
         if syntax is not None or big_number != "default" or interoperable or max_number_length:
@@ -265,7 +309,7 @@ def parse_info(text: str | bytes, schema=None, annotations: bool = True,
         # (README.md:130 'error: Treat as a validation error')
         return ParseInfo(value=None, errors=[
             _VR(str(e), "", "bigNumber", "", None, None)
-        ])
+        ], line_number=n_lines, characters=n_chars)
     except ValueError as e:
         if syntax is None and big_number == "default" and not interoperable \
                 and not max_number_length:
@@ -279,7 +323,9 @@ def parse_info(text: str | bytes, schema=None, annotations: bool = True,
         limit_errors = check_limits(value, limits)
     cs = _as_schema(schema)
     if cs is None:
-        return ParseInfo(value=value, errors=limit_errors)
+        return ParseInfo(value=value if parse_value else None,
+                         errors=limit_errors,
+                         line_number=n_lines, characters=n_chars)
     errors, anns = Evaluator(
         extensions=extensions, annotations=annotations,
         reference_quirks=reference_quirks,
@@ -297,7 +343,9 @@ def parse_info(text: str | bytes, schema=None, annotations: bool = True,
         # reference parseInfo({reviver}): validation sees the RAW parsed
         # value; the reviver shapes only the returned value (review #5)
         value = _apply_reviver(value, reviver)
-    return ParseInfo(value=value, errors=errors, annotations=anns)
+    return ParseInfo(value=value if parse_value else None,
+                     errors=errors, annotations=anns,
+                     line_number=n_lines, characters=n_chars)
 
 
 class StreamParser:

@@ -727,16 +727,19 @@ def check_limits(value: Any, limits: ResourceLimits, path: str = "", depth: int 
                                             "limits", limits.max_string_length, len(v)))
         elif isinstance(v, dict):
             if limits.max_properties is not None and len(v) > limits.max_properties:
-                out.append(ValidationRecord("Too many properties", p, "resourceLimit",
+                out.append(ValidationRecord("Too many properties in object", p, "resourceLimit",
                                             "limits", limits.max_properties, len(v)))
             for k, c in v.items():
                 if limits.max_key_length is not None and len(k) > limits.max_key_length:
-                    out.append(ValidationRecord("Key too long", f"{p}/{k}", "resourceLimit",
+                    # the reference reports an over-length KEY as "String too long"
+                    # too (parse.js maxKeyLength shares the string cap message;
+                    # node-pinned r5, test/parse.test.js:170-176)
+                    out.append(ValidationRecord("String too long", f"{p}/{k}", "resourceLimit",
                                                 "limits", limits.max_key_length, len(k)))
                 rec(c, f"{p}/{k}", d + 1)
         elif isinstance(v, list):
             if limits.max_items is not None and len(v) > limits.max_items:
-                out.append(ValidationRecord("Too many items", p, "resourceLimit",
+                out.append(ValidationRecord("Too many items in array", p, "resourceLimit",
                                             "limits", limits.max_items, len(v)))
             for i, c in enumerate(v):
                 rec(c, f"{p}/{i}", d + 1)

@@ -99,7 +99,11 @@ def make_number_hooks(big_number: str = "default", max_number_length: int | None
 
     def handle(raw: str, is_int: bool):
         if max_number_length is not None and len(raw) > max_number_length:
-            raise BigNumberError("Number lexical length over maxNumberLength")
+            # upstream emits "String too long" here (shared string-cap code
+            # path) and its own test TODO says it should be "Number too
+            # long" (test/parse.test.js:192-206); we implement the intended
+            # message, still matching the upstream /too long/ assertion
+            raise BigNumberError("Number too long (maxNumberLength)")
         lossy = _is_lossy(raw)
         if not lossy and nice_number != "default":
             if nice_number == "float64":
@@ -126,7 +130,7 @@ def make_number_hooks(big_number: str = "default", max_number_length: int | None
             d = Decimal(raw)
             s = format(d, "f")
             if max_number_length is not None and len(s) > max_number_length:
-                raise BigNumberError("Number lexical length over maxNumberLength")
+                raise BigNumberError("Number too long (maxNumberLength)")
             return s
         if big_number == "intstr":
             return str(int(Decimal(raw)))
