@@ -210,51 +210,45 @@ def minhash_signatures_agg(
             df = df.select(id_col, text_col).repartition(target)
     except Exception:  # noqa: BLE001 - streaming/plan-only frames
         pass
-    words = F.split(normalized_text(F.col(text_col)), " ")
-    n = F.size(words)
-    if hash_mode == "fast":
-        d = df.select(
-            F.col(id_col).alias("doc"),
-            words.alias("_w"),
-            # _j == 0 marks the short-text fallback, like the portable arm
-            # below — without the guard, element_at past the array end
-            # raises under ANSI mode on sub-k-word documents (r5 smoke)
-            F.explode(
-                F.when(n >= k, F.sequence(F.lit(1), n - (k - 1)))
-                .otherwise(F.array(F.lit(0)))
-            ).alias("_j"),
-        )
-        # identical hash to minhash_signature hash_mode='fast'
-        h = F.when(
-            F.col("_j") > 0,
-            F.abs(
-                F.xxhash64(*[F.element_at(F.col("_w"), F.col("_j") + i)
-                             for i in range(k)])
-            ) % MINHASH_P,
-        ).otherwise(
-            F.abs(F.xxhash64(F.array_join(F.col("_w"), " "))) % MINHASH_P
-        )
-    else:
-        d = df.select(
-            F.col(id_col).alias("doc"),
-            words.alias("_w"),
-            # _j == 0 marks the short-text fallback: whole text, one shingle
-            F.explode(
-                F.when(n >= k, F.sequence(F.lit(1), n - (k - 1)))
-                .otherwise(F.array(F.lit(0)))
-            ).alias("_j"),
-        )
-        shingle = F.when(
-            F.col("_j") > 0,
-            F.concat_ws(" ", *[F.element_at(F.col("_w"), F.col("_j") + i) for i in range(k)]),
-        ).otherwise(F.array_join(F.col("_w"), " "))
-        h = shingle_hash(shingle)
+    # r5 execution-shape fix: the former (doc, _w, explode(idxs)) select
+    # let CollapseProject move the `_w = split(normalize(text))` projection
+    # ABOVE the Generate, re-running the regex+split once per exploded
+    # shingle — O(words^2) string work per document (measured ~20 s/100k
+    # docs of pure recompute). Binding the words array as a lambda
+    # variable (single-element transform) and building the FULL hash array
+    # inside the generator expression evaluates the normalize+split
+    # exactly once per document: generators run once per input row, and
+    # nothing downstream of the explode references text-derived columns.
+    words_expr = F.split(normalized_text(F.col(text_col)), " ")
+
+    def _hash_array(w: Column) -> Column:
+        n = F.size(w)
+        # index 0 marks the short-text fallback: whole text, one shingle
+        # (guarding with when() matters under ANSI — element_at past the
+        # array end raises on sub-k-word documents, r5 smoke)
+        idxs = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+            F.array(F.lit(0)))
+        if hash_mode == "fast":
+            # identical hash to minhash_signature hash_mode='fast'
+            return F.transform(idxs, lambda j: F.when(
+                j > 0,
+                F.abs(F.xxhash64(*[F.element_at(w, j + i) for i in range(k)]))
+                % MINHASH_P,
+            ).otherwise(F.abs(F.xxhash64(F.array_join(w, " "))) % MINHASH_P))
+        return F.transform(idxs, lambda j: shingle_hash(
+            F.when(
+                j > 0,
+                F.concat_ws(" ", *[F.element_at(w, j + i) for i in range(k)]),
+            ).otherwise(F.array_join(w, " "))))
+
+    hs = F.element_at(F.transform(F.array(words_expr), _hash_array), 1)
+    d = df.select(F.col(id_col).alias("doc"), F.explode(hs).alias("_h"))
     hcol = F.col("_h")
     lanes = [
         F.min((F.lit(_MINHASH_A[p]) * hcol + F.lit(_MINHASH_B[p])) % F.lit(MINHASH_P)).alias(f"_h{p}")
         for p in range(num_hashes)
     ]
-    agg = d.select("doc", h.alias("_h")).groupBy("doc").agg(*lanes)
+    agg = d.groupBy("doc").agg(*lanes)
     return agg.select(
         "doc", F.array(*[F.col(f"_h{p}") for p in range(num_hashes)]).alias("_sig")
     )
@@ -317,24 +311,52 @@ def minhash_candidates(
             ])
         ).alias("band_id", "band_hash"),
     )
+    # r5 execution-shape revision: collect each bucket's doc list and
+    # generate the within-bucket pairs IN-PLAN (sorted array + nested
+    # transform) instead of self-joining `banded` with itself. The
+    # self-join recomputed the whole signature pipeline for each branch
+    # (plus a third time for the cap's group-count) — no ReusedExchange
+    # materialized across the alias branches — which measured 13.7 s vs
+    # ~3 s for this shape at 100k docs. One signature computation, ONE
+    # shuffle keyed by (band_id, band_hash), and the cap becomes a free
+    # size() filter on the already-grouped bucket. Per-bucket pair count
+    # is m^2/2 exactly like the join produced; max_bucket_size bounds m.
+    # explicit hash repartition on the band key: the bucket stream is only
+    # a few MB, so AQE would coalesce the shuffle to ONE partition — and
+    # collect_list is an ObjectHashAggregate (no codegen), so the final
+    # agg over ~8 rows/doc became a serial 33 s task at 100k docs. An
+    # explicit partition count is respected by AQE; the agg reuses the
+    # distribution so no second exchange appears.
+    bucket_parts = (num_partitions
+                    or df.sparkSession.sparkContext.defaultParallelism * 4)
+    buckets = banded.repartition(
+        bucket_parts, "band_id", "band_hash"
+    ).groupBy("band_id", "band_hash").agg(
+        F.sort_array(F.collect_list("doc")).alias("_docs"))
+    buckets = buckets.filter(F.size("_docs") >= 2)
     if max_bucket_size is not None:
-        ok = (
-            banded.groupBy("band_id", "band_hash")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") <= max_bucket_size)
-            .drop("_n")
+        buckets = buckets.filter(F.size("_docs") <= max_bucket_size)
+    docs_arr = F.col("_docs")
+    m = F.size(docs_arr)
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), m - 1),
+            lambda a: F.transform(
+                F.sequence(a + 1, m),
+                lambda b: F.struct(
+                    F.element_at(docs_arr, a).alias("id_a"),
+                    F.element_at(docs_arr, b).alias("id_b"),
+                ),
+            ),
         )
-        banded = banded.join(ok, ["band_id", "band_hash"], "left_semi")
-    left = banded.alias("l")
-    right = banded.alias("r")
+    )
     pairs = (
-        left.join(
-            right,
-            (F.col("l.band_id") == F.col("r.band_id"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col("l.doc") < F.col("r.doc")),
-        )
-        .select(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        # docs are distinct within a bucket (one row per (doc, band)), so
+        # sorting makes this strict ordering hold by construction; kept as
+        # a cheap invariant guard mirroring the old l.doc < r.doc join
+        .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("band_hits"))
     )
@@ -399,24 +421,63 @@ def minhash_near_duplicates(
     hash_mode: str = "portable",
     sig_mode: str = "agg",
     max_bucket_size: int | None = None,
+    broadcast_candidates: bool = True,
 ) -> DataFrame:
     """Candidates from LSH, verified with exact Jaccard >= threshold.
     (id_a, id_b, jaccard). Verification joins texts back for candidate ids
     only — at 100 TB that's the crucial asymmetry: the full corpus is
     scanned once to build signatures; texts are re-read just for the
-    (tiny) candidate set. max_bucket_size: see minhash_candidates."""
+    (tiny) candidate set. max_bucket_size: see minhash_candidates.
+
+    r5 verify shape: the former a/b double join executed the candidate
+    subplan once per broadcast build (31 s of a 37 s run at 100k docs was
+    redundant recompute). Now the pair list MELTS to one row per (pair,
+    doc) and hydrates texts in a SINGLE join, then regroups per pair —
+    the candidate pipeline runs once and the text table is scanned once.
+    broadcast_candidates=True (default) hints the melted candidate side
+    so the corpus streams map-side with no text shuffle; disable it if
+    candidates might exceed broadcast limits (AQE then picks the
+    strategy from runtime sizes)."""
     cands = minhash_candidates(df, id_col, text_col, num_hashes, bands, k,
                                hash_mode=hash_mode, sig_mode=sig_mode,
                                max_bucket_size=max_bucket_size)
-    texts = df.select(F.col(id_col), F.col(text_col))
-    a = texts.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta"))
-    b = texts.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb"))
-    return (
-        cands.join(a, "id_a").join(b, "id_b")
-        .select(
-            "id_a", "id_b",
+    melted = cands.select(
+        "id_a", "id_b",
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("_jsp_doc"),
+    )
+    if broadcast_candidates:
+        melted = F.broadcast(melted)
+    texts = df.select(F.col(id_col).alias("_jsp_doc"),
+                      F.col(text_col).alias("_jsp_t"))
+    hydrated = texts.join(melted, "_jsp_doc")
+    pair_texts = hydrated.groupBy("id_a", "id_b").agg(
+        F.max(F.when(F.col("_jsp_doc") == F.col("id_a"),
+                     F.col("_jsp_t"))).alias("_ta"),
+        F.max(F.when(F.col("_jsp_doc") == F.col("id_b"),
+                     F.col("_jsp_t"))).alias("_tb"),
+    )
+    # Exact-jaccard scoring needs two guards (r5, plan-audited):
+    # 1. parallelism — the candidate-text shuffle is a few MB, so AQE
+    #    coalesces it to ONE partition; each jaccard is an interpreted HOF
+    #    over ~100-element shingle arrays (~15-20 ms/pair), which
+    #    serialized 2k pairs into a 37 s single-task stage. An explicit
+    #    round-robin repartition restores full-core verify parallelism.
+    # 2. single evaluation — filtering on the aliased jaccard column lets
+    #    predicate pushdown substitute the WHOLE expression tree into a
+    #    Filter below the exchange (evaluated serially, then re-evaluated
+    #    by the Project). The explode(array(struct(...))) Generate barrier
+    #    (the validate_json_hybrid trick) pins ONE evaluation above the
+    #    repartition; the filter then reads a cheap struct field.
+    pair_texts = pair_texts.repartition(
+        df.sparkSession.sparkContext.defaultParallelism)
+    scored = pair_texts.select(
+        F.explode(F.array(F.struct(
+            F.col("id_a"), F.col("id_b"),
             F.round(jaccard(F.col("_ta"), F.col("_tb"), k), 6).alias("jaccard"),
-        )
+        ))).alias("_jsp_r")
+    )
+    return (
+        scored.select("_jsp_r.id_a", "_jsp_r.id_b", "_jsp_r.jaccard")
         .filter(F.col("jaccard") >= threshold)
     )
 

@@ -7,11 +7,17 @@ shuffle story at data scale. Two points on one JVM:
   small  500k docs (100x the 5k-doc bench corpus)
   big    5M docs   (1000x)
 
-Corpus: synthesize_webpages text (deterministic, 20-199 words/doc) plus 2%
-exact clones with shifted ids so the pipeline has real near-dup pairs to
-find. Materialized to parquet first so the measured wall is the dedup
-pipeline, not synthesis. hash_mode='fast' (xxhash64) — the documented
-at-scale configuration.
+Corpus: deterministic hash-token text (20-199 words/doc drawn from a
+100k-token space) plus 2% exact clones with shifted ids and ~0.2% empty
+docs. The token-space size matters: synthesize_webpages' 34-word bench
+vocabulary makes random-pair jaccard ~0.002, which at 500k docs already
+mints ~2M spurious LSH candidates (quadratic — the r5 first attempt ran
+for 18 min before being killed). Real web text is diverse; with a 100k
+token space random-pair jaccard ~ 0 and candidates are the clones plus
+the capped identical-empty-doc cluster, which is the regime the operator
+is designed for. Materialized to parquet first so the measured wall is
+the dedup pipeline, not synthesis. hash_mode='fast' (xxhash64) + bucket
+cap — the documented at-scale configuration.
 
 Reported per point: wall seconds, docs/sec, pairs found, and the shuffle
 read/write bytes of the run's stages (Spark UI REST API), plus the
@@ -57,7 +63,6 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from jsonschemaparse_spark.functions.dedup import minhash_near_duplicates
-    from jsonschemaparse_spark.sources import synthesize_webpages
 
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
@@ -77,10 +82,22 @@ def main() -> None:
     def corpus_dir(n: int) -> str:
         n_base = int(n * (1 - CLONE_FRAC))
         n_clone = n - n_base
-        base = synthesize_webpages(spark, n_base, partitions=CPUS * 2).select(
-            F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long").alias("doc_id"),
-            "text",
+        ids = spark.range(0, n_base, 1, CPUS * 2)
+        i = F.col("id")
+        n_words = (20 + F.abs(F.xxhash64(i, F.lit(3))) % 180).cast("int")
+        text = F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), n_words),
+                lambda j: F.concat(
+                    F.lit("w"),
+                    (F.abs(F.xxhash64(i, j)) % 100_000).cast("string"),
+                ),
+            ),
+            " ",
         )
+        text = F.when(F.abs(F.xxhash64(i, F.lit(9))) % 500 == 0,
+                      F.lit("")).otherwise(text)
+        base = ids.select(i.alias("doc_id"), text.alias("text"))
         clones = base.filter(F.col("doc_id") < n_clone).select(
             (F.col("doc_id") + 100_000_000).alias("doc_id"), "text"
         )
