@@ -169,14 +169,28 @@ def _apply_reviver(value: Any, reviver) -> Any:
     return walk(root, "")
 
 
-# Keys that mark a dict as the reference's OPTIONS form. None of these is
-# a JSON-Schema keyword, so bare rule dicts are never misrouted.
-_OPTION_KEYS = frozenset((
+# Keys that mark a dict as the reference's OPTIONS form. The UNAMBIGUOUS
+# set contains no JSON-Schema keyword; maxItems/maxProperties ARE schema
+# keywords (r5 review #1), so they only flip a dict into options when the
+# dict contains nothing BUT option keys (the upstream parse(text,
+# {maxItems:4}) shape) — a compound rule dict like {'type': 'array',
+# 'maxItems': 5} stays a schema with full validation.
+_UNAMBIGUOUS_OPTION_KEYS = frozenset((
     "schema", "reviver", "charset", "bigNumber", "niceNumber",
     "interoperable", "parseValue", "parseAnnotations", "parseInfo",
-    "maxStringLength", "maxKeyLength", "maxItems", "maxProperties",
-    "maxNumberLength", "maxUniqueItems",
+    "maxStringLength", "maxKeyLength", "maxNumberLength", "maxUniqueItems",
 ))
+_AMBIGUOUS_OPTION_KEYS = frozenset(("maxItems", "maxProperties"))
+_OPTION_KEYS = _UNAMBIGUOUS_OPTION_KEYS | _AMBIGUOUS_OPTION_KEYS
+
+
+def _is_options_dict(schema) -> bool:
+    if not isinstance(schema, dict) or not schema:
+        return False
+    keys = set(schema)
+    if keys & _UNAMBIGUOUS_OPTION_KEYS:
+        return True
+    return bool(keys) and keys <= _OPTION_KEYS
 
 
 def _split_options(schema):
@@ -188,7 +202,7 @@ def _split_options(schema):
     schemas — a deliberate convenience divergence (the reference rejects
     them with 'Use the "schema" option'); the options form is supported
     for drop-in parity."""
-    if not (isinstance(schema, dict) and _OPTION_KEYS & set(schema)):
+    if not _is_options_dict(schema):
         return schema, {}, None
     opts = schema
     kw = {}
@@ -211,6 +225,12 @@ def _split_options(schema):
         kw["parse_value"] = bool(opts["parseValue"])
     if "parseAnnotations" in opts:
         kw["annotations"] = bool(opts["parseAnnotations"])
+    if "niceNumber" in opts:
+        kw["nice_number"] = opts["niceNumber"]
+    # 'parseInfo' and 'maxUniqueItems' are accepted and IGNORED on
+    # purpose: both are documented-but-unimplemented upstream stubs
+    # (parse.test.js:233, parseInfo.test.js:114-117; parse.js has no code
+    # for either) — matching the reference means taking no action.
     caps = {"maxStringLength": "max_string_length", "maxKeyLength": "max_key_length",
             "maxItems": "max_items", "maxProperties": "max_properties"}
     if any(c in opts for c in caps):
@@ -259,7 +279,8 @@ def parse_info(text: str | bytes, schema=None, annotations: bool = True,
                big_number: str = "default", interoperable: bool = False,
                max_number_length=None, reference_quirks: bool = False,
                charset: "str | None" = None,
-               parse_value: bool = True) -> ParseInfo:
+               parse_value: bool = True,
+               nice_number: str = "default") -> ParseInfo:
     """Reporting one-shot: syntax errors raise; validation errors are
     RETURNED, matching parseInfo (test/parseInfo.test.js:33-46).
 
@@ -272,7 +293,7 @@ def parse_info(text: str | bytes, schema=None, annotations: bool = True,
     segment makes some rows alias a shallower map entry — combine
     positions with the default report shape when you need both exact)."""
     reviver = None
-    if isinstance(schema, dict) and _OPTION_KEYS & set(schema):
+    if _is_options_dict(schema):
         schema, opt_kw, reviver = _split_options(schema)
         big_number = opt_kw.get("big_number", big_number)
         interoperable = opt_kw.get("interoperable", interoperable)
@@ -281,6 +302,7 @@ def parse_info(text: str | bytes, schema=None, annotations: bool = True,
         charset = opt_kw.get("charset", charset)
         parse_value = opt_kw.get("parse_value", parse_value)
         annotations = opt_kw.get("annotations", annotations)
+        nice_number = opt_kw.get("nice_number", nice_number)
     if isinstance(text, (bytes, bytearray)):
         _charset_gate(text, charset)
         try:
@@ -298,10 +320,12 @@ def parse_info(text: str | bytes, schema=None, annotations: bool = True,
     n_lines = text.count("\n")
 
     try:
-        if syntax is not None or big_number != "default" or interoperable or max_number_length:
+        if (syntax is not None or big_number != "default" or interoperable
+                or max_number_length or nice_number != "default"):
             value = loads_relaxed(text, syntax=syntax, big_number=big_number,
                                   max_number_length=max_number_length,
-                                  interoperable=interoperable)
+                                  interoperable=interoperable,
+                                  nice_number=nice_number)
         else:
             value = loads_strict(text)
     except BigNumberError as e:
@@ -312,7 +336,7 @@ def parse_info(text: str | bytes, schema=None, annotations: bool = True,
         ], line_number=n_lines, characters=n_chars)
     except ValueError as e:
         if syntax is None and big_number == "default" and not interoperable \
-                and not max_number_length:
+                and not max_number_length and nice_number == "default":
             # strict path: recover reference-convention position via the FSM
             raise _positioned_syntax_error(text, e) from e
         raise ParseSyntaxError(str(e)) from e
@@ -368,11 +392,13 @@ class StreamParser:
                  syntax=None, reviver=None):
         from .schema.incremental import IncrementalJSONParser
 
-        if isinstance(schema, dict) and "schema" in schema:
+        if _is_options_dict(schema):
             # reference options-dict form (review #1: this surface silently
-            # compiled the options object AS a schema before)
+            # compiled the options object AS a schema before; r5 review #3:
+            # the detection now matches parse/parse_info — any reference
+            # option key routes, schema-less option dicts included)
             opts = schema
-            schema = opts["schema"]
+            schema = opts.get("schema")
             big_number = opts.get("bigNumber", big_number)
             nice_number = opts.get("niceNumber", nice_number)
             max_number_length = opts.get("maxNumberLength", max_number_length)
@@ -520,7 +546,14 @@ class StreamParser:
                 pos, self.errors, self.annotations)
         if self._reviver is not None:
             self.value = _apply_reviver(self.value, self._reviver)
-        self._info = ParseInfo(self.value, self.errors, self.annotations)
+        # r5 review #4: surface the node-pinned lineNumber/characters on
+        # the streaming result too — the tokenizer already tracks UTF-16
+        # units consumed (_abs) and 0-based newline count (_ref_line)
+        self._info = ParseInfo(
+            self.value, self.errors, self.annotations,
+            line_number=getattr(self._parser, "_ref_line", 0),
+            characters=getattr(self._parser, "_abs", 0),
+        )
         return self._info
 
 

@@ -254,6 +254,42 @@ def minhash_signatures_agg(
     )
 
 
+def _banded_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    k: int,
+    hash_mode: str,
+    sig_mode: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(doc, band_id, band_hash): one row per document per band. The ONE
+    definition of band layout/hashing — minhash_candidates' skip filter
+    and minhash_bucket_overflow's naming view both derive from it, so
+    they cannot drift apart (r5 review #7)."""
+    if sig_mode not in ("agg", "hof"):
+        raise ValueError(f"sig_mode must be 'agg' or 'hof', got {sig_mode!r}")
+    rows_per_band = num_hashes // bands
+    sig_fn = minhash_signatures_agg if sig_mode == "agg" else minhash_signatures_hof
+    with_sig = sig_fn(
+        df, id_col, text_col, num_hashes, k, hash_mode, num_partitions
+    )
+    return with_sig.select(
+        F.col("doc"),
+        F.posexplode(
+            F.array(*[
+                F.md5(F.concat_ws("|", *[
+                    F.element_at(F.col("_sig"), b * rows_per_band + r + 1).cast("string")
+                    for r in range(rows_per_band)
+                ]))
+                for b in range(bands)
+            ])
+        ).alias("band_id", "band_hash"),
+    )
+
+
 def minhash_candidates(
     df: DataFrame,
     id_col: str,
@@ -264,19 +300,22 @@ def minhash_candidates(
     num_partitions: int | None = None,
     hash_mode: str = "portable",
     sig_mode: str = "agg",
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 500,
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b, band_hits). rows/band = H/bands.
 
-    max_bucket_size (r5) bounds the within-bucket self-join: a bucket of c
-    co-hashing docs contributes c^2/2 candidate rows, and clusters of
-    IDENTICAL documents (empty pages, boilerplate-only pages — every web
-    corpus has them) all share every band, going quadratic at scale. When
-    set, buckets larger than the cap are SKIPPED in-plan (group-count +
-    left-semi, the ngram_jaccard_pairs pattern) and named by
-    minhash_bucket_overflow(). The at-scale recipe is exact dedup FIRST
-    (exact_duplicates collapses identical docs in one linear pass), then
-    minhash over the survivors with a cap as the safety net.
+    max_bucket_size (r5) bounds the within-bucket pair generation: a
+    bucket of c co-hashing docs contributes c^2/2 candidate rows, and
+    clusters of IDENTICAL documents (empty pages, boilerplate-only pages
+    — every web corpus has them) all share every band, going quadratic at
+    scale. Buckets larger than the cap are SKIPPED in-plan and named by
+    minhash_bucket_overflow() — a DEFAULTED (500), documented cap, not a
+    silent one (r5 review #2: the in-row pair array is c^2/2 structs, so
+    an unbounded identical-doc cluster would build a multi-GB single
+    value; at 500 the peak is ~125k structs, a few MB). Pass None ONLY
+    for corpora already exact-deduped — the at-scale recipe is exact
+    dedup FIRST (collapses identical docs in one linear pass), then
+    minhash over the survivors with this cap as the safety net.
 
     Plan shape (the 100-TB lesson, round-2 revision): signatures come from
     minhash_signatures_agg — explode + codegen'd hash aggregate — instead
@@ -292,25 +331,8 @@ def minhash_candidates(
     identical; only the execution shape differs — see scripts/minhash_ab.py
     for the paired-run adjudication of which wins at a given scale.
     """
-    if sig_mode not in ("agg", "hof"):
-        raise ValueError(f"sig_mode must be 'agg' or 'hof', got {sig_mode!r}")
-    rows_per_band = num_hashes // bands
-    sig_fn = minhash_signatures_agg if sig_mode == "agg" else minhash_signatures_hof
-    with_sig = sig_fn(
-        df, id_col, text_col, num_hashes, k, hash_mode, num_partitions
-    )
-    banded = with_sig.select(
-        F.col("doc"),
-        F.posexplode(
-            F.array(*[
-                F.md5(F.concat_ws("|", *[
-                    F.element_at(F.col("_sig"), b * rows_per_band + r + 1).cast("string")
-                    for r in range(rows_per_band)
-                ]))
-                for b in range(bands)
-            ])
-        ).alias("band_id", "band_hash"),
-    )
+    banded = _banded_rows(df, id_col, text_col, num_hashes, bands, k,
+                          hash_mode, sig_mode, num_partitions)
     # r5 execution-shape revision: collect each bucket's doc list and
     # generate the within-bucket pairs IN-PLAN (sorted array + nested
     # transform) instead of self-joining `banded` with itself. The
@@ -380,21 +402,8 @@ def minhash_bucket_overflow(
     as ngram_posting_overflow / embedding_bucket_overflow). Oversized
     buckets are clusters of near-identical documents; run exact dedup
     first and they disappear."""
-    rows_per_band = num_hashes // bands
-    sig_fn = minhash_signatures_agg if sig_mode == "agg" else minhash_signatures_hof
-    with_sig = sig_fn(df, id_col, text_col, num_hashes, k, hash_mode)
-    banded = with_sig.select(
-        F.col("doc"),
-        F.posexplode(
-            F.array(*[
-                F.md5(F.concat_ws("|", *[
-                    F.element_at(F.col("_sig"), b * rows_per_band + r + 1).cast("string")
-                    for r in range(rows_per_band)
-                ]))
-                for b in range(bands)
-            ])
-        ).alias("band_id", "band_hash"),
-    )
+    banded = _banded_rows(df, id_col, text_col, num_hashes, bands, k,
+                          hash_mode, sig_mode)
     return (
         banded.groupBy("band_id", "band_hash")
         .agg(F.count(F.lit(1)).alias("n_docs"))
@@ -420,7 +429,7 @@ def minhash_near_duplicates(
     k: int = 3,
     hash_mode: str = "portable",
     sig_mode: str = "agg",
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 500,
     broadcast_candidates: bool = True,
 ) -> DataFrame:
     """Candidates from LSH, verified with exact Jaccard >= threshold.

@@ -123,8 +123,11 @@ def run_with_checkpoint(
 
     verdicts = _read_verdicts(
         spark, metrics_path, snapshot_id,
-        "snapshot_id string, file string, n_rows long, n_failed_rows long, "
-        "n_violations long, pass boolean",
+        # column ORDER matches the written parquet layout (groupBy cols,
+        # aggs, then the two withColumns — r5 review #8: a fresh-state
+        # empty frame must not reorder vs an existing-state read)
+        "file string, n_rows long, n_failed_rows long, n_violations long, "
+        "pass boolean, snapshot_id string",
     )
     return CheckpointedRun(
         verdicts=verdicts,

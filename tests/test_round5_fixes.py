@@ -455,3 +455,94 @@ def test_minhash_bucket_cap_and_overflow(spark):
     # the identical cluster appears once per band (4 bands by default)
     assert over.count() == 4
     assert all(r["n_docs"] == 30 for r in over.collect())
+
+
+# ---------------------------------------------------------------------------
+# r5 code-review fixes
+# ---------------------------------------------------------------------------
+def test_options_routing_not_greedy_on_schema_keywords():
+    """maxItems/maxProperties are real JSON-Schema keywords: a compound
+    rule dict keeps full validation; an options-only dict still routes as
+    the reference options form (review #1)."""
+    from jsonschemaparse_spark.api import parse, parse_info
+    from jsonschemaparse_spark.errors import ResourceLimitError
+
+    r = parse_info('[1, "x", 2]',
+                   {"type": "array", "items": {"type": "integer"},
+                    "maxItems": 5})
+    assert [e.keyword for e in r.errors] == ["type"]
+    with pytest.raises(ResourceLimitError, match="Too many items in array"):
+        parse('{ "a": [0,1,2,3,4] }', {"maxItems": 4})
+
+
+def test_stream_parser_options_routing_matches_parse():
+    """Schema-less option dicts mean the same thing on both drop-in
+    surfaces (review #3); StreamParser's never-throws contract surfaces
+    the cap as a resourceLimit row."""
+    from jsonschemaparse_spark.api import StreamParser
+
+    sp = StreamParser({"maxItems": 2})
+    sp.write("[1,2,3]")
+    info = sp.end()
+    assert [e.keyword for e in info.errors] == ["resourceLimit"]
+    assert "Too many items in array" in info.errors[0].message
+
+
+def test_stream_parser_line_number_characters():
+    from jsonschemaparse_spark.api import StreamParser
+
+    sp = StreamParser()
+    sp.write('{"a": 1}\n')
+    info = sp.end()
+    assert (info.lineNumber, info.characters) == (1, 9)
+    sp = StreamParser()
+    sp.write('"\U0001F432"')
+    assert sp.end().characters == 4  # UTF-16 units
+
+
+def test_nice_number_routed_through_options():
+    from jsonschemaparse_spark.api import parse, parse_info
+
+    assert parse("1.5", {"niceNumber": "string"}) == "1.5"
+    assert parse_info("1.5", {"niceNumber": "string"}).value == "1.5"
+    # upstream stubs accepted and ignored
+    assert parse("[1]", {"maxUniqueItems": 1}) == [1]
+
+
+def test_minhash_default_cap_bounds_pair_generation(spark):
+    """Default max_bucket_size=500: an identical-doc cluster above the cap
+    is dropped (named by the overflow view) without an opt-in (review #2:
+    uncapped pair arrays are c^2/2 structs in ONE row)."""
+    from jsonschemaparse_spark.functions.dedup import (
+        minhash_bucket_overflow,
+        minhash_near_duplicates,
+    )
+
+    rows = [(i, "identical boilerplate page text here") for i in range(510)]
+    rows += [(9001, "one unique doc about spark execution plans"),
+             (9002, "one unique doc about spark execution plans")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_near_duplicates(df, "doc_id", threshold=0.9).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(9001, 9002)]
+    over = minhash_bucket_overflow(df, "doc_id", max_bucket_size=500)
+    assert over.count() == 4 and all(r["n_docs"] == 510 for r in over.collect())
+
+
+def test_checkpoint_verdicts_column_order_consistent(spark, tmp_path):
+    """Fresh-state empty verdicts and existing-state reads expose the same
+    column ORDER (review #8)."""
+    from jsonschemaparse_spark.plans.checkpoint import run_with_checkpoint
+
+    empty_in = str(tmp_path / "in")
+    spark.createDataFrame([], "id long, text string").coalesce(1) \
+        .write.parquet(empty_in)
+    fresh = run_with_checkpoint(
+        spark, empty_in, {"properties": {}},
+        state_dir=str(tmp_path / "st"), key_cols=["id"])
+    data_in = str(tmp_path / "in2")
+    spark.createDataFrame([(1, "x")], "id long, text string").coalesce(1) \
+        .write.parquet(data_in)
+    real = run_with_checkpoint(
+        spark, data_in, {"properties": {}},
+        state_dir=str(tmp_path / "st2"), key_cols=["id"])
+    assert fresh.verdicts.columns == real.verdicts.columns
