@@ -318,7 +318,11 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "duplicate_paragraph_fraction", "duplicate_line_char_fraction",
         "duplicate_paragraph_char_fraction", "gopher_keep",
         "top_2gram_char_fraction", "top_3gram_char_fraction",
-        "top_4gram_char_fraction", "gopher_keep_full",
+        "top_4gram_char_fraction",
+        "dup_5gram_char_fraction", "dup_6gram_char_fraction",
+        "dup_7gram_char_fraction", "dup_8gram_char_fraction",
+        "dup_9gram_char_fraction", "dup_10gram_char_fraction",
+        "gopher_keep_full",
     )
 
 
@@ -981,6 +985,55 @@ ng AS (
          coalesce(MAX(CASE WHEN n = 4 THEN frac END), 0.0) AS top_4gram_char_fraction
   FROM r LEFT JOIN tops ON r.doc_id = tops.doc_id
   GROUP BY r.doc_id
+),
+-- r5: duplicated-n-gram char fractions (exact coverage: a word counts
+-- once no matter how many duplicated n-grams span it)
+dgr AS (
+  SELECT doc_id, n,
+    CASE WHEN len(words) >= n THEN
+      list_transform(generate_series(1, len(words) - n + 1),
+                     i -> {'pos': i, 'gram': array_to_string(words[i:i+n-1], ' ')})
+    ELSE [] END AS gs
+  FROM wtc CROSS JOIN (SELECT unnest([5, 6, 7, 8, 9, 10]) AS n) dn
+),
+docc AS (
+  SELECT doc_id, n, g.pos AS pos, g.gram AS gram
+  FROM (SELECT doc_id, n, unnest(gs) AS g FROM dgr) x
+),
+dups AS (
+  SELECT doc_id, n, gram FROM docc
+  GROUP BY doc_id, n, gram HAVING COUNT(*) >= 2
+),
+cov AS (
+  SELECT DISTINCT d.doc_id, d.n, d.pos + t.o AS widx
+  FROM docc d JOIN dups USING (doc_id, n, gram),
+       unnest(generate_series(0, d.n - 1)) AS t(o)
+),
+wl AS (
+  SELECT doc_id, i AS widx, length(words[i]) AS wlen
+  FROM wtc, unnest(generate_series(1, len(words))) AS t(i)
+),
+tw AS (
+  SELECT doc_id,
+         coalesce(list_aggregate(list_transform(words, w -> length(w)), 'sum'), 0) AS total_w
+  FROM wtc
+),
+covn AS (
+  SELECT c.doc_id, c.n, SUM(w.wlen) AS covd
+  FROM cov c JOIN wl w USING (doc_id, widx)
+  GROUP BY c.doc_id, c.n
+),
+dng AS (
+  SELECT r.doc_id,
+    coalesce(ROUND(MAX(CASE WHEN n = 5 THEN covd END) * 1.0 / NULLIF(tw.total_w, 0), 6), 0.0) AS dup_5gram_char_fraction,
+    coalesce(ROUND(MAX(CASE WHEN n = 6 THEN covd END) * 1.0 / NULLIF(tw.total_w, 0), 6), 0.0) AS dup_6gram_char_fraction,
+    coalesce(ROUND(MAX(CASE WHEN n = 7 THEN covd END) * 1.0 / NULLIF(tw.total_w, 0), 6), 0.0) AS dup_7gram_char_fraction,
+    coalesce(ROUND(MAX(CASE WHEN n = 8 THEN covd END) * 1.0 / NULLIF(tw.total_w, 0), 6), 0.0) AS dup_8gram_char_fraction,
+    coalesce(ROUND(MAX(CASE WHEN n = 9 THEN covd END) * 1.0 / NULLIF(tw.total_w, 0), 6), 0.0) AS dup_9gram_char_fraction,
+    coalesce(ROUND(MAX(CASE WHEN n = 10 THEN covd END) * 1.0 / NULLIF(tw.total_w, 0), 6), 0.0) AS dup_10gram_char_fraction
+  FROM r JOIN tw ON r.doc_id = tw.doc_id
+       LEFT JOIN covn ON r.doc_id = covn.doc_id
+  GROUP BY r.doc_id, tw.total_w
 )
 SELECT r.*,
   (n_words >= 50 AND n_words <= 100000
@@ -995,6 +1048,9 @@ SELECT r.*,
    AND duplicate_paragraph_char_fraction <= 0.2) AS gopher_keep,
   ng.top_2gram_char_fraction, ng.top_3gram_char_fraction,
   ng.top_4gram_char_fraction,
+  dng.dup_5gram_char_fraction, dng.dup_6gram_char_fraction,
+  dng.dup_7gram_char_fraction, dng.dup_8gram_char_fraction,
+  dng.dup_9gram_char_fraction, dng.dup_10gram_char_fraction,
   ((n_words >= 50 AND n_words <= 100000
    AND mean_word_length >= 3 AND mean_word_length <= 10
    AND symbol_word_ratio <= 0.1
@@ -1007,8 +1063,14 @@ SELECT r.*,
    AND duplicate_paragraph_char_fraction <= 0.2)
    AND ng.top_2gram_char_fraction <= 0.20
    AND ng.top_3gram_char_fraction <= 0.18
-   AND ng.top_4gram_char_fraction <= 0.16) AS gopher_keep_full
-FROM r JOIN ng ON r.doc_id = ng.doc_id
+   AND ng.top_4gram_char_fraction <= 0.16
+   AND dng.dup_5gram_char_fraction <= 0.15
+   AND dng.dup_6gram_char_fraction <= 0.14
+   AND dng.dup_7gram_char_fraction <= 0.13
+   AND dng.dup_8gram_char_fraction <= 0.12
+   AND dng.dup_9gram_char_fraction <= 0.11
+   AND dng.dup_10gram_char_fraction <= 0.10) AS gopher_keep_full
+FROM r JOIN ng ON r.doc_id = ng.doc_id JOIN dng ON r.doc_id = dng.doc_id
 """,
         "c4_quality": r"""
 WITH m AS (

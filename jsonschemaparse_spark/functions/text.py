@@ -268,6 +268,10 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text",
 # Paper thresholds (Rae et al. 2021 table A1): fraction of characters in
 # the single most frequent word n-gram must not exceed these.
 GOPHER_TOP_NGRAM_THRESHOLDS = {2: 0.20, 3: 0.18, 4: 0.16}
+# ... and fraction of characters inside ANY within-doc duplicated n-gram
+# must not exceed these (the other half of the A1.1 repetition table).
+GOPHER_DUP_NGRAM_THRESHOLDS = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12,
+                               9: 0.11, 10: 0.10}
 
 
 def gopher_top_ngram_fractions(
@@ -351,18 +355,114 @@ def gopher_top_ngram_fractions(
     return out
 
 
+def gopher_dup_ngram_fractions(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """Gopher's duplicated-n-gram character fractions (Rae et al. 2021
+    A1.1, the repetition metrics next to the top-n-gram ones): for each n,
+    the fraction of the document's word characters covered by ANY word
+    n-gram that occurs more than once WITHIN the document.
+
+    Conventions (DuckDB-oracle-reproduced): words/n-grams as in
+    gopher_top_ngram_fractions; a word index counts as covered for n when
+    at least one duplicated n-gram occurrence spans it (overlaps counted
+    ONCE — exact coverage, not the count*len overcount); numerator = sum
+    of covered words' lengths, denominator = sum of all words' lengths;
+    docs with fewer than n words score 0.0 for that n.
+
+    Scale shape: one explode builds (doc, n, pos, gram) rows; within-doc
+    duplicated grams come from a (doc, n, gram) count with map-side
+    combine; duplicated occurrences re-join positions (semi shape),
+    explode to covered word indices, distinct, then join per-word lengths
+    and aggregate to one row per (doc). All keys carry the doc id — no
+    skew — and every stage is linear in the exploded n-gram volume."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(t, r"\s+"), lambda w: w != F.lit(""))
+    base = df.select(
+        F.col(id_col),
+        words.alias("_w"),
+        F.aggregate(words, F.lit(0).cast("long"),
+                    lambda acc, w: acc + F.length(w)).alias("_tw"),
+    )
+
+    def _gram_array(n: int) -> Column:
+        return F.when(
+            F.size("_w") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("_w") - (n - 1)),
+                lambda i: F.struct(
+                    F.lit(n).alias("n"),
+                    i.alias("pos"),
+                    F.array_join(F.slice("_w", i, n), " ").alias("gram"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<n:int,pos:int,gram:string>>"))
+
+    grams = base.select(
+        id_col, F.explode(F.concat(*[_gram_array(n) for n in ns])).alias("g")
+    ).select(id_col, F.col("g.n").alias("n"), F.col("g.pos").alias("pos"),
+             F.col("g.gram").alias("gram"))
+    dup_occurrences = (
+        grams.groupBy(id_col, "n", "gram")
+        .agg(F.count(F.lit(1)).alias("_cnt"),
+             F.collect_list("pos").alias("_positions"))
+        .filter(F.col("_cnt") >= 2)
+    )
+    covered = (
+        dup_occurrences.select(
+            id_col, "n", F.explode("_positions").alias("pos"))
+        .select(id_col, "n",
+                F.explode(F.sequence(F.col("pos"),
+                                     F.col("pos") + F.col("n") - 1))
+                .alias("widx"))
+        .distinct()
+    )
+    word_lens = base.select(
+        id_col, F.posexplode(F.transform(F.col("_w"), F.length))
+        .alias("_p0", "wlen")
+    ).select(id_col, (F.col("_p0") + 1).alias("widx"), "wlen")
+    per_doc_n = (
+        covered.join(word_lens, [id_col, "widx"])
+        .groupBy(id_col, "n")
+        .agg(F.sum("wlen").alias("_covered"))
+    )
+    fracs = per_doc_n.groupBy(id_col).agg(*[
+        F.max(F.when(F.col("n") == n, F.col("_covered"))).alias(f"_cov{n}")
+        for n in ns
+    ])
+    out = df.join(
+        fracs.join(base.select(id_col, "_tw"), id_col), on=id_col, how="left"
+    )
+    for n in ns:
+        c = f"dup_{n}gram_char_fraction"
+        out = out.withColumn(
+            c,
+            F.coalesce(
+                F.round(F.col(f"_cov{n}") / F.col("_tw"), 6), F.lit(0.0)),
+        ).drop(f"_cov{n}")
+    return out.drop("_tw")
+
+
 def gopher_quality_full(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text") -> DataFrame:
     """The complete Gopher gate: the one-projection flags PLUS the
-    top-2/3/4-gram char fractions, with `gopher_keep_full` ANDing the
-    paper's n-gram thresholds (0.20/0.18/0.16) into the base verdict.
-    Costs the n-gram shuffle on top of the scan — use gopher_quality_flags
-    alone when the repetition metrics aren't needed."""
+    top-2/3/4-gram char fractions PLUS the duplicated-5..10-gram char
+    fractions (r5 — the full A1.1 repetition table), with
+    `gopher_keep_full` ANDing every paper threshold into the base
+    verdict. Costs the n-gram shuffles on top of the scan — use
+    gopher_quality_flags alone when the repetition metrics aren't
+    needed."""
     flags = gopher_quality_flags(df, text_col)
     out = gopher_top_ngram_fractions(flags, id_col, text_col)
+    out = gopher_dup_ngram_fractions(out, id_col, text_col)
     keep_full = F.col("gopher_keep")
     for n, thr in GOPHER_TOP_NGRAM_THRESHOLDS.items():
         keep_full = keep_full & (F.col(f"top_{n}gram_char_fraction") <= thr)
+    for n, thr in GOPHER_DUP_NGRAM_THRESHOLDS.items():
+        keep_full = keep_full & (F.col(f"dup_{n}gram_char_fraction") <= thr)
     return out.withColumn("gopher_keep_full", keep_full)
 
 

@@ -546,3 +546,66 @@ def test_checkpoint_verdicts_column_order_consistent(spark, tmp_path):
         spark, data_in, {"properties": {}},
         state_dir=str(tmp_path / "st2"), key_cols=["id"])
     assert fresh.verdicts.columns == real.verdicts.columns
+
+
+# ---------------------------------------------------------------------------
+# r5 extension: Gopher duplicated-n-gram char fractions (full A1.1 table)
+# ---------------------------------------------------------------------------
+def test_dup_ngram_fractions_hand_computed(spark):
+    from jsonschemaparse_spark.functions.text import gopher_dup_ngram_fractions
+
+    docs = [
+        # "a b c d e" twice: covered word idx 1-5 and 7-11 (10 words,
+        # chars 10) of total word chars 12 -> 10/12
+        (1, "a b c d e XX a b c d e"),
+        (2, "all words completely unique here today my friend ok now then"),
+        (3, ""),
+        (4, None),
+        # a 10-word phrase repeated -> dup_10gram covers everything except
+        # the bridge word (20 of 21 words)
+        (5, " ".join(["p q r s t u v w x y", "BRIDGE", "p q r s t u v w x y"])),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in gopher_dup_ngram_fractions(df).collect()}
+    assert rows[1]["dup_5gram_char_fraction"] == round(10 / 12, 6)
+    assert rows[1]["dup_6gram_char_fraction"] == 0.0
+    for n in (5, 6, 7, 8, 9, 10):
+        assert rows[2][f"dup_{n}gram_char_fraction"] == 0.0
+        assert rows[3][f"dup_{n}gram_char_fraction"] == 0.0
+        assert rows[4][f"dup_{n}gram_char_fraction"] == 0.0
+    # doc 5: total word chars = 20 + 6 = 26; covered for n=10: the two
+    # 10-word phrases (20 chars)
+    assert rows[5]["dup_10gram_char_fraction"] == round(20 / 26, 6)
+    # smaller n: the repeated phrase also duplicates its sub-n-grams
+    assert rows[5]["dup_5gram_char_fraction"] == round(20 / 26, 6)
+
+
+def test_dup_ngram_overlap_counts_once(spark):
+    """'x x x x x x' style runs: overlapping duplicated n-grams must not
+    overcount — coverage is a set of word indices, fraction <= 1."""
+    from jsonschemaparse_spark.functions.text import gopher_dup_ngram_fractions
+
+    df = spark.createDataFrame(
+        [(1, " ".join(["x"] * 30))], "doc_id long, text string"
+    )
+    r = gopher_dup_ngram_fractions(df).collect()[0]
+    for n in (5, 6, 7, 8, 9, 10):
+        assert r[f"dup_{n}gram_char_fraction"] == 1.0
+
+
+def test_gopher_quality_full_includes_dup_thresholds(spark):
+    from jsonschemaparse_spark.functions.text import gopher_quality_full
+
+    # clean doc: 80 distinct words -> no repetition at all
+    clean = " ".join(f"word{i}x" for i in range(80))
+    # doc passing the base + top-n-gram gates but failing dup-5-gram:
+    # a 40-word unique prefix plus a repeated 5-word phrase
+    phrase = "alpha beta gamma delta epsilon"
+    tricky = " ".join(f"u{i}y" for i in range(60)) + f" {phrase} " \
+        + " ".join(f"v{i}z" for i in range(60)) + f" {phrase}"
+    df = spark.createDataFrame(
+        [(1, clean), (2, tricky)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in gopher_quality_full(df).collect()}
+    assert rows[1]["gopher_keep_full"] == rows[1]["gopher_keep"]
+    assert rows[2]["dup_5gram_char_fraction"] > 0
