@@ -190,7 +190,7 @@ def _is_options_dict(schema) -> bool:
     keys = set(schema)
     if keys & _UNAMBIGUOUS_OPTION_KEYS:
         return True
-    return bool(keys) and keys <= _OPTION_KEYS
+    return keys <= _OPTION_KEYS
 
 
 def _split_options(schema):
@@ -260,6 +260,12 @@ def parse(text: str | bytes, schema=None, extensions: bool = False, limits=None)
     schema, opt_kw, opt_reviver = _split_options(schema)
     reviver = reviver or opt_reviver
     limits = opt_kw.pop("limits", limits)
+    # compile the unwrapped schema HERE so parse_info cannot re-run the
+    # options detection on it (r5 second review #1: {'schema':
+    # {'maxItems': 3}} — an EXPLICIT schema made only of ambiguous keys —
+    # was re-routed as resource-limit options on the inner call)
+    if schema is not None:
+        schema = _as_schema(schema)
     info = parse_info(text, schema, extensions=extensions, limits=limits, **opt_kw)
     for e in info.errors:
         # bigNumber policy errors are ResourceLimitError throws in the
@@ -415,6 +421,10 @@ class StreamParser:
                     **{py: opts[js] for js, py in caps.items() if js in opts})
 
         self._charset = charset
+        # source-side counters for the transcoded (relaxed-syntax) path,
+        # where the tokenizer only ever sees rewritten strict JSON
+        self._src_chars = 0
+        self._src_lines = 0
         hooks = None
         if interoperable and big_number == "default":
             big_number = "error"  # I-JSON default (loads_relaxed parity)
@@ -483,6 +493,14 @@ class StreamParser:
                     chunk = self._syntax_decoder.decode(bytes(chunk))
                 except UnicodeDecodeError as e:
                     raise ParseSyntaxError(f"Invalid UTF-8: {e.reason}") from None
+            # count the SOURCE text (r5 second review #2): the transcoder
+            # rewrites relaxed dialects to strict JSON, so the tokenizer's
+            # own counters would measure the rewritten stream, not what
+            # the caller wrote — parse_info counts the source
+            from .schema.incremental import _u16len
+
+            self._src_chars += _u16len(chunk)
+            self._src_lines += chunk.count("\n")
             try:
                 chunk = self._transcoder.feed(chunk)
             except ValueError as e:
@@ -507,6 +525,11 @@ class StreamParser:
         if self._transcoder is not None:
             try:
                 tail = self._syntax_decoder.decode(b"", final=True)
+                if tail:
+                    from .schema.incremental import _u16len
+
+                    self._src_chars += _u16len(tail)
+                    self._src_lines += tail.count("\n")
                 tail = self._transcoder.feed(tail) if tail else ""
                 tail += self._transcoder.finish()
             except ValueError as e:
@@ -549,10 +572,14 @@ class StreamParser:
         # r5 review #4: surface the node-pinned lineNumber/characters on
         # the streaming result too — the tokenizer already tracks UTF-16
         # units consumed (_abs) and 0-based newline count (_ref_line)
+        if self._transcoder is not None:
+            line_number, characters = self._src_lines, self._src_chars
+        else:
+            line_number = getattr(self._parser, "_ref_line", 0)
+            characters = getattr(self._parser, "_abs", 0)
         self._info = ParseInfo(
             self.value, self.errors, self.annotations,
-            line_number=getattr(self._parser, "_ref_line", 0),
-            characters=getattr(self._parser, "_abs", 0),
+            line_number=line_number, characters=characters,
         )
         return self._info
 

@@ -190,14 +190,17 @@ def minhash_signatures_agg(
     hash_mode: str = "portable",
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """(doc, sig array) via explode + codegen'd hash aggregate.
+    """(doc, sig array) via generator-expression hashing + MIN aggregate.
 
     Same values as minhash_signature (min is idempotent, so skipping the
-    array_distinct changes nothing), but a different execution shape:
-    Spark's higher-order functions are CodegenFallback — the per-element
-    lambda interprets an expression tree per shingle (~19k docs/s/32t).
-    Generate(explode) + per-permutation MIN aggregates stay inside
-    whole-stage codegen; the map-side partial combine reduces each task's
+    array_distinct changes nothing), but a different execution shape.
+    r5 revision: the per-shingle hash array is built INSIDE the generator
+    (words bound once as a lambda variable), so both this shape and the
+    HOF shape now pay interpreted per-shingle lambda evaluation — the
+    agg shape's remaining edge is structural: normalize+split runs once
+    per document (the old explode-then-project form re-ran it per
+    shingle), the MIN lanes stay inside codegen'd HashAggregate, and
+    the map-side partial combine reduces each task's
     shingles to one row per doc BEFORE the exchange, so the shuffle carries
     (doc, num_hashes longs) — strictly less than the repartition barrier
     the HOF formulation needed."""
@@ -443,10 +446,18 @@ def minhash_near_duplicates(
     redundant recompute). Now the pair list MELTS to one row per (pair,
     doc) and hydrates texts in a SINGLE join, then regroups per pair —
     the candidate pipeline runs once and the text table is scanned once.
-    broadcast_candidates=True (default) hints the melted candidate side
-    so the corpus streams map-side with no text shuffle; disable it if
-    candidates might exceed broadcast limits (AQE then picks the
-    strategy from runtime sizes)."""
+    broadcast_candidates=True (default) force-broadcasts the melted
+    candidate side so the text table STREAMS map-side with zero shuffle.
+    The trade-off was weighed deliberately (r5 second review #3): with
+    the hint removed, AQE only converts to broadcast AFTER materializing
+    both join sides as shuffle stages — i.e. the FULL text table is
+    shuffle-written once even when the candidate side turns out tiny,
+    which at 100 TB costs far more than the risk the hint carries (the
+    8 GB broadcast hard limit / driver collect if the corpus-wide
+    candidate set — bounded per bucket by max_bucket_size but not in
+    bucket count — is huge). If your candidate volume can exceed
+    broadcast limits, pass False and accept the one-time corpus shuffle,
+    or tighten the cap/threshold first."""
     cands = minhash_candidates(df, id_col, text_col, num_hashes, bands, k,
                                hash_mode=hash_mode, sig_mode=sig_mode,
                                max_bucket_size=max_bucket_size)

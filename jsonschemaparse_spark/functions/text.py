@@ -274,6 +274,18 @@ GOPHER_DUP_NGRAM_THRESHOLDS = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12,
                                9: 0.11, 10: 0.10}
 
 
+
+def _gopher_words(text_col: str) -> Column:
+    """THE word convention for every Gopher n-gram metric (and its DuckDB
+    oracle twin): whitespace-split non-empty tokens of the null-coalesced
+    text. One definition — gopher_top_ngram_fractions and
+    gopher_dup_ngram_fractions both build on it, so a convention change
+    cannot silently break oracle parity for just one of them (r5 second
+    review #4)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    return F.filter(F.split(t, r"\s+"), lambda w: w != F.lit(""))
+
+
 def gopher_top_ngram_fractions(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -307,8 +319,7 @@ def gopher_top_ngram_fractions(
     combiner-friendly shuffle; the join-back is 1-row-per-doc on both
     sides. Returns df + top_{n}gram_char_fraction columns (0.0-filled
     for wordless docs)."""
-    t = F.coalesce(F.col(text_col), F.lit(""))
-    words = F.filter(F.split(t, r"\s+"), lambda w: w != F.lit(""))
+    words = _gopher_words(text_col)
     base = df.select(
         F.col(id_col),
         words.alias("_w"),
@@ -379,8 +390,7 @@ def gopher_dup_ngram_fractions(
     explode to covered word indices, distinct, then join per-word lengths
     and aggregate to one row per (doc). All keys carry the doc id — no
     skew — and every stage is linear in the exploded n-gram volume."""
-    t = F.coalesce(F.col(text_col), F.lit(""))
-    words = F.filter(F.split(t, r"\s+"), lambda w: w != F.lit(""))
+    words = _gopher_words(text_col)
     base = df.select(
         F.col(id_col),
         words.alias("_w"),

@@ -609,3 +609,40 @@ def test_gopher_quality_full_includes_dup_thresholds(spark):
     rows = {r["doc_id"]: r for r in gopher_quality_full(df).collect()}
     assert rows[1]["gopher_keep_full"] == rows[1]["gopher_keep"]
     assert rows[2]["dup_5gram_char_fraction"] > 0
+
+
+# ---------------------------------------------------------------------------
+# r5 second-review fixes
+# ---------------------------------------------------------------------------
+def test_explicit_schema_of_ambiguous_keys_not_resplit():
+    """{'schema': {'maxItems': 3}} — an EXPLICIT schema made only of
+    ambiguous keys — must stay a schema on BOTH parse and parse_info
+    (second review #1: parse() used to re-route it as caps)."""
+    from jsonschemaparse_spark.api import (
+        ParseValidationError,
+        parse,
+        parse_info,
+    )
+
+    assert parse_info('{"a": [1,2,3,4]}', {"schema": {"maxItems": 3}}).errors == []
+    assert parse('{"a": [1,2,3,4]}', {"schema": {"maxItems": 3}}) == {"a": [1, 2, 3, 4]}
+    with pytest.raises(ParseValidationError) as ei:
+        parse("[1,2,3,4]", {"schema": {"maxItems": 3}})
+    assert ei.value.keyword == "maxItems"
+
+
+def test_stream_parser_counts_source_in_syntax_mode():
+    """Relaxed dialects transcode before the tokenizer; lineNumber and
+    characters must still count the SOURCE text, like parse_info
+    (second review #2)."""
+    from jsonschemaparse_spark.api import StreamParser, parse_info
+    from jsonschemaparse_spark.schema.relaxed_json import SyntaxOptions
+
+    syn = SyntaxOptions(hash_comment=True)
+    text = "# hello comment\n[1, 2]\n"
+    pi = parse_info(text, syntax=syn)
+    sp = StreamParser(syntax=syn)
+    sp.write(text)
+    info = sp.end()
+    assert (info.lineNumber, info.characters) \
+        == (pi.lineNumber, pi.characters) == (2, 23)
