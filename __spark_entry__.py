@@ -379,6 +379,26 @@ def q_c4_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "text")
 
 
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed cleaning funnel (functions/pipeline.clean_corpus_stats):
+    exact dedup -> Gopher base gate -> C4 gate (+ badwords) over a corpus
+    built to exercise every stage — multi-line body (dup-line metrics),
+    a 3-sentence tail (C4 sentence rule), 50 exact clones, and a
+    doc_id%3-keyed phrase the badwords lexicon hits."""
+    from jsonschemaparse_spark.functions.pipeline import clean_corpus_stats
+
+    d = _multiline_docs(spark, sf_dir)
+    t2 = F.concat(
+        F.col("text"),
+        F.lit("\nFirst closing sentence. Second closing point. Third final line."),
+    )
+    base = d.select("doc_id", t2.alias("text"))
+    clones = base.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "text")
+    corpus = base.unionByName(clones)
+    return clean_corpus_stats(corpus, badwords=["zzzunusedtoken", "footer 2"])
+
+
 def q_duplicate_line_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document line dedup (boilerplate detection): lines appearing
     in >= 50 distinct docs of the constructed corpus."""
@@ -591,6 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "duplicate_line_groups": q_duplicate_line_groups,
         "c4_span_groups": q_c4_span_groups,
+        "clean_corpus": q_clean_corpus,
         "c4_span_dedup": q_c4_span_dedup,
         "c4_quality": q_c4_quality,
         "canonical_urls": q_canonical_urls,
@@ -1120,6 +1141,75 @@ l AS (
 SELECT line, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences
 FROM l WHERE line <> ''
 GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 50
+""",
+        "clean_corpus": r"""
+WITH mm AS (
+  SELECT doc_id,
+         'SHARED HEADER LINE' || chr(10) || text || chr(10) ||
+         substr(text, 1, 30) || chr(10) || substr(text, 1, 30) || chr(10) ||
+         '- item one' || chr(10) || '- item two' || chr(10) ||
+         'Trailing line...' || chr(10) || 'FOOTER ' || CAST(doc_id % 3 AS VARCHAR) ||
+         chr(10) || 'First closing sentence. Second closing point. Third final line.' AS text
+  FROM documents WHERE doc_id < 300
+),
+corpus AS (
+  SELECT doc_id, text FROM mm
+  UNION ALL
+  SELECT doc_id + 10000, text FROM mm WHERE doc_id < 50
+),
+-- stage 1: exact dedup on normalized text, min id kept
+keyed AS (
+  SELECT doc_id, text,
+         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+  FROM corpus
+),
+dedup AS (
+  SELECT k.doc_id, k.text FROM keyed k
+  JOIN (SELECT nt, MIN(doc_id) AS keep FROM keyed GROUP BY nt) m
+    ON k.nt = m.nt AND k.doc_id = m.keep
+),
+-- stage 2: Gopher base gate (same metric fragments as the gopher oracle)
+gfeat AS (
+  SELECT doc_id, text,
+    list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'), w -> w <> '') AS words,
+    list_filter(string_split(coalesce(text, ''), chr(10)), l -> trim(l) <> '') AS lines,
+    list_filter(regexp_split_to_array(coalesce(text, ''), '\n\n+'), p -> trim(p) <> '') AS paras
+  FROM dedup
+),
+gk AS (
+  SELECT doc_id, text,
+    (len(words) >= 50 AND len(words) <= 100000
+     AND (list_aggregate(list_transform(words, w -> length(w)), 'sum') * 1.0 / len(words)) >= 3
+     AND (list_aggregate(list_transform(words, w -> length(w)), 'sum') * 1.0 / len(words)) <= 10
+     AND (((length(text) - length(replace(text, '#', ''))) + len(regexp_extract_all(text, '\.\.\.|…'))) * 1.0 / len(words)) <= 0.1
+     AND (len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) * 1.0 / len(lines)) <= 0.9
+     AND (len(list_filter(lines, l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) * 1.0 / len(lines)) <= 0.3
+     AND (len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) * 1.0 / len(words)) >= 0.8
+     AND ((len(lines) - len(list_distinct(lines))) * 1.0 / len(lines)) <= 0.3
+     AND ((len(paras) - len(list_distinct(paras))) * 1.0 / len(paras)) <= 0.3
+     AND (list_aggregate(list_transform(lines, x -> CASE WHEN len(list_filter(lines, y -> y = x)) > 1 THEN length(x) ELSE 0 END), 'sum') * 1.0
+          / list_aggregate(list_transform(lines, x -> length(x)), 'sum')) <= 0.2
+     AND (list_aggregate(list_transform(paras, x -> CASE WHEN len(list_filter(paras, y -> y = x)) > 1 THEN length(x) ELSE 0 END), 'sum') * 1.0
+          / list_aggregate(list_transform(paras, x -> length(x)), 'sum')) <= 0.2
+    ) AS keep
+  FROM gfeat
+),
+gsurv AS (SELECT doc_id, text FROM gk WHERE keep),
+-- stage 3: C4 gate + badwords (phrase 'footer 2'; token never fires)
+ck AS (
+  SELECT doc_id,
+    (len(list_filter(regexp_split_to_array(text, '[.!?]'), s -> trim(s) <> '')) >= 3
+     AND NOT contains(lower(text), 'lorem ipsum')
+     AND NOT contains(text, '{')
+     AND NOT (list_has_any(list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> ''),
+                           ['zzzunusedtoken'])
+              OR contains(lower(text), 'footer 2'))) AS keep
+  FROM gsurv
+)
+SELECT (SELECT COUNT(*) FROM corpus) AS n_input,
+       (SELECT COUNT(*) FROM dedup) AS n_after_exact,
+       (SELECT COUNT(*) FROM gsurv) AS n_after_gopher,
+       (SELECT COUNT(*) FROM ck WHERE keep) AS n_after_c4
 """,
         "c4_span_groups": r"""
 WITH m AS (
