@@ -696,3 +696,50 @@ def test_clean_corpus_stats_matches_manual_counts(spark):
     row = clean_corpus_stats(df).collect()[0]
     assert (row["n_input"], row["n_after_exact"],
             row["n_after_gopher"], row["n_after_c4"]) == (11, 10, 10, 10)
+
+
+# ---------------------------------------------------------------------------
+# r5: quality gates are stream-safe (stateless projections)
+# ---------------------------------------------------------------------------
+def test_quality_gates_on_structured_streaming(spark, tmp_path):
+    """gopher_quality_flags + c4_quality_flags are pure projections, so
+    they run UNCHANGED on a readStream source — batch and streaming
+    results agree row-for-row."""
+    from pyspark.sql import functions as F
+
+    from jsonschemaparse_spark.functions.text import (
+        c4_quality_flags,
+        gopher_quality_flags,
+    )
+
+    body = " ".join(f"w{i}x" for i in range(60))
+    docs = [
+        (1, body + ". Second sentence here. Third sentence now."),
+        (2, "too short"),
+        (3, body + ". Has a badphrase here. Third sentence now."),
+    ]
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(docs, "doc_id long, text string") \
+        .coalesce(1).write.parquet(d)
+
+    def gates(frame):
+        out = gopher_quality_flags(frame)
+        out = c4_quality_flags(out, badwords=["badphrase"])
+        return out.select("doc_id", "gopher_keep", "c4_keep")
+
+    batch = {r["doc_id"]: (r["gopher_keep"], r["c4_keep"])
+             for r in gates(spark.read.parquet(d)).collect()}
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(d)
+    q = (gates(stream).writeStream.format("memory")
+         .queryName("quality_sink").outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = {r["doc_id"]: (r["gopher_keep"], r["c4_keep"])
+               for r in spark.sql("select * from quality_sink").collect()}
+    finally:
+        q.stop()
+    assert got == batch and len(got) == 3
+    assert batch[1] == (True, True)
+    assert batch[2][0] is False      # gopher n_words gate
+    assert batch[3][1] is False      # c4 badwords gate
