@@ -31,8 +31,13 @@ def normalized_text(text: Column) -> Column:
 
 
 def content_key(text: Column) -> Column:
-    """Portable exact-dup key: md5 hex of normalized utf-8 bytes."""
-    return F.md5(F.encode(normalized_text(text), "UTF-8"))
+    """Portable exact-dup key: md5 hex of normalized utf-8 bytes. NULL
+    text keys like empty text (r5 third review #3: a NULL key would fall
+    out of the dedup equality join entirely, silently DROPPING every
+    null-text row instead of keeping one) — null and '' normalize to 'no
+    content', so they collapse into one kept row. DuckDB twin:
+    md5(coalesce(norm, ''))."""
+    return F.md5(F.encode(F.coalesce(normalized_text(text), F.lit("")), "UTF-8"))
 
 
 # ---------------------------------------------------------------------------

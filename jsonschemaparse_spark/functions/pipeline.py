@@ -9,10 +9,12 @@ across the stage predicates; only the stages that need cross-doc state
 
 Scale notes: every stage here is one of the audited operators (PLANS.md
 §4/§11); the composition adds NO new shuffle shapes. Near-dup removal is
-the standard greedy pair rule — for every verified pair (a < b) drop b —
-which is deterministic and SQL-reproducible; it is NOT transitive closure
-(a chain a~b~c with a!~c keeps a and c), the usual trade for avoiding an
-iterative connected-components pass.
+the standard greedy pair rule — every document that appears as the id_b
+of ANY verified pair (a < b) is dropped. In a chain a~b~c with a!~c that
+drops BOTH b and c (each is some pair's b); survivors are exactly the
+docs never named second in a pair. Deterministic and SQL-reproducible;
+it is NOT transitive-closure clustering (which would also keep only a,
+but via an iterative connected-components pass this engine avoids).
 """
 
 from __future__ import annotations
@@ -79,6 +81,12 @@ def clean_corpus(
         out = remove_duplicate_spans(out, id_col, text_col).select(*cols)
     if near_dup_threshold is not None:
         stages.append("near_dup")
+        # the pair stage reads `out` three times (signature scan, text
+        # hydration, final anti-join left side); persist the gated frame
+        # so the upstream dedup shuffle + gate projections compute once
+        # (r5 third review #2). Lazy — materializes with the first
+        # downstream action; callers may .unpersist() the result.
+        out = out.persist()
         pairs = minhash_near_duplicates(
             out, id_col, text_col, threshold=near_dup_threshold)
         drop = pairs.select(F.col("id_b").alias(id_col)).distinct()

@@ -415,15 +415,20 @@ def gopher_dup_ngram_fractions(
         id_col, F.explode(F.concat(*[_gram_array(n) for n in ns])).alias("g")
     ).select(id_col, F.col("g.n").alias("n"), F.col("g.pos").alias("pos"),
              F.col("g.gram").alias("gram"))
-    dup_occurrences = (
+    # duplicated (doc, n, gram) keys via a counting agg, then a left-semi
+    # back onto the gram rows — the same docc-JOIN-dups shape as the
+    # DuckDB oracle. (r5 third review #4: the earlier collect_list of
+    # positions materialized a whole repetition run as ONE array in the
+    # aggregation buffer — degenerate identical-word docs made that a
+    # 100k-element value — where the semi join streams the same rows.)
+    dup_keys = (
         grams.groupBy(id_col, "n", "gram")
-        .agg(F.count(F.lit(1)).alias("_cnt"),
-             F.collect_list("pos").alias("_positions"))
+        .agg(F.count(F.lit(1)).alias("_cnt"))
         .filter(F.col("_cnt") >= 2)
+        .select(id_col, "n", "gram")
     )
     covered = (
-        dup_occurrences.select(
-            id_col, "n", F.explode("_positions").alias("pos"))
+        grams.join(dup_keys, [id_col, "n", "gram"], "left_semi")
         .select(id_col, "n",
                 F.explode(F.sequence(F.col("pos"),
                                      F.col("pos") + F.col("n") - 1))
