@@ -260,6 +260,13 @@ def parse(text: str | bytes, schema=None, extensions: bool = False, limits=None)
     schema, opt_kw, opt_reviver = _split_options(schema)
     reviver = reviver or opt_reviver
     limits = opt_kw.pop("limits", limits)
+    # The reference's parse() force-overrides the three parse* options
+    # AFTER copying the caller's (lib/parse.js:85-90: Object.assign({},
+    # options, {parseValue: true, parseAnnotations: false, parseInfo:
+    # false})) — so parse(text, {parseValue: false}) still returns the
+    # value (node-verified, r5 ADVICE). Mirror that here.
+    opt_kw["parse_value"] = True
+    opt_kw["annotations"] = False
     # compile the unwrapped schema HERE so parse_info cannot re-run the
     # options detection on it (r5 second review #1: {'schema':
     # {'maxItems': 3}} — an EXPLICIT schema made only of ambiguous keys —

@@ -3,35 +3,78 @@
 A user of C4/Gopher-style pipelines runs the same stage order every time:
 exact dedup -> quality gates -> (optional) boilerplate strip -> (optional)
 span dedup -> (optional) near-dup removal. clean_corpus wires the existing
-operators in that order over a single lineage — Catalyst shares the scan
-across the stage predicates; only the stages that need cross-doc state
-(dedup tiers, line/span removal) introduce their documented shuffles.
+operators in that order over a single lineage; only the stages that need
+cross-doc state (dedup tiers, line/span removal) introduce their
+documented shuffles.
+
+r6 execution shape: the Gopher + C4 gates run as text.quality_flags —
+ONE Project over ONE scan emitting every metric and both keeps (the
+unfused chain built two Project/Filter pipelines that each re-built the
+token/line arrays). Exact dedup is the linear groupBy-min(struct) form
+(one full-row shuffle with map-side combine). The funnel counts come
+from `.observe()` accumulators attached along the lineage, so ONE job
+materializes the cleaned frame AND its stage-by-stage survivor counts.
 
 Scale notes: every stage here is one of the audited operators (PLANS.md
-§4/§11); the composition adds NO new shuffle shapes. Near-dup removal is
-the standard greedy pair rule — every document that appears as the id_b
-of ANY verified pair (a < b) is dropped. In a chain a~b~c with a!~c that
-drops BOTH b and c (each is some pair's b); survivors are exactly the
-docs never named second in a pair. Deterministic and SQL-reproducible;
-it is NOT transitive-closure clustering (which would also keep only a,
-but via an iterative connected-components pass this engine avoids).
+§4/§11); the composition adds NO new shuffle shapes.
+
+Near-dup removal modes (`near_dup_mode`):
+  'greedy' (default) — every document that appears as the id_b of ANY
+    verified pair (a < b) is dropped. In a chain a~b~c with a!~c that
+    drops BOTH b and c (each is some pair's b); survivors are exactly
+    the docs never named second in a pair. Deterministic, one anti-join,
+    SQL-reproducible without recursion.
+  'cc' (r6) — transitive connected-components clustering (the C4/Gopher
+    dedup-literature semantics): verified pairs are edges, each
+    component keeps exactly its minimum-id member. Runs
+    graph.connected_components (iterative min-label propagation, bounded
+    passes). A chain a~b~c keeps only a under BOTH modes; they differ on
+    shapes like (1,3),(2,3): greedy keeps {1, 2} (only 3 is ever an
+    id_b), cc collapses the whole component to {1}.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
-from .dedup import exact_dedup, minhash_near_duplicates, remove_duplicate_spans
-from .text import c4_quality_flags, gopher_quality_flags
+from .dedup import (
+    content_key,
+    exact_dedup_linear,
+    minhash_near_duplicates,
+    remove_duplicate_spans,
+)
+from .graph import connected_components
+from .text import _c4_flag_columns, _gopher_flag_columns, quality_flags
 
 
 @dataclass
 class CleanCorpusResult:
     cleaned: DataFrame            # surviving rows of the input schema
     stages: list[str]             # stage names in applied order
+    # the persisted intermediate backing the near-dup stage, exposed so
+    # callers can release it (r5 ADVICE: unpersisting `cleaned` does NOT
+    # release a cache on an upstream frame). None when near-dup is off.
+    cached: "DataFrame | None" = None
+    # stage-name -> Observation; populated when observe_funnel=True.
+    # Metrics become readable (obs.get) after the first action on
+    # `cleaned` — the funnel rides the SAME job, no re-count.
+    funnel: "dict[str, Observation]" = field(default_factory=dict)
+
+    def funnel_counts(self) -> dict[str, int]:
+        """Merge every funnel observation into one {metric: value} dict.
+        Call AFTER materializing `cleaned` (obs.get blocks until its
+        query completes)."""
+        out: dict[str, int] = {}
+        for obs in self.funnel.values():
+            out.update(obs.get)
+        return out
+
+    def unpersist(self) -> None:
+        if self.cached is not None:
+            self.cached.unpersist()
 
 
 def clean_corpus(
@@ -43,55 +86,108 @@ def clean_corpus(
     c4: bool = True,
     span_dedup: bool = False,
     near_dup_threshold: "float | None" = None,
+    near_dup_mode: str = "greedy",
     char_fraction_max_items: int = 10_000,
+    observe_funnel: bool = False,
 ) -> CleanCorpusResult:
     """Apply the canonical cleaning stages in order; returns the surviving
-    rows (original columns only) and the list of stages applied.
+    rows (original columns only), the stages applied, the persisted
+    intermediate (if any), and — with observe_funnel=True — the funnel
+    observations.
 
     Stages (each optional except exact dedup, the universal first step):
-      1. exact        exact_dedup — collapse identical docs (min id kept)
-      2. gopher       gopher_quality_flags base gate (one projection)
-      3. c4           c4_quality_flags gate (+ injectable badwords)
+      1. exact        exact_dedup_linear — collapse identical docs
+                      (min id kept; one full-row shuffle)
+      2+3. gates      quality_flags — Gopher base gate and/or C4 gate
+                      (+ injectable badwords) fused into ONE projection,
+                      ONE filter
       4. span_dedup   remove_duplicate_spans (C4 3-sentence rule) — text
                       REWRITTEN, then re-gated docs are NOT re-filtered
                       (C4 order: span dedup happens after the doc gates)
-      5. near_dup     minhash pairs at `near_dup_threshold`; for every
-                      verified (a < b) pair, b is dropped (greedy rule)
-    """
+      5. near_dup     minhash pairs at `near_dup_threshold`, dropped per
+                      `near_dup_mode` ('greedy' pair rule or 'cc'
+                      connected components — module docstring)
+
+    observe_funnel: attaches `.observe()` accumulators (n_input,
+    n_after_exact, n_after_gopher / n_after_c4 as applicable, and the
+    minhash bucket-overflow counters when near-dup is on) so the first
+    action on `cleaned` also yields the funnel — the production shape:
+    one pass over the corpus, counts for free. Read them via
+    result.funnel_counts(). The overflow counters surface what the LSH
+    bucket cap dropped (no silent caps at the composition level)."""
+    if near_dup_mode not in ("greedy", "cc"):
+        raise ValueError(
+            f"near_dup_mode must be 'greedy' or 'cc', got {near_dup_mode!r}")
     cols = df.columns
+    funnel: dict[str, Observation] = {}
+    out = df
+    if observe_funnel:
+        obs_in = Observation()
+        funnel["input"] = obs_in
+        out = out.observe(obs_in, F.count(F.lit(1)).alias("n_input"))
     stages = ["exact"]
-    out = exact_dedup(df, id_col, text_col)
-    if gopher:
-        stages.append("gopher")
-        out = (
-            gopher_quality_flags(out, text_col,
-                                 char_fraction_max_items=char_fraction_max_items)
-            .filter(F.col("gopher_keep"))
-            .select(*cols)
-        )
-    if c4:
-        stages.append("c4")
-        out = (
-            c4_quality_flags(out, text_col, badwords=badwords)
-            .filter(F.col("c4_keep"))
-            .select(*cols)
-        )
+    out = exact_dedup_linear(out, id_col, text_col)
+    gate_kw: dict = {}
+    if gopher or c4:
+        if observe_funnel:
+            obs_g = Observation()
+            funnel["gates"] = obs_g
+            metrics = [F.count(F.lit(1)).alias("n_after_exact")]
+            if gopher:
+                metrics.append(
+                    F.coalesce(F.sum(F.when(F.col("gopher_keep"), 1)),
+                               F.lit(0)).alias("n_after_gopher"))
+            metrics.append(
+                F.coalesce(F.sum(F.when(F.col("quality_keep"), 1)),
+                           F.lit(0)).alias(
+                    "n_after_c4" if c4 else "n_after_gates"))
+        if gopher:
+            stages.append("gopher")
+        if c4:
+            stages.append("c4")
+        flagged = quality_flags(
+            out, text_col, gopher=gopher, c4=c4, badwords=badwords,
+            char_fraction_max_items=char_fraction_max_items)
+        if observe_funnel:
+            flagged = flagged.observe(obs_g, *metrics)
+        out = flagged.filter(F.col("quality_keep")).select(*cols)
+    elif observe_funnel:
+        obs_g = Observation()
+        funnel["gates"] = obs_g
+        out = out.observe(obs_g, F.count(F.lit(1)).alias("n_after_exact"))
     if span_dedup:
         stages.append("span_dedup")
         out = remove_duplicate_spans(out, id_col, text_col).select(*cols)
+    cached = None
     if near_dup_threshold is not None:
         stages.append("near_dup")
         # the pair stage reads `out` three times (signature scan, text
         # hydration, final anti-join left side); persist the gated frame
         # so the upstream dedup shuffle + gate projections compute once
         # (r5 third review #2). Lazy — materializes with the first
-        # downstream action; callers may .unpersist() the result.
+        # downstream action; release it via result.unpersist() (r5
+        # ADVICE: it is exposed as result.cached because unpersisting
+        # the RETURNED frame would not release this intermediate).
         out = out.persist()
+        cached = out
+        overflow_obs = None
+        if observe_funnel:
+            overflow_obs = Observation()
+            funnel["near_dup_overflow"] = overflow_obs
         pairs = minhash_near_duplicates(
-            out, id_col, text_col, threshold=near_dup_threshold)
-        drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+            out, id_col, text_col, threshold=near_dup_threshold,
+            overflow_observation=overflow_obs)
+        if near_dup_mode == "greedy":
+            drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        else:
+            labels = connected_components(pairs, "id_a", "id_b")
+            # each component keeps its min-id member (the node whose
+            # label is itself); every other member drops
+            drop = (labels.filter(F.col("node") != F.col("label"))
+                    .select(F.col("node").alias(id_col)))
         out = out.join(drop, id_col, "left_anti")
-    return CleanCorpusResult(cleaned=out, stages=stages)
+    return CleanCorpusResult(cleaned=out, stages=stages, cached=cached,
+                             funnel=funnel)
 
 
 def clean_corpus_stats(
@@ -101,21 +197,32 @@ def clean_corpus_stats(
     badwords: "list[str] | None" = None,
 ) -> DataFrame:
     """One row of per-stage survivor counts for the exact->gopher->c4
-    pipeline — the auditable funnel a cleaning run reports. Each count is
-    a separate aggregation over the shared lineage (the driver-query /
-    oracle surface; production runs would .observe() the cleaned frame
-    instead of re-counting)."""
-    n_input = df.count()
-    deduped = exact_dedup(df, id_col, text_col)
-    n_exact = deduped.count()
-    gophered = gopher_quality_flags(deduped, text_col).filter(
-        F.col("gopher_keep"))
-    n_gopher = gophered.count()
-    c4ed = c4_quality_flags(gophered, text_col, badwords=badwords).filter(
-        F.col("c4_keep"))
-    n_c4 = c4ed.count()
-    spark = df.sparkSession
-    return spark.createDataFrame(
-        [(n_input, n_exact, n_gopher, n_c4)],
-        "n_input long, n_after_exact long, n_after_gopher long, n_after_c4 long",
+    pipeline — the auditable funnel a cleaning run reports, from ONE
+    aggregation job (r6; previously four separate count() actions that
+    each recomputed the lineage prefix).
+
+    Shape: one groupBy(content_key) with min(struct(id, text)) + a group
+    count collapses exact dedup AND the input count into the same
+    shuffle; the fused gate columns evaluate on each surviving key's
+    kept text inside the final single-row aggregation. At 100 TB this is
+    one corpus scan, one dedup shuffle, one 1-row agg — the funnel costs
+    nothing beyond the dedup itself. (For the funnel of a run that also
+    PRODUCES the cleaned frame, use clean_corpus(observe_funnel=True) —
+    same counts, rides the cleaning job.)"""
+    keyed = df.select(
+        content_key(F.col(text_col)).alias("_ck"),
+        F.struct(F.col(id_col).alias("i"), F.col(text_col).alias("t")).alias("_r"),
+    )
+    groups = keyed.groupBy("_ck").agg(
+        F.min("_r").alias("_keep"), F.count(F.lit(1)).alias("_n"))
+    kept_text = F.col("_keep.t")
+    _, gkeep = _gopher_flag_columns(kept_text)
+    _, ckeep = _c4_flag_columns(kept_text, badwords)
+    return groups.agg(
+        F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("n_input"),
+        F.count(F.lit(1)).cast("long").alias("n_after_exact"),
+        F.coalesce(F.sum(F.when(gkeep, 1)), F.lit(0)).cast("long")
+        .alias("n_after_gopher"),
+        F.coalesce(F.sum(F.when(gkeep & ckeep, 1)), F.lit(0)).cast("long")
+        .alias("n_after_c4"),
     )

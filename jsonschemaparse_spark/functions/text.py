@@ -154,40 +154,14 @@ def with_fingerprint(df: DataFrame, text_col: str = "text",
 # standard web-pipeline keep/reject gate). Pure Column expressions: one
 # codegen projection per document, no Python, DuckDB-reproducible.
 # ---------------------------------------------------------------------------
-def gopher_quality_flags(df: DataFrame, text_col: str = "text",
-                         char_fraction_max_items: int = 10_000) -> DataFrame:
-    """Per-document Gopher quality metrics + the keep verdict.
-
-    Columns added (all from ONE projection):
-      n_words, mean_word_length, symbol_word_ratio, bullet_line_fraction,
-      ellipsis_line_fraction, alpha_word_fraction,
-      duplicate_line_fraction, duplicate_paragraph_fraction,
-      duplicate_line_char_fraction, duplicate_paragraph_char_fraction,
-      gopher_keep.
-    Thresholds are the paper's: 50 <= words <= 100k; 3 <= mean word length
-    <= 10; symbol-to-word ratio (#, ...) <= 0.1; <= 90% bullet lines;
-    <= 30% ellipsis-ending lines; >= 80% words with an alphabetic char;
-    duplicate line/paragraph fraction <= 0.30; chars in duplicated
-    lines/paragraphs <= 0.20 of the text. (The paper's top-n-gram char
-    fractions are intentionally omitted — documented, not silently
-    skipped: the per-doc n-gram frequency table is a poor fit for a
-    single codegen expression; run them via quality_features/token paths
-    if needed.)
-
-    The char-fraction terms use a nested HOF (per line, count its
-    occurrences in the line array) — O(L^2) per DOCUMENT over short
-    arrays, still zero Python and zero shuffle. Because O(L^2) degrades
-    on degenerate million-line documents, those two metrics are computed
-    over at most `char_fraction_max_items` lines/paragraphs (default
-    10k — far above any real web page); when a document exceeds the cap
-    the boolean `char_fraction_truncated` column is set so downstream
-    consumers can see the bound was hit. The count-based duplicate
-    fractions stay exact (array_distinct is O(L)).
-
-    At 100 TB this is the same shape as the flagship validation: a
-    shuffle-free scan with all metrics inside whole-stage codegen (the
-    per-line lambdas are array HOFs over short arrays, not Python)."""
-    t = F.col(text_col)
+def _gopher_flag_columns(
+    t: Column, char_fraction_max_items: int = 10_000
+) -> tuple[dict[str, Column], Column]:
+    """The Gopher base-gate metric columns and keep verdict as pure Column
+    expressions over `t` — the shared builder behind gopher_quality_flags
+    and the fused quality_flags (r6: N gates must not mean N token/line
+    array builds; within one Project, codegen subexpression elimination
+    evaluates the shared words/lines/paras subtrees once)."""
     words = F.filter(F.split(F.coalesce(t, F.lit("")), r"\s+"),
                      lambda w: w != F.lit(""))
     lines = F.filter(F.split(F.coalesce(t, F.lit("")), "\n"),
@@ -237,32 +211,70 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text",
     dup_line_chars = _dup_char_fraction(F.slice(lines, 1, cap))
     dup_para_chars = _dup_char_fraction(F.slice(paras, 1, cap))
     truncated = (n_lines > cap) | (n_paras > cap)
-    out = (
-        df.withColumn("n_words", n_words)
-        .withColumn("mean_word_length", F.round(mean_wl, 6))
-        .withColumn("symbol_word_ratio", F.round(sym_ratio, 6))
-        .withColumn("bullet_line_fraction", F.round(bullet_frac, 6))
-        .withColumn("ellipsis_line_fraction", F.round(ellipsis_frac, 6))
-        .withColumn("alpha_word_fraction", F.round(alpha_frac, 6))
-        .withColumn("duplicate_line_fraction", F.round(dup_lines, 6))
-        .withColumn("duplicate_paragraph_fraction", F.round(dup_paras, 6))
-        .withColumn("duplicate_line_char_fraction", F.round(dup_line_chars, 6))
-        .withColumn("duplicate_paragraph_char_fraction", F.round(dup_para_chars, 6))
-        .withColumn("char_fraction_truncated", truncated)
-    )
+    cols: dict[str, Column] = {
+        "n_words": n_words,
+        "mean_word_length": F.round(mean_wl, 6),
+        "symbol_word_ratio": F.round(sym_ratio, 6),
+        "bullet_line_fraction": F.round(bullet_frac, 6),
+        "ellipsis_line_fraction": F.round(ellipsis_frac, 6),
+        "alpha_word_fraction": F.round(alpha_frac, 6),
+        "duplicate_line_fraction": F.round(dup_lines, 6),
+        "duplicate_paragraph_fraction": F.round(dup_paras, 6),
+        "duplicate_line_char_fraction": F.round(dup_line_chars, 6),
+        "duplicate_paragraph_char_fraction": F.round(dup_para_chars, 6),
+        "char_fraction_truncated": truncated,
+    }
+    # keep compares the SAME rounded expressions the output columns carry
+    # (boundary values like 2.9999996 round to 3.0 and pass — oracle
+    # parity demands the rounded comparison)
     keep = (
-        (F.col("n_words") >= 50) & (F.col("n_words") <= 100_000)
-        & (F.col("mean_word_length") >= 3) & (F.col("mean_word_length") <= 10)
-        & (F.col("symbol_word_ratio") <= 0.1)
-        & (F.col("bullet_line_fraction") <= 0.9)
-        & (F.col("ellipsis_line_fraction") <= 0.3)
-        & (F.col("alpha_word_fraction") >= 0.8)
-        & (F.col("duplicate_line_fraction") <= 0.3)
-        & (F.col("duplicate_paragraph_fraction") <= 0.3)
-        & (F.col("duplicate_line_char_fraction") <= 0.2)
-        & (F.col("duplicate_paragraph_char_fraction") <= 0.2)
+        (cols["n_words"] >= 50) & (cols["n_words"] <= 100_000)
+        & (cols["mean_word_length"] >= 3) & (cols["mean_word_length"] <= 10)
+        & (cols["symbol_word_ratio"] <= 0.1)
+        & (cols["bullet_line_fraction"] <= 0.9)
+        & (cols["ellipsis_line_fraction"] <= 0.3)
+        & (cols["alpha_word_fraction"] >= 0.8)
+        & (cols["duplicate_line_fraction"] <= 0.3)
+        & (cols["duplicate_paragraph_fraction"] <= 0.3)
+        & (cols["duplicate_line_char_fraction"] <= 0.2)
+        & (cols["duplicate_paragraph_char_fraction"] <= 0.2)
     )
-    return out.withColumn("gopher_keep", keep)
+    return cols, keep
+
+
+def gopher_quality_flags(df: DataFrame, text_col: str = "text",
+                         char_fraction_max_items: int = 10_000) -> DataFrame:
+    """Per-document Gopher quality metrics + the keep verdict.
+
+    Columns added (all from ONE projection):
+      n_words, mean_word_length, symbol_word_ratio, bullet_line_fraction,
+      ellipsis_line_fraction, alpha_word_fraction,
+      duplicate_line_fraction, duplicate_paragraph_fraction,
+      duplicate_line_char_fraction, duplicate_paragraph_char_fraction,
+      gopher_keep.
+    Thresholds are the paper's: 50 <= words <= 100k; 3 <= mean word length
+    <= 10; symbol-to-word ratio (#, ...) <= 0.1; <= 90% bullet lines;
+    <= 30% ellipsis-ending lines; >= 80% words with an alphabetic char;
+    duplicate line/paragraph fraction <= 0.30; chars in duplicated
+    lines/paragraphs <= 0.20 of the text. (The paper's top-n-gram char
+    fractions need a shuffle and live in gopher_top_ngram_fractions /
+    gopher_quality_full.)
+
+    The char-fraction terms use a nested HOF (per line, count its
+    occurrences in the line array) — O(L^2) per DOCUMENT over short
+    arrays, still zero Python and zero shuffle. Because O(L^2) degrades
+    on degenerate million-line documents, those two metrics are computed
+    over at most `char_fraction_max_items` lines/paragraphs (default
+    10k — far above any real web page); when a document exceeds the cap
+    the boolean `char_fraction_truncated` column is set so downstream
+    consumers can see the bound was hit. The count-based duplicate
+    fractions stay exact (array_distinct is O(L)).
+
+    At 100 TB this is the same shape as the flagship validation: a
+    shuffle-free scan with all metrics inside whole-stage codegen (the
+    per-line lambdas are array HOFs over short arrays, not Python)."""
+    cols, keep = _gopher_flag_columns(F.col(text_col), char_fraction_max_items)
+    return df.withColumns({**cols, "gopher_keep": keep})
 
 
 # Paper thresholds (Rae et al. 2021 table A1): fraction of characters in
@@ -485,6 +497,49 @@ def gopher_quality_full(df: DataFrame, id_col: str = "doc_id",
 # C4-style cleaning (Raffel et al. 2020 §2.2 — the other canonical
 # web-pipeline gate next to the Gopher rules). One codegen projection.
 # ---------------------------------------------------------------------------
+def _c4_flag_columns(
+    raw: Column, badwords: "list[str] | None" = None
+) -> tuple[dict[str, Column], Column]:
+    """The C4 gate metric columns and keep verdict as pure Column
+    expressions over `raw` — the shared builder behind c4_quality_flags
+    and the fused quality_flags."""
+    t = F.coalesce(raw, F.lit(""))
+    lines = F.filter(F.split(t, "\n"), lambda ln: F.trim(ln) != F.lit(""))
+    n_lines = F.size(lines)
+    n_sentences = F.size(
+        F.filter(F.split(t, r"[.!?]"), lambda s: F.trim(s) != F.lit(""))
+    )
+    term_lines = F.size(F.filter(
+        lines, lambda ln: F.trim(ln).rlike(r'[.!?"]$')))
+    cols: dict[str, Column] = {
+        "n_sentences": n_sentences,
+        "has_lorem_ipsum": F.lower(t).contains("lorem ipsum"),
+        "has_curly_brace": t.contains("{"),
+        "terminal_punct_line_fraction": F.round(
+            F.when(n_lines > 0, term_lines / n_lines).otherwise(F.lit(0.0)), 6
+        ),
+    }
+    keep = (
+        (cols["n_sentences"] >= 3)
+        & ~cols["has_lorem_ipsum"] & ~cols["has_curly_brace"]
+    )
+    if badwords is not None:
+        low = F.lower(t)
+        words = [w.lower() for w in badwords if " " not in w]
+        phrases = [w.lower() for w in badwords if " " in w]
+        hit = F.lit(False)
+        if words:
+            doc_words = F.filter(F.split(low, r"\s+"),
+                                 lambda w: w != F.lit(""))
+            hit = hit | F.arrays_overlap(
+                doc_words, F.array(*[F.lit(w) for w in words]))
+        for p in phrases:
+            hit = hit | low.contains(p)
+        cols["has_bad_word"] = hit
+        keep = keep & ~hit
+    return cols, keep
+
+
 def c4_quality_flags(df: DataFrame, text_col: str = "text",
                      badwords: "list[str] | None" = None) -> DataFrame:
     """Document-level C4 signals + keep verdict:
@@ -501,43 +556,50 @@ def c4_quality_flags(df: DataFrame, text_col: str = "text",
     a space match as substrings of the lowercased text (C4 phrase
     behavior). When set, adds has_bad_word and ANDs its negation into
     c4_keep. Span dedup lives in dedup.remove_duplicate_spans."""
-    t = F.coalesce(F.col(text_col), F.lit(""))
-    lines = F.filter(F.split(t, "\n"), lambda ln: F.trim(ln) != F.lit(""))
-    n_lines = F.size(lines)
-    n_sentences = F.size(
-        F.filter(F.split(t, r"[.!?]"), lambda s: F.trim(s) != F.lit(""))
-    )
-    term_lines = F.size(F.filter(
-        lines, lambda ln: F.trim(ln).rlike(r'[.!?"]$')))
-    out = (
-        df.withColumn("n_sentences", n_sentences)
-        .withColumn("has_lorem_ipsum", F.lower(t).contains("lorem ipsum"))
-        .withColumn("has_curly_brace", t.contains("{"))
-        .withColumn(
-            "terminal_punct_line_fraction",
-            F.round(F.when(n_lines > 0, term_lines / n_lines)
-                    .otherwise(F.lit(0.0)), 6),
-        )
-    )
-    keep = (
-        (F.col("n_sentences") >= 3)
-        & ~F.col("has_lorem_ipsum") & ~F.col("has_curly_brace")
-    )
-    if badwords is not None:
-        low = F.lower(t)
-        words = [w.lower() for w in badwords if " " not in w]
-        phrases = [w.lower() for w in badwords if " " in w]
-        hit = F.lit(False)
-        if words:
-            doc_words = F.filter(F.split(low, r"\s+"),
-                                 lambda w: w != F.lit(""))
-            hit = hit | F.arrays_overlap(
-                doc_words, F.array(*[F.lit(w) for w in words]))
-        for p in phrases:
-            hit = hit | low.contains(p)
-        out = out.withColumn("has_bad_word", hit)
-        keep = keep & ~F.col("has_bad_word")
-    return out.withColumn("c4_keep", keep)
+    cols, keep = _c4_flag_columns(F.col(text_col), badwords)
+    return df.withColumns({**cols, "c4_keep": keep})
+
+
+def quality_flags(df: DataFrame, text_col: str = "text",
+                  gopher: bool = True, c4: bool = True,
+                  badwords: "list[str] | None" = None,
+                  char_fraction_max_items: int = 10_000) -> DataFrame:
+    """The FUSED cleaning gate (r6): every Gopher A1.1 base metric and
+    every C4 signal (+ optional badwords) emitted from ONE projection over
+    ONE scan, plus `quality_keep` = gopher_keep AND c4_keep (of the gates
+    enabled).
+
+    Why one projection matters at 100 TB: the corpus scan dominates a
+    cleaning run. Chaining gopher_quality_flags -> filter ->
+    c4_quality_flags -> filter builds a Project/Filter/Project/Filter
+    pipeline in which each Project re-builds its own token/line arrays —
+    whole-stage codegen's subexpression elimination dedups subtrees
+    WITHIN one operator's expression set, not across operators. Here all
+    metric columns and both keeps live in a single Project, so the shared
+    words/lines/paras subtrees evaluate once per row and the gate cost is
+    ~max, not the sum, of the individual gates (BENCH quality_fused vs
+    gopher_gate + c4_gate). tests/test_functions.py asserts the plan is
+    exactly one Project over the scan — no Exchange, no Generate, no
+    Python.
+
+    Column values are bit-identical to the unfused operators (the same
+    _gopher_flag_columns/_c4_flag_columns builders produce both); the
+    driver query `quality_fused` hash-checks the combined output against
+    the chained DuckDB oracle."""
+    cols: dict[str, Column] = {}
+    keep = F.lit(True)
+    if gopher:
+        gcols, gkeep = _gopher_flag_columns(F.col(text_col),
+                                            char_fraction_max_items)
+        cols.update(gcols)
+        cols["gopher_keep"] = gkeep
+        keep = keep & gkeep
+    if c4:
+        ccols, ckeep = _c4_flag_columns(F.col(text_col), badwords)
+        cols.update(ccols)
+        cols["c4_keep"] = ckeep
+        keep = keep & ckeep
+    return df.withColumns({**cols, "quality_keep": keep})
 
 
 def c4_line_filter(df: DataFrame, text_col: str = "text",
@@ -554,4 +616,10 @@ def c4_line_filter(df: DataFrame, text_col: str = "text",
         & (F.size(F.filter(F.split(F.trim(ln), r"\s+"),
                            lambda w: w != F.lit(""))) >= min_words),
     )
-    return df.withColumn(out_col, F.array_join(kept, "\n"))
+    # NULL-text convention (dedup module header): rewriting ops preserve
+    # NULL — only non-null docs with no qualifying line collapse to ''
+    return df.withColumn(
+        out_col,
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+        .otherwise(F.array_join(kept, "\n")),
+    )

@@ -549,3 +549,64 @@ def test_c4_quality_flags_and_line_filter(spark):
     out = c4_line_filter(lf).first()["text"]
     assert out == ("A proper sentence with enough words right here.\n"
                    "Another good line that ends with a question mark maybe?")
+
+
+def test_quality_flags_fused_matches_unfused(spark):
+    """r6 VERDICT #1: the fused gate's columns are bit-identical to
+    chaining gopher_quality_flags + c4_quality_flags, and quality_keep is
+    the AND of the two keeps."""
+    from jsonschemaparse_spark.functions.text import (
+        c4_quality_flags,
+        gopher_quality_flags,
+        quality_flags,
+    )
+
+    good = ("word " * 60).strip() + ".\nSecond sentence right here!\nThird one closes?"
+    df = spark.createDataFrame(
+        [(1, good),
+         (2, "function f() { x; } " + "word " * 60),
+         (3, "- a\n- b\n- c"),
+         (4, "Lorem ipsum dolor. " + "useful words here " * 20 + ". End!"),
+         (5, None),
+         (6, "badtoken appears here. " + "word " * 60 + ". Closing line!")],
+        "doc_id long, text string")
+    bw = ["badtoken", "two word phrase"]
+    fused = quality_flags(df, badwords=bw)
+    unfused = c4_quality_flags(
+        gopher_quality_flags(df), badwords=bw)
+    f_rows = {r["doc_id"]: r.asDict() for r in fused.collect()}
+    u_rows = {r["doc_id"]: r.asDict() for r in unfused.collect()}
+    for i, u in u_rows.items():
+        f = f_rows[i]
+        for col, v in u.items():
+            assert f[col] == v, (i, col, f[col], v)
+        assert f["quality_keep"] == (u["gopher_keep"] and u["c4_keep"])
+    # gate subsets work and keep reflects only the enabled gates
+    only_g = quality_flags(df, c4=False).collect()
+    for r in only_g:
+        assert r["quality_keep"] == r["gopher_keep"]
+        assert "c4_keep" not in r.asDict()
+
+
+def test_quality_flags_single_projection_plan(spark, documents):
+    """r6 VERDICT #1 'done' criterion: the fused gate over a parquet scan
+    is ONE Project subtree over ONE scan — no Exchange, no Generate, no
+    Python eval, and exactly one Project node in the physical plan."""
+    import io
+    from contextlib import redirect_stdout
+
+    from jsonschemaparse_spark.functions.text import quality_flags
+
+    out = quality_flags(documents, badwords=["zzz"])
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan
+    assert "Python" not in plan, plan
+    n_projects = sum(
+        1 for ln in plan.splitlines()
+        if ln.strip().split(" ", 2)[1:2] == ["Project"])
+    assert n_projects == 1, plan
+    assert "Scan parquet" in plan

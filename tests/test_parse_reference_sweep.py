@@ -309,3 +309,16 @@ def test_parseinfo_schema_pass_fail():  # parseInfo.test.js:100-111
 # parseInfo(text, {parseInfo}) — parseInfo.test.js:114-117 are upstream
 # stubs (no bodies); the parseInfo-tree surface (instance_info/links) is
 # pinned in test_api_skew.
+
+
+# ---------------------------------------------------------------------------
+# parse() force-overrides parse* options — lib/parse.js:85-90 Object.assigns
+# {parseValue: true, parseAnnotations: false, parseInfo: false} OVER the
+# caller's options, so parse(text, {parseValue: false}) still returns the
+# value (node-verified, r5 ADVICE; parseInfo honors the caller's flags).
+# ---------------------------------------------------------------------------
+def test_parse_overrides_parse_value_option():
+    assert parse('{"a": 1}', {"parseValue": False}) == {"a": 1}
+    assert parse("[1, 2]", {"parseValue": False, "parseAnnotations": True}) == [1, 2]
+    # parseInfo keeps honoring the caller's parseValue (parseInfo.test.js)
+    assert parse_info('{"a": 1}', {"parseValue": False}).value is None
