@@ -342,6 +342,47 @@ def q_c4_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r6: the FUSED cleaning gate (functions/text.quality_flags) — every
+    Gopher A1.1 base metric, every C4 signal (+ badwords), both keeps and
+    the combined quality_keep, all emitted from ONE projection over ONE
+    scan (plan-asserted single-Project in tests/test_functions.py). The
+    oracle is the gopher base CTE + the c4 expressions merged — values
+    must be bit-identical to the unfused gates."""
+    from jsonschemaparse_spark.functions.text import quality_flags
+
+    out = quality_flags(_multiline_docs(spark, sf_dir),
+                        badwords=["zzzunusedtoken", "footer 2"])
+    return out.select(
+        "doc_id", "n_words", "mean_word_length", "symbol_word_ratio",
+        "bullet_line_fraction", "ellipsis_line_fraction",
+        "alpha_word_fraction", "duplicate_line_fraction",
+        "duplicate_paragraph_fraction", "duplicate_line_char_fraction",
+        "duplicate_paragraph_char_fraction", "char_fraction_truncated",
+        "gopher_keep", "n_sentences", "has_lorem_ipsum", "has_curly_brace",
+        "terminal_punct_line_fraction", "has_bad_word", "c4_keep",
+        "quality_keep",
+    )
+
+
+def q_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r6: connected components (functions/graph.connected_components,
+    iterative min-label propagation) over a deterministic edge list built
+    from document ids — consecutive-id chains merged by long-range edges,
+    so labels only come out right if transitive closure actually
+    propagates across merged chains. Oracle: DuckDB recursive CTE
+    computing each node's minimum reachable id."""
+    from jsonschemaparse_spark.functions.graph import connected_components
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 60).select("doc_id")
+    step = d.filter(F.col("doc_id") % 5 < 3).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b"))
+    cross = d.filter(F.col("doc_id") % 11 == 0).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 7).alias("id_b"))
+    edges = step.unionByName(cross)
+    return connected_components(edges)
+
+
 def _sentence_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic sentence-structured corpus for the C4 span ops: the
     shipped documents carry no sentence punctuation, so build the SAME text
@@ -614,6 +655,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus": q_clean_corpus,
         "c4_span_dedup": q_c4_span_dedup,
         "c4_quality": q_c4_quality,
+        "quality_fused": q_quality_fused,
+        "cc_labels": q_cc_labels,
         "canonical_urls": q_canonical_urls,
         "ks_drift_nchars": q_ks_drift_nchars,
         "webpages_flagship": q_webpages_flagship,
@@ -1124,6 +1167,105 @@ SELECT doc_id,
                          ['zzzunusedtoken'])
             OR contains(lower(text), 'footer 2'))) AS c4_keep
 FROM f
+""",
+        "quality_fused": r"""
+WITH m AS (
+  SELECT doc_id,
+         'SHARED HEADER LINE' || chr(10) || text || chr(10) ||
+         substr(text, 1, 30) || chr(10) || substr(text, 1, 30) || chr(10) ||
+         '- item one' || chr(10) || '- item two' || chr(10) ||
+         'Trailing line...' || chr(10) || 'FOOTER ' || CAST(doc_id % 3 AS VARCHAR) AS text
+  FROM documents WHERE doc_id < 300
+),
+feats AS (
+  SELECT doc_id, coalesce(text, '') AS text,
+    list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'), w -> w <> '') AS words,
+    list_filter(string_split(coalesce(text, ''), chr(10)), l -> trim(l) <> '') AS lines,
+    list_filter(regexp_split_to_array(coalesce(text, ''), '\n\n+'), p -> trim(p) <> '') AS paras
+  FROM m
+),
+r AS (
+  SELECT doc_id,
+    len(words) AS n_words,
+    ROUND(CASE WHEN len(words) > 0 THEN list_aggregate(list_transform(words, w -> length(w)), 'sum') * 1.0 / len(words) ELSE 0 END, 6) AS mean_word_length,
+    ROUND(CASE WHEN len(words) > 0 THEN ((length(text) - length(replace(text, '#', ''))) + len(regexp_extract_all(text, '\.\.\.|…'))) * 1.0 / len(words) ELSE 0 END, 6) AS symbol_word_ratio,
+    ROUND(CASE WHEN len(lines) > 0 THEN len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) * 1.0 / len(lines) ELSE 0 END, 6) AS bullet_line_fraction,
+    ROUND(CASE WHEN len(lines) > 0 THEN len(list_filter(lines, l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) * 1.0 / len(lines) ELSE 0 END, 6) AS ellipsis_line_fraction,
+    ROUND(CASE WHEN len(words) > 0 THEN len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) * 1.0 / len(words) ELSE 0 END, 6) AS alpha_word_fraction,
+    ROUND(CASE WHEN len(lines) > 0 THEN (len(lines) - len(list_distinct(lines))) * 1.0 / len(lines) ELSE 0 END, 6) AS duplicate_line_fraction,
+    ROUND(CASE WHEN len(paras) > 0 THEN (len(paras) - len(list_distinct(paras))) * 1.0 / len(paras) ELSE 0 END, 6) AS duplicate_paragraph_fraction,
+    ROUND(CASE WHEN list_aggregate(list_transform(lines, x -> length(x)), 'sum') > 0
+          THEN list_aggregate(list_transform(lines, x -> CASE WHEN len(list_filter(lines, y -> y = x)) > 1 THEN length(x) ELSE 0 END), 'sum') * 1.0
+               / list_aggregate(list_transform(lines, x -> length(x)), 'sum')
+          ELSE 0 END, 6) AS duplicate_line_char_fraction,
+    ROUND(CASE WHEN list_aggregate(list_transform(paras, x -> length(x)), 'sum') > 0
+          THEN list_aggregate(list_transform(paras, x -> CASE WHEN len(list_filter(paras, y -> y = x)) > 1 THEN length(x) ELSE 0 END), 'sum') * 1.0
+               / list_aggregate(list_transform(paras, x -> length(x)), 'sum')
+          ELSE 0 END, 6) AS duplicate_paragraph_char_fraction,
+    (len(lines) > 10000 OR len(paras) > 10000) AS char_fraction_truncated,
+    len(list_filter(regexp_split_to_array(text, '[.!?]'), s -> trim(s) <> '')) AS n_sentences,
+    contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+    contains(text, '{') AS has_curly_brace,
+    ROUND(CASE WHEN len(lines) > 0
+          THEN len(list_filter(lines, l -> regexp_matches(trim(l), '[.!?\"]$'))) * 1.0 / len(lines)
+          ELSE 0 END, 6) AS terminal_punct_line_fraction,
+    (list_has_any(list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> ''),
+                  ['zzzunusedtoken'])
+     OR contains(lower(text), 'footer 2')) AS has_bad_word
+  FROM feats
+)
+SELECT doc_id, n_words, mean_word_length, symbol_word_ratio,
+  bullet_line_fraction, ellipsis_line_fraction, alpha_word_fraction,
+  duplicate_line_fraction, duplicate_paragraph_fraction,
+  duplicate_line_char_fraction, duplicate_paragraph_char_fraction,
+  char_fraction_truncated,
+  (n_words >= 50 AND n_words <= 100000
+   AND mean_word_length >= 3 AND mean_word_length <= 10
+   AND symbol_word_ratio <= 0.1
+   AND bullet_line_fraction <= 0.9
+   AND ellipsis_line_fraction <= 0.3
+   AND alpha_word_fraction >= 0.8
+   AND duplicate_line_fraction <= 0.3
+   AND duplicate_paragraph_fraction <= 0.3
+   AND duplicate_line_char_fraction <= 0.2
+   AND duplicate_paragraph_char_fraction <= 0.2) AS gopher_keep,
+  n_sentences, has_lorem_ipsum, has_curly_brace,
+  terminal_punct_line_fraction, has_bad_word,
+  (n_sentences >= 3 AND NOT has_lorem_ipsum AND NOT has_curly_brace
+   AND NOT has_bad_word) AS c4_keep,
+  ((n_words >= 50 AND n_words <= 100000
+    AND mean_word_length >= 3 AND mean_word_length <= 10
+    AND symbol_word_ratio <= 0.1
+    AND bullet_line_fraction <= 0.9
+    AND ellipsis_line_fraction <= 0.3
+    AND alpha_word_fraction >= 0.8
+    AND duplicate_line_fraction <= 0.3
+    AND duplicate_paragraph_fraction <= 0.3
+    AND duplicate_line_char_fraction <= 0.2
+    AND duplicate_paragraph_char_fraction <= 0.2)
+   AND (n_sentences >= 3 AND NOT has_lorem_ipsum AND NOT has_curly_brace
+        AND NOT has_bad_word)) AS quality_keep
+FROM r
+""",
+        "cc_labels": r"""
+WITH RECURSIVE ids AS (
+  SELECT doc_id FROM documents WHERE doc_id < 60
+),
+e AS (
+  SELECT doc_id AS a, doc_id + 1 AS b FROM ids WHERE doc_id % 5 < 3
+  UNION ALL
+  SELECT doc_id AS a, doc_id + 7 AS b FROM ids WHERE doc_id % 11 = 0
+),
+und AS (
+  SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e
+),
+nodes AS (SELECT DISTINCT a AS node FROM und),
+r(node, anc) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT u.a, r.anc FROM und u JOIN r ON r.node = u.b
+)
+SELECT node, MIN(anc) AS label FROM r GROUP BY node
 """,
         "duplicate_line_groups": r"""
 WITH m AS (

@@ -181,6 +181,37 @@ def main() -> None:
 
     bench("simhash_documents", simhash_bench)
 
+    # cleaning gates: separate Gopher / C4 projections vs the r6 FUSED
+    # single-projection gate — the fused entry should cost ~max, not the
+    # sum, of the two separates (one scan, one Project, shared token/line
+    # subtrees deduped by codegen subexpression elimination)
+    def gate_gopher():
+        from jsonschemaparse_spark.functions.text import gopher_quality_flags
+
+        df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        gopher_quality_flags(df).select(
+            F.sum(F.when(F.col("gopher_keep"), 1))).collect()
+
+    bench("gate_gopher", gate_gopher)
+
+    def gate_c4():
+        from jsonschemaparse_spark.functions.text import c4_quality_flags
+
+        df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        c4_quality_flags(df).select(
+            F.sum(F.when(F.col("c4_keep"), 1))).collect()
+
+    bench("gate_c4", gate_c4)
+
+    def gate_fused():
+        from jsonschemaparse_spark.functions.text import quality_flags
+
+        df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        quality_flags(df).select(
+            F.sum(F.when(F.col("quality_keep"), 1))).collect()
+
+    bench("gate_fused", gate_fused)
+
     # stats profile
     def stats():
         from jsonschemaparse_spark.functions.stats import column_profile

@@ -412,6 +412,19 @@ def minhash_candidates(
                 F.coalesce(F.sum(F.when(over, F.size("_docs"))),
                            F.lit(0)).alias("overflow_docs"),
             )
+            # PITFALL (r6, empirically pinned in tests/test_graph_pipeline
+            # .py): AQE's AQEPropagateEmptyRelation replaces subtrees with
+            # empty relations when a downstream stage materializes empty —
+            # taking a mid-plan CollectMetrics with it, so the observation
+            # silently reads back EMPTY exactly when every candidate came
+            # from an over-cap bucket (the case the signal exists for).
+            # An eager localCheckpoint ends a job AT this node: the
+            # metrics populate deterministically at call time, and the
+            # pair stage reuses the materialized bucket blocks instead of
+            # recomputing the signature pipeline. Opt-in cost (~the
+            # bucket stream already paid for by the shuffle), only when
+            # the caller asked for the observation.
+            buckets = buckets.localCheckpoint(eager=True)
         buckets = buckets.filter(F.size("_docs") <= max_bucket_size)
     docs_arr = F.col("_docs")
     m = F.size(docs_arr)

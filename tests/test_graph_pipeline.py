@@ -1,0 +1,166 @@
+"""connected_components + the r6 clean_corpus additions (fused gate
+wiring, observe-funnel, near_dup_mode='cc', cached exposure, minhash
+overflow observation)."""
+
+import pytest
+
+from pyspark.sql import Observation
+from pyspark.sql import functions as F
+
+
+# ---------------- connected_components --------------------------------------
+def test_connected_components_basic(spark):
+    from jsonschemaparse_spark.functions.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (10, 11), (10, 12),
+         (20, 21), (21, 22), (22, 23), (23, 24)],
+        "id_a long, id_b long")
+    got = sorted((r["node"], r["label"])
+                 for r in connected_components(edges).collect())
+    assert got == [(1, 1), (2, 1), (3, 1), (5, 5), (6, 5),
+                   (10, 10), (11, 10), (12, 10),
+                   (20, 20), (21, 20), (22, 20), (23, 20), (24, 20)]
+
+
+def test_connected_components_merged_chains(spark):
+    """Long-range edges merging two consecutive-id chains: the min label
+    must propagate across the merge (transitive closure, not one hop)."""
+    from jsonschemaparse_spark.functions.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (5, 6), (6, 7), (7, 8), (0, 7)],
+        "id_a long, id_b long")
+    labels = {r["node"]: r["label"]
+              for r in connected_components(edges).collect()}
+    assert set(labels.values()) == {0}
+    assert set(labels) == {0, 1, 2, 3, 5, 6, 7, 8}
+
+
+def test_connected_components_max_iters_raises(spark):
+    from jsonschemaparse_spark.functions.graph import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(9, 0, -1)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iters=1)
+    labels = {r["node"]: r["label"]
+              for r in connected_components(chain, max_iters=25).collect()}
+    assert set(labels.values()) == {1}
+
+
+# ---------------- clean_corpus r6 surface -----------------------------------
+def _near_dup_chain(spark):
+    """Texts built so jaccard(i, i+3) passes a low threshold but
+    jaccard(0, 6) fails it: a~b~c with a!~c."""
+    rows = [(i, " ".join(f"w{j}" for j in range(i, i + 40))
+             + ". One more sentence. And a second. Then a third.")
+            for i in (0, 3, 6)]
+    rows.append((50, "totally different content " * 10
+                 + ". One more sentence. And a second. Then a third."))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_clean_corpus_cc_vs_greedy_on_chain(spark):
+    """VERDICT r5 #3 'done' criterion: chain semantics differ only in
+    HOW survivors are chosen — both keep the chain head; the (1,3),(2,3)
+    star is where they diverge (greedy keeps {1,2}, cc keeps {1})."""
+    from jsonschemaparse_spark.functions.pipeline import clean_corpus
+
+    df = _near_dup_chain(spark)
+    g = clean_corpus(df, gopher=False, c4=False,
+                     near_dup_threshold=0.2, near_dup_mode="greedy")
+    c = clean_corpus(df, gopher=False, c4=False,
+                     near_dup_threshold=0.2, near_dup_mode="cc")
+    assert sorted(r["doc_id"] for r in g.cleaned.collect()) == [0, 50]
+    assert sorted(r["doc_id"] for r in c.cleaned.collect()) == [0, 50]
+    g.unpersist(); c.unpersist()
+
+    # star (1,3),(2,3): 1~3 and 2~3 but 1!~2 -> greedy keeps {1,2}
+    # (only 3 is ever an id_b), cc collapses the component to {1}.
+    # jaccard arithmetic: 30-word overlaps give 28/48 = 0.583 (1-3, 2-3),
+    # the 20-word overlap gives 18/58 = 0.310 (1-2); threshold 0.45
+    # separates them.
+    star = spark.createDataFrame(
+        [(1, " ".join(f"w{j}" for j in range(0, 40))),
+         (2, " ".join(f"w{j}" for j in range(20, 60))),
+         (3, " ".join(f"w{j}" for j in range(10, 50)))],
+        "doc_id long, text string")
+    gs = clean_corpus(star, gopher=False, c4=False,
+                      near_dup_threshold=0.45, near_dup_mode="greedy")
+    cs = clean_corpus(star, gopher=False, c4=False,
+                      near_dup_threshold=0.45, near_dup_mode="cc")
+    g_keep = sorted(r["doc_id"] for r in gs.cleaned.collect())
+    c_keep = sorted(r["doc_id"] for r in cs.cleaned.collect())
+    assert g_keep == [1, 2], g_keep
+    assert c_keep == [1], c_keep
+    gs.unpersist(); cs.unpersist()
+
+
+def test_clean_corpus_bad_mode_raises(spark):
+    from jsonschemaparse_spark.functions.pipeline import clean_corpus
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="near_dup_mode"):
+        clean_corpus(df, near_dup_threshold=0.5, near_dup_mode="transitive")
+
+
+def test_clean_corpus_observe_funnel_one_job(spark):
+    """The funnel rides the SAME job that materializes the cleaned frame
+    (observe accumulators), and matches clean_corpus_stats exactly."""
+    from jsonschemaparse_spark.functions.pipeline import (
+        clean_corpus,
+        clean_corpus_stats,
+    )
+
+    base = ("A useful document sentence with plenty of words inside. " * 8
+            + "It ends with three proper sentences. Another one here. Done!")
+    rows = [(i, base + f" Trailer {i}.") for i in range(10)]
+    rows += [(100, rows[0][1]), (200, "function f() { }" + base),
+             (300, "- a\n- b"), (400, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    res = clean_corpus(df, observe_funnel=True)
+    n = res.cleaned.count()          # ONE action; funnel comes along
+    funnel = res.funnel_counts()
+    assert funnel["n_input"] == 14
+    assert funnel["n_after_exact"] == 13    # one exact clone collapsed
+    assert funnel["n_after_c4"] == n
+    st = clean_corpus_stats(df).collect()[0].asDict()
+    assert st == {"n_input": funnel["n_input"],
+                  "n_after_exact": funnel["n_after_exact"],
+                  "n_after_gopher": funnel["n_after_gopher"],
+                  "n_after_c4": funnel["n_after_c4"]}
+
+
+def test_clean_corpus_cached_exposed_for_unpersist(spark):
+    """r5 ADVICE: the persisted intermediate is reachable so callers can
+    actually release it."""
+    from jsonschemaparse_spark.functions.pipeline import clean_corpus
+
+    df = _near_dup_chain(spark)
+    res = clean_corpus(df, gopher=False, c4=False, near_dup_threshold=0.2)
+    res.cleaned.count()
+    assert res.cached is not None
+    assert res.cached.storageLevel.useMemory
+    res.unpersist()
+    assert not res.cached.storageLevel.useMemory
+
+
+def test_minhash_overflow_observation(spark):
+    """r5 ADVICE: the candidates job itself reports what the bucket cap
+    dropped — identical docs land in one bucket per band; cap 3 skips
+    them all and the observation counts the skipped buckets/docs."""
+    from jsonschemaparse_spark.functions.dedup import minhash_candidates
+
+    same = "identical words repeated for the shingle pipeline here"
+    df = spark.createDataFrame(
+        [(i, same) for i in range(8)] + [(100, "something else entirely")],
+        "doc_id long, text string")
+    obs = Observation()
+    cands = minhash_candidates(df, "doc_id", max_bucket_size=3,
+                               overflow_observation=obs)
+    assert cands.count() == 0            # every bucket overflowed
+    got = obs.get
+    assert got["overflow_buckets"] == 4  # 4 bands x 1 hot bucket
+    assert got["overflow_docs"] == 32    # 8 docs in each
