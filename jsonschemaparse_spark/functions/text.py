@@ -573,14 +573,16 @@ def quality_flags(df: DataFrame, text_col: str = "text",
     cleaning run. Chaining gopher_quality_flags -> filter ->
     c4_quality_flags -> filter builds a Project/Filter/Project/Filter
     pipeline in which each Project re-builds its own token/line arrays —
-    whole-stage codegen's subexpression elimination dedups subtrees
-    WITHIN one operator's expression set, not across operators. Here all
-    metric columns and both keeps live in a single Project, so the shared
+    Spark's subexpression elimination dedups common subtrees WITHIN one
+    Project's expression set, not across operators (the array HOFs are
+    CodegenFallback, so this Project runs interpreted either way — the
+    sharing, not codegen, is what fusion buys). Here all metric columns
+    and both keeps live in a single Project, so the shared
     words/lines/paras subtrees evaluate once per row and the gate cost is
-    ~max, not the sum, of the individual gates (BENCH quality_fused vs
-    gopher_gate + c4_gate). tests/test_functions.py asserts the plan is
-    exactly one Project over the scan — no Exchange, no Generate, no
-    Python.
+    ~max, not the sum, of the individual gates (measured: bench
+    gate_fused 0.59 s vs gate_gopher 0.54 + gate_c4 0.20 at sf0.01).
+    tests/test_functions.py asserts the plan is exactly one Project over
+    the scan — no Exchange, no Generate, no Python.
 
     Column values are bit-identical to the unfused operators (the same
     _gopher_flag_columns/_c4_flag_columns builders produce both); the

@@ -3,6 +3,7 @@ from .validate_stream import (
     stateful_validation_monitor,
     validate_json_stream,
     streaming_dedup,
+    streaming_exact_dedup,
     validate_stream,
     windowed_verdicts,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "stateful_validation_monitor",
     "validate_json_stream",
     "streaming_dedup",
+    "streaming_exact_dedup",
     "validate_stream",
     "windowed_verdicts",
 ]

@@ -86,6 +86,27 @@ def streaming_dedup(
     return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def streaming_exact_dedup(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "warc_ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stage 1 of the clean_corpus recipe on a STREAM (r6, VERDICT r5 #7):
+    content-key exact dedup via dropDuplicatesWithinWatermark, so a
+    streaming ingest can run exact-dedup -> quality_flags -> filter (the
+    recipe's stateless prefix) end-to-end. Keeps the FIRST ARRIVAL per
+    content key inside the watermark horizon; the batch operator keeps
+    the MIN-ID row — the two agree whenever arrival order follows id
+    order (replaying a crawl log), pinned batch==stream in
+    tests/test_streaming_clean.py. State is bounded by the horizon's
+    distinct-key count (the md5 key is 32 chars regardless of doc size)."""
+    from ..functions.dedup import content_key
+
+    keyed = stream_df.withColumn("_jsp_ck", content_key(F.col(text_col)))
+    return streaming_dedup(keyed, "_jsp_ck", ts_col, watermark).drop("_jsp_ck")
+
+
 def stateful_validation_monitor(
     annotated: DataFrame,
     key_col: str,

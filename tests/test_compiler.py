@@ -135,3 +135,31 @@ def test_compiled_schema_is_picklable_for_broadcast():
 def test_illegal_id_characters():
     with pytest.raises(SchemaError):
         CompiledSchema("bad id:", {})
+
+
+# =========================================================================
+# moved from test_round5_fixes.py (round-fix regression pins, split by
+# topic per VERDICT r5 #8)
+# =========================================================================
+import pytest  # noqa: E402,F811,F401
+from pyspark.sql import functions as F  # noqa: E402,F811,F401
+
+def test_import_schema_snapshot_identity():
+    from jsonschemaparse_spark.schema.compiler import SchemaRegistry
+
+    reg = SchemaRegistry()
+    schema = {"type": "object", "properties": {"a": {"type": "string"}}}
+    first = reg.import_schema("http://example.com/s", schema)
+    # caller mutates AFTER import: the registry's snapshot must not move
+    schema["properties"]["b"] = {"type": "number"}
+    import copy
+
+    pristine = {"type": "object", "properties": {"a": {"type": "string"}}}
+    again = reg.import_schema("http://example.com/s", copy.deepcopy(pristine))
+    assert again is first
+    # and the mutated object now genuinely differs -> rejected
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="already defined"):
+        reg.import_schema("http://example.com/s", schema)
+

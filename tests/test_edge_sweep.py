@@ -60,7 +60,9 @@ def test_pipeline_ops_on_empty_and_degenerate(spark):
     assert duplicate_line_groups(degenerate, "doc_id").count() == 0
     stripped = {r["doc_id"]: r["text"]
                 for r in strip_boilerplate_lines(degenerate, "doc_id").collect()}
-    assert stripped[2] == ""  # null text -> empty output, no crash
+    # NULL-text convention (r6, tests/test_null_conventions.py): rewriting
+    # ops PRESERVE NULL rather than coalescing to "".
+    assert stripped[2] is None
 
     urls_empty = spark.createDataFrame([], "doc_id long, url string")
     assert url_duplicate_groups(urls_empty, "doc_id").count() == 0

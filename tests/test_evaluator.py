@@ -117,3 +117,97 @@ def test_const_object_same_length_different_keys():
     assert ok
     ok, _ = validate_instance({"enum": [{"a": 1}]}, {"a": 2})
     assert not ok
+
+
+# =========================================================================
+# moved from test_round2_fixes.py (round-fix regression pins, split by
+# topic per VERDICT r5 #8)
+# =========================================================================
+import pytest  # noqa: E402,F811,F401
+from pyspark.sql import functions as F  # noqa: E402,F811,F401
+from jsonschemaparse_spark.schema.compiler import compile_rules  # noqa: E402,F811,F401
+from jsonschemaparse_spark.schema.evaluate import Evaluator  # noqa: E402,F811,F401
+
+def _eval_errors(rules, value):
+    cs = compile_rules(rules)
+    errors, _ = Evaluator(extensions=True).validate(cs, value)
+    return errors
+
+
+def test_evaluator_anyof_union():
+    rules = {
+        "anyOf": [
+            {"properties": {"b": {"type": "string"}}, "required": ["b"]},
+            {"properties": {"c": {"type": "integer"}}, "required": ["c"]},
+        ],
+        "properties": {"a": {"type": "integer"}},
+        "unevaluatedProperties": False,
+    }
+    assert _eval_errors(rules, {"a": 1, "b": "x"}) == []
+    assert _eval_errors(rules, {"a": 1, "c": 3}) == []
+    # b belongs to a FAILING branch (branch 1 requires b:string; b is an int
+    # so branch 1 fails) => b is unevaluated
+    errs = _eval_errors(rules, {"a": 1, "b": 5, "c": 3})
+    assert any(e.keyword == "unevaluatedProperties" or "/b" in e.path for e in errs)
+
+
+def test_evaluator_if_then_else_union():
+    rules = {
+        "if": {"properties": {"a": {"const": 1}}, "required": ["a"]},
+        "then": {"properties": {"b": {}}},
+        "else": {"properties": {"c": {}}},
+        "unevaluatedProperties": False,
+    }
+    # if passes: if donates a, then donates b
+    assert _eval_errors(rules, {"a": 1, "b": 2}) == []
+    # if passes but c is evaluated by neither if nor then
+    assert _eval_errors(rules, {"a": 1, "c": 3}) != []
+    # if fails (no a): else donates c; a failed branch donates nothing
+    assert _eval_errors(rules, {"c": 1}) == []
+    assert _eval_errors(rules, {"b": 1}) != []
+
+
+def test_evaluator_self_ref_unevaluated_depth_guard():
+    """Self-referential $ref + unevaluatedProperties must fail with the
+    clean depth error, not an unguarded Python RecursionError (ADVICE low #2)."""
+    rules = {
+        "$id": "https://x/root",
+        "$ref": "#",
+        "unevaluatedProperties": False,
+    }
+    cs = compile_rules(rules)
+    with pytest.raises(RecursionError, match="depth"):
+        Evaluator(extensions=True).validate(cs, {"k": 1})
+
+
+def test_unevaluated_items_evaluator():
+    rules = {
+        "items": [{"type": "integer"}],
+        "unevaluatedItems": {"maximum": 10},
+    }
+    assert _eval_errors(rules, [1]) == []
+    assert _eval_errors(rules, [1, 5]) == []
+    errs = _eval_errors(rules, [1, 50])
+    assert errs and errs[0].path == "/1" and errs[0].keyword == "maximum"
+    # additionalItems evaluates the tail -> unevaluatedItems vacuous
+    rules2 = dict(rules, additionalItems={})
+    assert _eval_errors(rules2, [1, 50]) == []
+
+
+def test_unevaluated_items_branch_union_evaluator():
+    rules = {
+        "anyOf": [
+            {"items": {"type": "integer"}},   # passes only for all-int arrays
+        ],
+        "unevaluatedItems": False,
+    }
+    assert _eval_errors(rules, [1, 2]) == []       # branch passes -> evaluated
+    assert _eval_errors(rules, ["x"]) != []        # branch fails -> unevaluated
+
+
+def test_evaluator_dollar_anchor_parity():
+    """'$' must mean end-of-string on the PYTHON path too (finding #3)."""
+    errs_nl = _eval_errors({"type": "string", "pattern": "a$"}, "a\n")
+    errs_ok = _eval_errors({"type": "string", "pattern": "a$"}, "a")
+    assert errs_nl and not errs_ok
+

@@ -164,3 +164,75 @@ def test_minhash_overflow_observation(spark):
     got = obs.get
     assert got["overflow_buckets"] == 4  # 4 bands x 1 hot bucket
     assert got["overflow_docs"] == 32    # 8 docs in each
+
+
+# =========================================================================
+# moved from test_round5_fixes.py (round-fix regression pins, split by
+# topic per VERDICT r5 #8)
+# =========================================================================
+import pytest  # noqa: E402,F811,F401
+from pyspark.sql import functions as F  # noqa: E402,F811,F401
+
+def test_clean_corpus_stage_semantics(spark):
+    from jsonschemaparse_spark.functions.pipeline import clean_corpus
+
+    body = " ".join(f"w{i}x" for i in range(60))
+    docs = [
+        (1, body + ". Second sentence here. Third sentence now."),     # survives
+        (2, body + ". Second sentence here. Third sentence now."),     # exact clone -> dropped
+        (3, "too short"),                                              # gopher n_words
+        (4, body + ". Has a badword sentence. Third one here."),       # c4 badwords
+        (5, body + " no sentences at all whatsoever"),                 # c4 n_sentences
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    res = clean_corpus(df, badwords=["badword"])
+    assert res.stages == ["exact", "gopher", "c4"]
+    assert sorted(r["doc_id"] for r in res.cleaned.collect()) == [1]
+    assert res.cleaned.columns == ["doc_id", "text"]
+
+
+def test_clean_corpus_near_dup_greedy_rule(spark):
+    from jsonschemaparse_spark.functions.pipeline import clean_corpus
+
+    base = ". ".join(f"sentence number {i} talks about topic {i % 7}"
+                     for i in range(20)) + "."
+    near = base.replace("topic 3", "subject 3")
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, "totally different " + " ".join(
+            f"q{i}z" for i in range(55)) + ". One. Two. Three.")],
+        "doc_id long, text string",
+    )
+    res = clean_corpus(df, gopher=False, c4=False, near_dup_threshold=0.5)
+    kept = sorted(r["doc_id"] for r in res.cleaned.collect())
+    assert kept == [1, 3]  # (1,2) verified pair -> b=2 dropped
+
+
+def test_clean_corpus_stats_matches_manual_counts(spark):
+    from jsonschemaparse_spark.functions.pipeline import clean_corpus_stats
+
+    body = " ".join(f"w{i}x" for i in range(60))
+    docs = [(i, body + f". Unique tail {i} here. Third sentence now.")
+            for i in range(10)]
+    docs += [(100, docs[0][1])]  # one clone
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    row = clean_corpus_stats(df).collect()[0]
+    assert (row["n_input"], row["n_after_exact"],
+            row["n_after_gopher"], row["n_after_c4"]) == (11, 10, 10, 10)
+
+
+def test_clean_corpus_near_dup_chain_drops_all_b_sides(spark):
+    """Documented greedy rule: every doc appearing as id_b of a verified
+    pair drops — in a chain a~b~c, both b and c go (third review #1)."""
+    from jsonschemaparse_spark.functions.pipeline import clean_corpus
+
+    base = ". ".join(f"sentence number {i} talks about topic {i % 7}"
+                     for i in range(20)) + "."
+    near1 = base.replace("topic 3", "subject 3")
+    near2 = near1.replace("topic 5", "matter 5")
+    df = spark.createDataFrame(
+        [(1, base), (2, near1), (3, near2)], "doc_id long, text string"
+    )
+    res = clean_corpus(df, gopher=False, c4=False, near_dup_threshold=0.5)
+    kept = sorted(r["doc_id"] for r in res.cleaned.collect())
+    assert kept == [1]
+

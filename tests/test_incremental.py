@@ -105,3 +105,76 @@ def test_write_after_end_and_trailing_garbage():
         s = StreamParser()
         s.write("[1")
         s.end()
+
+
+# =========================================================================
+# moved from test_round5_fixes.py (round-fix regression pins, split by
+# topic per VERDICT r5 #8)
+# =========================================================================
+import pytest  # noqa: E402,F811,F401
+from pyspark.sql import functions as F  # noqa: E402,F811,F401
+
+def test_chunked_long_string_linear_scan():
+    import json
+    import time
+
+    from jsonschemaparse_spark.api import StreamParser
+
+    body = "abcdefgh" * 131072  # ~1 MB
+    doc = json.dumps({"s": body})
+    p = StreamParser({})
+    t0 = time.perf_counter()
+    for off in range(0, len(doc), 1024):
+        p.write(doc[off : off + 1024])
+    p.end()
+    dt = time.perf_counter() - t0
+    assert p.value["s"] == body
+    # measured ~0.2 s with the resume pointer; the former from-the-top
+    # rescan was ~500M char steps (tens of seconds). Generous CI bound:
+    assert dt < 5.0
+
+
+def test_chunked_string_resume_mid_escape():
+    """Resume state across writes that split escapes: the backslash is
+    re-scanned (bounded), the value decodes exactly."""
+    import json
+
+    from jsonschemaparse_spark.api import StreamParser
+
+    doc = '{"s": "a\\u0041b\\nc", "t": "x"}'
+    for size in (1, 2, 3, 5):
+        p = StreamParser({})
+        for off in range(0, len(doc), size):
+            p.write(doc[off : off + size])
+        p.end()
+        assert p.value == json.loads(doc)
+
+
+def test_stream_parser_line_number_characters():
+    from jsonschemaparse_spark.api import StreamParser
+
+    sp = StreamParser()
+    sp.write('{"a": 1}\n')
+    info = sp.end()
+    assert (info.lineNumber, info.characters) == (1, 9)
+    sp = StreamParser()
+    sp.write('"\U0001F432"')
+    assert sp.end().characters == 4  # UTF-16 units
+
+
+def test_stream_parser_counts_source_in_syntax_mode():
+    """Relaxed dialects transcode before the tokenizer; lineNumber and
+    characters must still count the SOURCE text, like parse_info
+    (second review #2)."""
+    from jsonschemaparse_spark.api import StreamParser, parse_info
+    from jsonschemaparse_spark.schema.relaxed_json import SyntaxOptions
+
+    syn = SyntaxOptions(hash_comment=True)
+    text = "# hello comment\n[1, 2]\n"
+    pi = parse_info(text, syntax=syn)
+    sp = StreamParser(syntax=syn)
+    sp.write(text)
+    info = sp.end()
+    assert (info.lineNumber, info.characters) \
+        == (pi.lineNumber, pi.characters) == (2, 23)
+

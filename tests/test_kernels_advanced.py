@@ -194,3 +194,286 @@ def test_schema_inference_for_typed_json(spark):
     )
     v = {(r["id"], r["path"]): r["keyword"] for r in res.violations().collect()}
     assert v[(1, "/nested/x")] == "minimum"
+
+
+# =========================================================================
+# moved from test_round2_fixes.py (round-fix regression pins, split by
+# topic per VERDICT r5 #8)
+# =========================================================================
+import pytest  # noqa: E402,F811,F401
+from pyspark.sql import functions as F  # noqa: E402,F811,F401
+from jsonschemaparse_spark.plans import VALID_COL, validate_dataframe  # noqa: E402,F811,F401
+from jsonschemaparse_spark.plans.kernels import rlike_pattern  # noqa: E402,F811,F401
+
+def test_rlike_pattern_translation():
+    assert rlike_pattern("a$") == "a\\z"
+    assert rlike_pattern("^a$|b$") == "^a\\z|b\\z"
+    # escaped \$ and [$] are literal in both dialects: untouched
+    assert rlike_pattern(r"a\$") == r"a\$"
+    assert rlike_pattern("a[$]b") == "a[$]b"
+    assert rlike_pattern("plain") == "plain"
+
+
+def test_pattern_dollar_rejects_trailing_newline(spark):
+    """ECMAScript /a$/ rejects 'a\\n'; Java '$' would accept before a final
+    line terminator — the fast path must match the reference (schema.js:884)."""
+    df = spark.createDataFrame([(1, "a"), (2, "a\n")], "id int, s string")
+    rules = {"properties": {"s": {"type": "string", "pattern": "a$"}}}
+    res = validate_dataframe(df, rules, key_cols=["id"], fallback="never")
+    got = {r["id"]: r[VALID_COL] for r in res.annotated.collect()}
+    assert got == {1: True, 2: False}
+
+
+_ANYOF_RULES = {
+    "properties": {
+        "o": {
+            "anyOf": [
+                {"properties": {"b": {"type": "string"}}, "required": ["b"]},
+                {"properties": {"c": {"type": "integer"}}, "required": ["c"]},
+            ],
+            "properties": {"a": {"type": "integer"}},
+            "unevaluatedProperties": False,
+        }
+    }
+}
+
+
+def test_unevaluated_properties_anyof_union_struct(spark):
+    """Keys evaluated by a PASSING anyOf branch are not unevaluated; keys of
+    a FAILING branch stay unevaluated (schema.js:1387-1393 + 1395-1403)."""
+    df = spark.createDataFrame(
+        [
+            (1, {"a": 1, "b": "x", "c": None}),   # branch 1 passes -> b evaluated
+            (2, {"a": 1, "b": None, "c": 7}),     # branch 2 passes -> c evaluated
+        ],
+        "id int, o struct<a:int, b:string, c:int>",
+    )
+    res = validate_dataframe(df, _ANYOF_RULES, key_cols=["id"], fallback="never")
+    got = {r["id"]: r[VALID_COL] for r in res.annotated.collect()}
+    assert got == {1: True, 2: True}
+
+
+def test_unevaluated_properties_anyof_failing_branch_struct(spark):
+    """b present but its branch FAILS (b not a string? can't in struct) —
+    instead: b present while only branch 2 passes => b is unevaluated."""
+    df = spark.createDataFrame(
+        # b="way-too-long" makes branch 1 pass too; instead break branch 1 by
+        # omitting b and presenting an extra evaluated-by-nothing key d
+        [(1, {"a": 1, "b": "x", "c": 7, "d": "extra"})],
+        "id int, o struct<a:int, b:string, c:int, d:string>",
+    )
+    res = validate_dataframe(df, _ANYOF_RULES, key_cols=["id"], fallback="never")
+    row = res.annotated.collect()[0]
+    assert row[VALID_COL] is False  # d evaluated by no branch
+    paths = {r["path"] for r in res.violations().collect()}
+    assert "/o/d" in paths
+
+
+def test_unevaluated_properties_if_then_union_struct(spark):
+    rules = {
+        "properties": {
+            "o": {
+                "if": {"required": ["a"]},
+                "then": {"properties": {"b": {"type": "string"}}},
+                "else": {"properties": {"c": {"type": "integer"}}},
+                "properties": {"a": {"type": "integer"}},
+                "unevaluatedProperties": False,
+            }
+        }
+    }
+    df = spark.createDataFrame(
+        [
+            (1, {"a": 1, "b": "x", "c": None}),  # if passes -> then evaluates b
+            (2, {"a": 1, "b": None, "c": 9}),    # if passes -> c NOT evaluated
+            (3, {"a": None, "b": None, "c": 9}), # if fails -> else evaluates c
+        ],
+        "id int, o struct<a:int, b:string, c:int>",
+    )
+    res = validate_dataframe(df, rules, key_cols=["id"], fallback="never")
+    got = {r["id"]: r[VALID_COL] for r in res.annotated.collect()}
+    assert got == {1: True, 2: False, 3: True}
+
+
+def test_unevaluated_items_struct_column(spark):
+    rules = {
+        "properties": {
+            "a": {
+                "items": [{"type": "integer"}],
+                "unevaluatedItems": {"maximum": 10},
+            }
+        }
+    }
+    df = spark.createDataFrame(
+        [(1, [1]), (2, [1, 5]), (3, [1, 50])], "id int, a array<int>"
+    )
+    res = validate_dataframe(df, rules, key_cols=["id"], fallback="never")
+    got = {r["id"]: r[VALID_COL] for r in res.annotated.collect()}
+    assert got == {1: True, 2: True, 3: False}
+    v = res.violations().collect()
+    assert v[0]["path"] == "/a/1" and v[0]["keyword"] == "maximum"
+
+
+def test_unevaluated_items_branch_union_column(spark):
+    rules = {
+        "properties": {
+            "a": {
+                "anyOf": [{"items": {"maximum": 100}}],
+                "unevaluatedItems": False,
+            }
+        }
+    }
+    df = spark.createDataFrame(
+        [(1, [1, 2]), (2, [1, 500])], "id int, a array<int>"
+    )
+    res = validate_dataframe(df, rules, key_cols=["id"], fallback="never")
+    got = {r["id"]: r[VALID_COL] for r in res.annotated.collect()}
+    assert got == {1: True, 2: False}
+
+
+def test_then_branch_donates_only_when_passing(spark):
+    """if passes but then FAILS -> then's keys stay unevaluated on the
+    Column path, matching the evaluator (finding #6)."""
+    rules = {
+        "properties": {
+            "o": {
+                "if": {"properties": {"a": {"type": "integer"}}, "required": ["a"]},
+                "then": {"properties": {"b": {"type": "string", "minLength": 5}},
+                         "required": ["b"]},
+                "properties": {"a": {}},
+                "unevaluatedProperties": False,
+            }
+        }
+    }
+    df = spark.createDataFrame(
+        [(1, {"a": 1, "b": "long-enough"}),  # then passes -> b evaluated
+         (2, {"a": 1, "b": "x"})],           # then FAILS -> b unevaluated too
+        "id int, o struct<a:int, b:string>",
+    )
+    res = validate_dataframe(df, rules, key_cols=["id"], fallback="never")
+    got = {r["id"]: r[VALID_COL] for r in res.annotated.collect()}
+    assert got == {1: True, 2: False}
+    # evaluator agrees
+    from jsonschemaparse_spark import validate_instance
+    ok1, _ = validate_instance(rules["properties"]["o"], {"a": 1, "b": "long-enough"}, extensions=True)
+    ok2, e2 = validate_instance(rules["properties"]["o"], {"a": 1, "b": "x"}, extensions=True)
+    assert ok1 and not ok2
+    # and BOTH the then failure and the unevaluated violation are reported
+    kws = {e.keyword for e in e2}
+    assert "minLength" in kws
+
+
+# =========================================================================
+# moved from test_round3_fixes.py (round-fix regression pins, split by
+# topic per VERDICT r5 #8)
+# =========================================================================
+import pytest  # noqa: E402,F811,F401
+from pyspark.sql import functions as F  # noqa: E402,F811,F401
+import random  # noqa: E402,F811,F401
+from jsonschemaparse_spark import validate_instance  # noqa: E402,F811,F401
+from jsonschemaparse_spark.schema.evaluate import Evaluator  # noqa: E402,F811,F401
+from jsonschemaparse_spark.schema.compiler import compile_rules  # noqa: E402,F811,F401
+
+_NESTED_ANYOF = {
+    "properties": {
+        "o": {
+            "type": "object",
+            "anyOf": [{"anyOf": [{"properties": {"x": {"type": "integer"}}}]}],
+            "unevaluatedProperties": {"type": "string"},
+        }
+    }
+}
+
+
+def test_unevaluated_nested_anyof_struct(spark):
+    df = spark.createDataFrame(
+        [(1, {"x": 5})],
+        "id int, o struct<x:int>",
+    )
+    res = validate_dataframe(df, _NESTED_ANYOF, key_cols=["id"], fallback="never")
+    row = res.annotated.collect()[0]
+    assert row[VALID_COL] is True, [r for r in res.violations().collect()]
+
+
+def test_unevaluated_nested_anyof_evaluator_agrees():
+    cs = compile_rules(_NESTED_ANYOF)
+    errors, _ = Evaluator(extensions=True).validate(cs, {"o": {"x": 5}})
+    assert not errors
+
+
+def test_unevaluated_nested_if_then_struct(spark):
+    """then nested inside an anyOf branch donates only when the inner
+    conditional actually covers the key on that row."""
+    rules = {
+        "properties": {
+            "o": {
+                "type": "object",
+                "anyOf": [
+                    {
+                        "if": {"required": ["flag"]},
+                        "then": {"properties": {"x": {"type": "integer"}}},
+                    }
+                ],
+                "properties": {"flag": {"type": "boolean"}},
+                "unevaluatedProperties": False,
+            }
+        }
+    }
+    df = spark.createDataFrame(
+        [
+            (1, {"flag": True, "x": 5}),    # if passes -> then evaluates x
+            (2, {"flag": None, "x": 5}),    # if fails -> x unevaluated
+        ],
+        "id int, o struct<flag:boolean, x:int>",
+    )
+    res = validate_dataframe(df, rules, key_cols=["id"], fallback="never")
+    got = {r["id"]: r[VALID_COL] for r in res.annotated.collect()}
+    # evaluator cross-check
+    ev = Evaluator(extensions=True)
+    cs = compile_rules(rules)
+    e1, _ = ev.validate(cs, {"o": {"flag": True, "x": 5}})
+    e2, _ = ev.validate(cs, {"o": {"x": 5}})
+    assert (not e1, not e2) == (got[1], got[2])
+    assert got == {1: True, 2: False}
+
+
+def test_unevaluated_deeply_nested_conditionals_differential(spark):
+    """Randomized 2-level conditional nests: Column path verdict must match
+    the Python evaluator row-for-row."""
+    rnd = random.Random(99)
+    inner_opts = [
+        {"properties": {"x": {"type": "integer"}}},
+        {"properties": {"x": {"type": "integer", "minimum": 10}}},
+        {"properties": {"y": {"type": "string"}}},
+    ]
+    for trial in range(8):
+        inner = rnd.choice(inner_opts)
+        wrap = rnd.choice(["anyOf", "oneOf", "allOf"])
+        outer = rnd.choice(["anyOf", "oneOf"])
+        rules = {
+            "properties": {
+                "o": {
+                    "type": "object",
+                    outer: [{wrap: [inner]}],
+                    "unevaluatedProperties": False,
+                }
+            }
+        }
+        rows = [
+            (1, {"x": 5, "y": None}),
+            (2, {"x": 50, "y": None}),
+            (3, {"x": None, "y": "s"}),
+            (4, {"x": 5, "y": "s"}),
+        ]
+        df = spark.createDataFrame(rows, "id int, o struct<x:int, y:string>")
+        res = validate_dataframe(df, rules, key_cols=["id"], fallback="never")
+        got = {r["id"]: r[VALID_COL] for r in res.annotated.collect()}
+        ev = Evaluator(extensions=True)
+        cs = compile_rules(rules)
+        for rid, o in rows:
+            val = {k: v for k, v in o.items() if v is not None}
+            errs, _ = ev.validate(cs, {"o": val})
+            assert got[rid] == (not errs), (
+                f"trial={trial} rules={json.dumps(rules)} row={rid} "
+                f"column={got[rid]} evaluator={not errs}"
+            )
+

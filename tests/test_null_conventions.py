@@ -88,3 +88,26 @@ def test_exact_dedup_linear_matches_join_form(spark, documents):
     a = {tuple(r) for r in exact_dedup(corpus, "doc_id").collect()}
     b = {tuple(r) for r in exact_dedup_linear(corpus, "doc_id").collect()}
     assert a == b and len(a) == 200
+
+
+# =========================================================================
+# moved from test_round5_fixes.py (round-fix regression pins, split by
+# topic per VERDICT r5 #8)
+# =========================================================================
+import pytest  # noqa: E402,F811,F401
+from pyspark.sql import functions as F  # noqa: E402,F811,F401
+
+def test_exact_dedup_keeps_one_null_text_row(spark):
+    """NULL text keys like empty text — one survivor kept, not silent
+    loss of every null row (third review #3)."""
+    from jsonschemaparse_spark.functions.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, ""), (4, "real content here")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in exact_dedup(df, "doc_id").collect())
+    # null and '' collapse together (both normalize to no content);
+    # min id 1 survives for that group
+    assert kept == [1, 4]
+

@@ -322,3 +322,65 @@ def test_parse_overrides_parse_value_option():
     assert parse("[1, 2]", {"parseValue": False, "parseAnnotations": True}) == [1, 2]
     # parseInfo keeps honoring the caller's parseValue (parseInfo.test.js)
     assert parse_info('{"a": 1}', {"parseValue": False}).value is None
+
+
+# =========================================================================
+# moved from test_round5_fixes.py (round-fix regression pins, split by
+# topic per VERDICT r5 #8)
+# =========================================================================
+import pytest  # noqa: E402,F811,F401
+from pyspark.sql import functions as F  # noqa: E402,F811,F401
+
+def test_options_routing_not_greedy_on_schema_keywords():
+    """maxItems/maxProperties are real JSON-Schema keywords: a compound
+    rule dict keeps full validation; an options-only dict still routes as
+    the reference options form (review #1)."""
+    from jsonschemaparse_spark.api import parse, parse_info
+    from jsonschemaparse_spark.errors import ResourceLimitError
+
+    r = parse_info('[1, "x", 2]',
+                   {"type": "array", "items": {"type": "integer"},
+                    "maxItems": 5})
+    assert [e.keyword for e in r.errors] == ["type"]
+    with pytest.raises(ResourceLimitError, match="Too many items in array"):
+        parse('{ "a": [0,1,2,3,4] }', {"maxItems": 4})
+
+
+def test_stream_parser_options_routing_matches_parse():
+    """Schema-less option dicts mean the same thing on both drop-in
+    surfaces (review #3); StreamParser's never-throws contract surfaces
+    the cap as a resourceLimit row."""
+    from jsonschemaparse_spark.api import StreamParser
+
+    sp = StreamParser({"maxItems": 2})
+    sp.write("[1,2,3]")
+    info = sp.end()
+    assert [e.keyword for e in info.errors] == ["resourceLimit"]
+    assert "Too many items in array" in info.errors[0].message
+
+
+def test_nice_number_routed_through_options():
+    from jsonschemaparse_spark.api import parse, parse_info
+
+    assert parse("1.5", {"niceNumber": "string"}) == "1.5"
+    assert parse_info("1.5", {"niceNumber": "string"}).value == "1.5"
+    # upstream stubs accepted and ignored
+    assert parse("[1]", {"maxUniqueItems": 1}) == [1]
+
+
+def test_explicit_schema_of_ambiguous_keys_not_resplit():
+    """{'schema': {'maxItems': 3}} — an EXPLICIT schema made only of
+    ambiguous keys — must stay a schema on BOTH parse and parse_info
+    (second review #1: parse() used to re-route it as caps)."""
+    from jsonschemaparse_spark.api import (
+        ParseValidationError,
+        parse,
+        parse_info,
+    )
+
+    assert parse_info('{"a": [1,2,3,4]}', {"schema": {"maxItems": 3}}).errors == []
+    assert parse('{"a": [1,2,3,4]}', {"schema": {"maxItems": 3}}) == {"a": [1, 2, 3, 4]}
+    with pytest.raises(ParseValidationError) as ei:
+        parse("[1,2,3,4]", {"schema": {"maxItems": 3}})
+    assert ei.value.keyword == "maxItems"
+

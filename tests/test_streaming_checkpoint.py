@@ -355,3 +355,116 @@ def test_validate_json_stream(spark, tmp_path_factory):
             f"from {name}").first()
         assert got["n"] == 402
         assert got["f"] == expected_failed, engine
+
+
+# =========================================================================
+# moved from test_round2_fixes.py (round-fix regression pins, split by
+# topic per VERDICT r5 #8)
+# =========================================================================
+import pytest  # noqa: E402,F811,F401
+from pyspark.sql import functions as F  # noqa: E402,F811,F401
+from jsonschemaparse_spark.plans import VALID_COL  # noqa: E402,F811,F401
+
+def test_checkpoint_no_helper_column_corruption(spark, tmp_path):
+    """A root schema with additionalProperties must not see the internal
+    _jsp_file column as a property of the row object."""
+    from jsonschemaparse_spark.plans.checkpoint import run_with_checkpoint
+
+    inp = str(tmp_path / "in")
+    spark.createDataFrame(
+        [("u1", "hello"), ("u2", "world")], "url string, text string"
+    ).repartition(2).write.parquet(inp)
+
+    rules = {
+        "properties": {
+            "url": {"type": "string"},
+            "text": {"type": "string", "minLength": 1},
+        },
+        "additionalProperties": False,
+        "required": ["url"],
+    }
+    state = str(tmp_path / "state")
+    run = run_with_checkpoint(spark, inp, rules, state, key_cols=["url"])
+    verdicts = run.verdicts.collect()
+    assert sum(r["n_failed_rows"] for r in verdicts) == 0
+    assert run.violations.count() == 0
+
+    # resume: nothing fresh; violations frame must carry the FULL schema
+    run2 = run_with_checkpoint(spark, inp, rules, state, key_cols=["url"])
+    assert run2.n_files_skipped == run2.n_files_total
+    assert run2.violations.columns == [
+        "url", "constraint_id", "path", "keyword", "expected", "actual", "message"
+    ]
+    assert run2.violations.count() == 0
+
+
+def test_checkpoint_survives_arrow_fallback(spark, tmp_path):
+    """Rules that force the whole-row Arrow fallback must still checkpoint
+    per REAL file (finding #4: input_file_name above an exchange is '')."""
+    from jsonschemaparse_spark.plans.checkpoint import run_with_checkpoint
+
+    inp = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(f"u{i}", "look" * (i % 3)) for i in range(20)], "url string, text string"
+    ).repartition(3).write.parquet(inp)
+    # ECMAScript-only regex at the ROOT patternProperties -> whole-row fallback
+    rules = {"patternProperties": {"\\p{L}+": {}},
+             "properties": {"text": {"type": "string"}}}
+    state = str(tmp_path / "state")
+    run1 = run_with_checkpoint(spark, inp, rules, state, key_cols=["url"])
+    files = {r["file"] for r in run1.verdicts.collect()}
+    assert run1.n_files_skipped == 0 and "" not in files and len(files) >= 3
+    run2 = run_with_checkpoint(spark, inp, rules, state, key_cols=["url"])
+    assert run2.n_files_skipped == run2.n_files_total
+
+
+# =========================================================================
+# moved from test_round5_fixes.py (round-fix regression pins, split by
+# topic per VERDICT r5 #8)
+# =========================================================================
+import pytest  # noqa: E402,F811,F401
+from pyspark.sql import functions as F  # noqa: E402,F811,F401
+
+def test_checkpoint_empty_input_no_state(spark, tmp_path):
+    from jsonschemaparse_spark.plans.checkpoint import (
+        run_json_with_checkpoint,
+        run_with_checkpoint,
+    )
+
+    empty_in = str(tmp_path / "empty_in")
+    spark.createDataFrame([], "id long, doc string") \
+        .coalesce(1).write.parquet(empty_in)
+    # parquet dir with a zero-row file still yields 0 distinct input files
+    run = run_json_with_checkpoint(
+        spark, empty_in, "doc", {"properties": {}},
+        state_dir=str(tmp_path / "state_a"), key_cols=["id"],
+    )
+    assert run.verdicts.count() == 0
+    assert run.n_files_total <= 1 and run.engine_used in ("none", "auto")
+
+    run2 = run_with_checkpoint(
+        spark, empty_in, {"properties": {}},
+        state_dir=str(tmp_path / "state_b"), key_cols=["id"],
+    )
+    assert run2.verdicts.count() == 0
+
+
+def test_checkpoint_verdicts_column_order_consistent(spark, tmp_path):
+    """Fresh-state empty verdicts and existing-state reads expose the same
+    column ORDER (review #8)."""
+    from jsonschemaparse_spark.plans.checkpoint import run_with_checkpoint
+
+    empty_in = str(tmp_path / "in")
+    spark.createDataFrame([], "id long, text string").coalesce(1) \
+        .write.parquet(empty_in)
+    fresh = run_with_checkpoint(
+        spark, empty_in, {"properties": {}},
+        state_dir=str(tmp_path / "st"), key_cols=["id"])
+    data_in = str(tmp_path / "in2")
+    spark.createDataFrame([(1, "x")], "id long, text string").coalesce(1) \
+        .write.parquet(data_in)
+    real = run_with_checkpoint(
+        spark, data_in, {"properties": {}},
+        state_dir=str(tmp_path / "st2"), key_cols=["id"])
+    assert fresh.verdicts.columns == real.verdicts.columns
+

@@ -1,0 +1,138 @@
+"""Streaming parity for the clean_corpus stateless prefix (r6, VERDICT
+r5 #7): exact dedup (dropDuplicatesWithinWatermark on the content key)
++ the fused quality gate, batch == stream on the same corpus within the
+watermark horizon."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+
+def _mk_batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, warc_ts timestamp, text string")
+
+
+def test_streaming_clean_prefix_matches_batch(spark, tmp_path):
+    """Two micro-batches replayed in id order: originals first, then
+    clones + fresh docs. The streamed exact-dedup + fused-gate pipeline
+    must keep exactly the rows the batch clean_corpus prefix keeps."""
+    from jsonschemaparse_spark.functions.pipeline import clean_corpus
+    from jsonschemaparse_spark.functions.text import quality_flags
+    from jsonschemaparse_spark.streaming import streaming_exact_dedup
+
+    t0 = datetime.datetime(2026, 8, 17, 12, 0, 0)
+    body = ("A perfectly reasonable document sentence with many words. " * 10
+            + "It closes with proper sentences. One more here. Done now!")
+    batch1 = [(i, t0, body + f" Trailer {i}.") for i in range(5)]
+    batch1.append((5, t0, "- bullets\n- only"))            # gopher reject
+    batch2 = [(100, t0 + datetime.timedelta(minutes=1), batch1[0][2]),  # clone of 0
+              (101, t0 + datetime.timedelta(minutes=1), batch1[1][2]),  # clone of 1
+              (102, t0 + datetime.timedelta(minutes=1),
+               "function f() { }" + body + " Ending sentence here!"),   # c4 reject
+              (103, t0 + datetime.timedelta(minutes=1), body + " Fresh tail.")]
+
+    src = str(tmp_path / "src")
+    _mk_batch(spark, batch1).coalesce(1).write.mode("overwrite").parquet(src)
+
+    def pipe(frame):
+        deduped = streaming_exact_dedup(frame, watermark="2 hours")
+        gated = quality_flags(deduped).filter(F.col("quality_keep"))
+        return gated.select("doc_id")
+
+    stream = spark.readStream.schema(
+        "doc_id long, warc_ts timestamp, text string").parquet(src)
+    q = (pipe(stream).writeStream.format("memory")
+         .queryName("clean_prefix_sink").outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        _mk_batch(spark, batch2).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        streamed = sorted(r["doc_id"] for r in
+                          spark.sql("select * from clean_prefix_sink").collect())
+    finally:
+        q.stop()
+
+    res = clean_corpus(_mk_batch(spark, batch1 + batch2))
+    batch_kept = sorted(r["doc_id"] for r in res.cleaned.collect())
+    assert streamed == batch_kept, (streamed, batch_kept)
+    # the clones and both gate rejects are gone; originals + fresh doc stay
+    assert streamed == [0, 1, 2, 3, 4, 103]
+
+
+def test_streaming_exact_dedup_drops_within_watermark(spark, tmp_path):
+    """A duplicate arriving in a LATER micro-batch (inside the horizon)
+    is dropped by state, not just within-batch dedup."""
+    from jsonschemaparse_spark.streaming import streaming_exact_dedup
+
+    t0 = datetime.datetime(2026, 8, 17, 12, 0, 0)
+    src = str(tmp_path / "src2")
+    _mk_batch(spark, [(1, t0, "same text"), (2, t0, "other text")]) \
+        .coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, warc_ts timestamp, text string").parquet(src)
+    q = (streaming_exact_dedup(stream, watermark="2 hours")
+         .select("doc_id").writeStream.format("memory")
+         .queryName("dedup_sink").outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        _mk_batch(spark, [(9, t0 + datetime.timedelta(minutes=5), "same text")]) \
+            .coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = sorted(r["doc_id"] for r in
+                     spark.sql("select * from dedup_sink").collect())
+    finally:
+        q.stop()
+    assert got == [1, 2], got
+
+
+# =========================================================================
+# moved from test_round5_fixes.py (round-fix regression pins, split by
+# topic per VERDICT r5 #8)
+# =========================================================================
+import pytest  # noqa: E402,F811,F401
+from pyspark.sql import functions as F  # noqa: E402,F811,F401
+
+def test_quality_gates_on_structured_streaming(spark, tmp_path):
+    """gopher_quality_flags + c4_quality_flags are pure projections, so
+    they run UNCHANGED on a readStream source — batch and streaming
+    results agree row-for-row."""
+    from pyspark.sql import functions as F
+
+    from jsonschemaparse_spark.functions.text import (
+        c4_quality_flags,
+        gopher_quality_flags,
+    )
+
+    body = " ".join(f"w{i}x" for i in range(60))
+    docs = [
+        (1, body + ". Second sentence here. Third sentence now."),
+        (2, "too short"),
+        (3, body + ". Has a badphrase here. Third sentence now."),
+    ]
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(docs, "doc_id long, text string") \
+        .coalesce(1).write.parquet(d)
+
+    def gates(frame):
+        out = gopher_quality_flags(frame)
+        out = c4_quality_flags(out, badwords=["badphrase"])
+        return out.select("doc_id", "gopher_keep", "c4_keep")
+
+    batch = {r["doc_id"]: (r["gopher_keep"], r["c4_keep"])
+             for r in gates(spark.read.parquet(d)).collect()}
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(d)
+    q = (gates(stream).writeStream.format("memory")
+         .queryName("quality_sink").outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = {r["doc_id"]: (r["gopher_keep"], r["c4_keep"])
+               for r in spark.sql("select * from quality_sink").collect()}
+    finally:
+        q.stop()
+    assert got == batch and len(got) == 3
+    assert batch[1] == (True, True)
+    assert batch[2][0] is False      # gopher n_words gate
+    assert batch[3][1] is False      # c4 badwords gate
+

@@ -212,3 +212,44 @@ def test_heavy_ruleset_stays_in_codegen(spark):
     assert "codegen id" in plan, "validation Project fell out of whole-stage codegen"
     assert "EvalPython" not in plan
     assert res.annotated.collect()[0][VALID_COL] is True
+
+
+# =========================================================================
+# moved from test_round4_fixes.py (round-fix regression pins, split by
+# topic per VERDICT r5 #8)
+# =========================================================================
+import pytest  # noqa: E402,F811,F401
+from pyspark.sql import functions as F  # noqa: E402,F811,F401
+from conftest import SF01_DIR  # noqa: E402,F811,F401
+
+def test_verdict_documents_merges_fallback_encoding(spark, documents):
+    """The driver verdict query must count violations through _n_viols()
+    so per-column Arrow-fallback rows (py_viols_col) are not dropped."""
+    import __spark_entry__ as entry
+    from jsonschemaparse_spark.plans import validate_dataframe
+
+    row = entry.q_verdict_documents(spark, "/root/testdata/sf0.001").first()
+    res = validate_dataframe(documents, entry.DOC_RULES, key_cols=["doc_id"])
+    assert row["n_rows"] == documents.count()
+    assert row["n_violations"] == res.violations().count()
+    assert row["n_failed_rows"] == res.annotated.filter(~F.col("_jsp_valid")).count()
+
+
+def test_verdict_query_counts_py_fallback_rows(spark):
+    """Synthetic fallback: a ValidationResult whose violations live ONLY in
+    the py_viols_col array still contributes to _n_viols()-based totals —
+    the exact trap the old F.size(VIOLATIONS_COL) query fell into."""
+    from jsonschemaparse_spark.plans.validator import ValidationResult
+
+    viol_t = (
+        "array<struct<constraint_id:string,path:string,keyword:string,"
+        "expected:string,actual:string,message:string>>"
+    )
+    df = spark.createDataFrame(
+        [(1, True, [], []), (2, False, [], [("c1", "/x", "type", "string", "1", "m")])],
+        f"doc_id long, _jsp_valid boolean, _jsp_violations {viol_t}, _py {viol_t}",
+    )
+    res = ValidationResult(annotated=df, key_cols=["doc_id"], py_viols_col="_py")
+    total = df.select(F.sum(res._n_viols()).alias("n")).first()["n"]
+    assert total == 1  # F.size("_jsp_violations") alone would report 0
+
