@@ -383,6 +383,35 @@ def q_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges)
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r6: benchmark decontamination (functions/decontaminate — the
+    GPT-3/Gopher 13-gram exact-overlap recipe). Eval set = the first 20
+    normalized words of every doc_id%40==0 document; every training doc
+    sharing a full 13-gram window with that set is flagged. Scale shape:
+    eval n-gram set broadcast, corpus explode feeds a broadcast hash
+    join, only matched ids shuffle. Oracle: DuckDB twin with the same
+    tokenize/window expressions."""
+    from jsonschemaparse_spark.functions.decontaminate import (
+        contamination_flags,
+        word_ngrams,
+    )
+
+    docs = _docs(spark, sf_dir)
+    words = F.filter(
+        F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " "),
+        lambda w: w != F.lit(""),
+    )
+    evalset = docs.where(F.col("doc_id") % 40 == 0).select(
+        F.array_join(F.slice(words, 1, 20), " ").alias("text"))
+    flagged = contamination_flags(docs, evalset, "doc_id", n=13)
+    # stable, hashable projection: id + flag + the doc's own 13-gram count
+    return flagged.select(
+        "doc_id",
+        F.col("contaminated"),
+        F.size(word_ngrams(F.col("text"), 13)).cast("long").alias("n_ngrams"),
+    )
+
+
 def _sentence_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic sentence-structured corpus for the C4 span ops: the
     shipped documents carry no sentence punctuation, so build the SAME text
@@ -657,6 +686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_quality": q_c4_quality,
         "quality_fused": q_quality_fused,
         "cc_labels": q_cc_labels,
+        "decontaminate": q_decontaminate,
         "canonical_urls": q_canonical_urls,
         "ks_drift_nchars": q_ks_drift_nchars,
         "webpages_flagship": q_webpages_flagship,
@@ -1266,6 +1296,38 @@ r(node, anc) AS (
   SELECT u.a, r.anc FROM und u JOIN r ON r.node = u.b
 )
 SELECT node, MIN(anc) AS label FROM r GROUP BY node
+""",
+        "decontaminate": f"""
+WITH W AS (
+  SELECT doc_id,
+         list_filter(string_split({_NORM}, ' '), w -> w <> '') AS words
+  FROM documents
+),
+evalw AS (
+  SELECT words[1:20] AS words FROM W WHERE doc_id % 40 = 0
+),
+eg AS (
+  SELECT DISTINCT t.g AS ngram
+  FROM evalw, UNNEST(CASE WHEN len(words) >= 13 THEN
+       list_transform(generate_series(1, len(words) - 12),
+                      i -> array_to_string(words[i:i+12], ' '))
+       ELSE CAST([] AS VARCHAR[]) END) AS t(g)
+),
+tg AS (
+  SELECT doc_id, t.g AS ngram
+  FROM W, UNNEST(CASE WHEN len(words) >= 13 THEN
+       list_transform(generate_series(1, len(words) - 12),
+                      i -> array_to_string(words[i:i+12], ' '))
+       ELSE CAST([] AS VARCHAR[]) END) AS t(g)
+),
+hits AS (SELECT DISTINCT tg.doc_id FROM tg JOIN eg USING (ngram))
+SELECT W.doc_id,
+       (hits.doc_id IS NOT NULL) AS contaminated,
+       CAST(CASE WHEN len(W.words) >= 13 THEN len(list_distinct(
+              list_transform(generate_series(1, len(W.words) - 12),
+                             i -> array_to_string(W.words[i:i+12], ' '))))
+            ELSE 0 END AS BIGINT) AS n_ngrams
+FROM W LEFT JOIN hits ON W.doc_id = hits.doc_id
 """,
         "duplicate_line_groups": r"""
 WITH m AS (

@@ -212,6 +212,25 @@ def main() -> None:
 
     bench("gate_fused", gate_fused)
 
+    # benchmark decontamination (r6): eval set = first-20-word prefixes of
+    # 1-in-40 docs; corpus explode -> broadcast gram join -> flag join.
+    def decontaminate_bench():
+        from jsonschemaparse_spark.functions.decontaminate import (
+            contamination_flags,
+        )
+
+        df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        words = F.filter(
+            F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " "),
+            lambda w: w != F.lit(""),
+        )
+        evalset = df.where(F.col("doc_id") % 40 == 0).select(
+            F.array_join(F.slice(words, 1, 20), " ").alias("text"))
+        contamination_flags(df, evalset, "doc_id").select(
+            F.sum(F.when(F.col("contaminated"), 1))).collect()
+
+    bench("decontaminate", decontaminate_bench)
+
     # stats profile
     def stats():
         from jsonschemaparse_spark.functions.stats import column_profile

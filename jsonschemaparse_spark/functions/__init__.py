@@ -1,3 +1,23 @@
-from . import dedup, formats, integrity, similarity, stats, stats_math, text, web
+from . import (
+    decontaminate,
+    dedup,
+    formats,
+    integrity,
+    similarity,
+    stats,
+    stats_math,
+    text,
+    web,
+)
 
-__all__ = ["dedup", "formats", "integrity", "similarity", "stats", "stats_math", "text", "web"]
+__all__ = [
+    "decontaminate",
+    "dedup",
+    "formats",
+    "integrity",
+    "similarity",
+    "stats",
+    "stats_math",
+    "text",
+    "web",
+]
