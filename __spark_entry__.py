@@ -412,6 +412,54 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r6: PII detection + redaction (functions/pii — the Dolma-style
+    pre-training scrub). The shipped corpus carries no PII, so both
+    engines synthesize the SAME PII-bearing text per doc (email + phone
+    + IP + SSN woven around the real text), then count and redact it.
+    One codegen Project over one scan (plan-asserted in tests/test_pii);
+    oracle replays the identical patterns under RE2."""
+    from jsonschemaparse_spark.functions.pii import pii_counts, redact_text
+
+    d = _docs(spark, sf_dir)
+    t = F.concat(
+        F.lit("Contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 "),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit("-555-0199 from 10.2."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 id 123-45-6789. "),
+        F.coalesce(F.col("text"), F.lit("")),
+    )
+    counts = pii_counts(t)
+    return d.select(
+        "doc_id",
+        *[c.cast("long").alias(name) for name, c in counts.items()],
+        redact_text(t).alias("redacted"),
+    )
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r6: deterministic stratified mixture sampling (functions/sampling
+    — Pile/ROOTS per-language rates). Hash-keyed Bernoulli: the kept id
+    set is a pure function of (doc_id, seed), invariant to partition
+    layout and cluster width (tests/test_sampling pins the row-set
+    invariance). Narrow Filter, zero shuffle; oracle replays the same
+    md5 + hex-string threshold compare."""
+    from jsonschemaparse_spark.functions.sampling import stratified_sample
+
+    d = _docs(spark, sf_dir)
+    out = stratified_sample(
+        d, MIXTURE_FRACTIONS, "lang", "doc_id", seed=11,
+        default_fraction=0.15)
+    return out.select("doc_id", "lang", "source")
+
+
+# per-language mixture rates for q_mixture_sample (en-heavy, zh held out
+# to the default rate so the default path is exercised by the oracle)
+MIXTURE_FRACTIONS = {"en": 0.9, "de": 0.5, "fr": 0.25, "es": 1.0}
+
+
 def _sentence_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic sentence-structured corpus for the C4 span ops: the
     shipped documents carry no sentence punctuation, so build the SAME text
@@ -687,6 +735,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_fused": q_quality_fused,
         "cc_labels": q_cc_labels,
         "decontaminate": q_decontaminate,
+        "pii_scrub": q_pii_scrub,
+        "mixture_sample": q_mixture_sample,
         "canonical_urls": q_canonical_urls,
         "ks_drift_nchars": q_ks_drift_nchars,
         "webpages_flagship": q_webpages_flagship,
@@ -734,6 +784,15 @@ def _lang_score(lang: str) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    # pii_scrub / mixture_sample twins are BUILT from the engine's own
+    # pattern/threshold constants so oracle and engine cannot drift
+    from jsonschemaparse_spark.functions.pii import pii_oracle_sql
+    from jsonschemaparse_spark.functions.sampling import threshold_hex
+
+    pii_counts_sql, pii_redacted_sql = pii_oracle_sql("t")
+    mix_case = " ".join(
+        f"WHEN '{lang}' THEN '{threshold_hex(frac) or 'ffffffff~'}'"
+        for lang, frac in sorted(MIXTURE_FRACTIONS.items()))
     viol = f"""
 WITH v AS (
   SELECT doc_id, '/text' AS path, 'minLength' AS keyword, '1' AS expected,
@@ -1328,6 +1387,23 @@ SELECT W.doc_id,
                              i -> array_to_string(W.words[i:i+12], ' '))))
             ELSE 0 END AS BIGINT) AS n_ngrams
 FROM W LEFT JOIN hits ON W.doc_id = hits.doc_id
+""",
+        "pii_scrub": f"""
+WITH p AS (
+  SELECT doc_id,
+         'Contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1 ' ||
+         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+         '-555-0199 from 10.2.' || CAST(doc_id % 256 AS VARCHAR) ||
+         '.7 id 123-45-6789. ' || coalesce(text, '') AS t
+  FROM documents
+)
+SELECT doc_id, {pii_counts_sql}, {pii_redacted_sql} AS redacted FROM p
+""",
+        "mixture_sample": f"""
+SELECT doc_id, lang, source FROM documents
+WHERE substr(md5(coalesce(CAST(doc_id AS VARCHAR), '') || ':11'), 1, 8) <
+      CASE lang {mix_case}
+           ELSE '{threshold_hex(0.15)}' END
 """,
         "duplicate_line_groups": r"""
 WITH m AS (

@@ -231,6 +231,29 @@ def main() -> None:
 
     bench("decontaminate", decontaminate_bench)
 
+    # PII scrub (r6): counts + typed-token redaction, one codegen Project
+    # over the corpus scan (no Python, no shuffle)
+    def pii_scrub_bench():
+        from jsonschemaparse_spark.functions.pii import pii_flags, redact_pii
+
+        df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        pii_flags(redact_pii(df, out_col="red")).select(
+            F.sum(F.when(F.col("has_pii"), 1))).collect()
+
+    bench("pii_scrub", pii_scrub_bench)
+
+    # deterministic stratified sampling (r6): narrow md5-threshold Filter —
+    # the at-scale mixture-weighting path (zero shuffle)
+    def mixture_sample_bench():
+        from jsonschemaparse_spark.functions.sampling import stratified_sample
+
+        df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        stratified_sample(
+            df, {"en": 0.9, "de": 0.5, "fr": 0.25, "es": 1.0}, "lang",
+            "doc_id", seed=11, default_fraction=0.15).count()
+
+    bench("mixture_sample", mixture_sample_bench)
+
     # stats profile
     def stats():
         from jsonschemaparse_spark.functions.stats import column_profile

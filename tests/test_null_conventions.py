@@ -19,6 +19,7 @@ def _rewriters():
         remove_duplicate_spans,
         strip_boilerplate_lines,
     )
+    from jsonschemaparse_spark.functions.pii import redact_pii
     from jsonschemaparse_spark.functions.text import c4_line_filter
 
     return {
@@ -27,11 +28,13 @@ def _rewriters():
         "remove_duplicate_spans": lambda df: remove_duplicate_spans(
             df, "doc_id"),
         "c4_line_filter": lambda df: c4_line_filter(df),
+        "redact_pii": lambda df: redact_pii(df),
     }
 
 
 @pytest.mark.parametrize("op", ["strip_boilerplate_lines",
-                                "remove_duplicate_spans", "c4_line_filter"])
+                                "remove_duplicate_spans", "c4_line_filter",
+                                "redact_pii"])
 def test_rewriting_ops_preserve_null_text(spark, op):
     body = ("A first proper sentence with many words here.\n"
             "A second proper sentence with many words too!\n"

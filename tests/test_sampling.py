@@ -1,0 +1,122 @@
+"""Deterministic hash sampling (functions/sampling): rate accuracy,
+partition-layout invariance (the reason this exists instead of
+df.sample), stratified mixture rates, split stability, and the DuckDB
+md5 differential."""
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from jsonschemaparse_spark.functions.sampling import (
+    deterministic_sample,
+    hash_keep,
+    sample_oracle_sql,
+    stratified_sample,
+    threshold_hex,
+    train_test_split,
+)
+
+
+def test_threshold_hex_edges():
+    assert threshold_hex(0.0) == "00000000"
+    assert threshold_hex(-3.0) == "00000000"
+    assert threshold_hex(1.0) is None
+    assert threshold_hex(0.5) == "80000000"
+
+
+def test_rate_accuracy(spark, documents):
+    n = documents.count()
+    for frac in (0.1, 0.5, 0.9):
+        kept = deterministic_sample(documents, frac, "doc_id").count()
+        assert abs(kept / n - frac) < 0.08, (frac, kept, n)
+    assert deterministic_sample(documents, 0.0, "doc_id").count() == 0
+    assert deterministic_sample(documents, 1.0, "doc_id").count() == n
+
+
+def test_partition_layout_invariance(spark, documents):
+    """The kept ROW SET (not just the count) is identical across
+    partition layouts — the property Spark's RNG samplers lack and the
+    100-TB rebuild requires."""
+    base = {r["doc_id"] for r in
+            deterministic_sample(documents, 0.3, "doc_id")
+            .select("doc_id").collect()}
+    for layout in (documents.repartition(37),
+                   documents.coalesce(1),
+                   documents.repartition(8, "lang")):
+        got = {r["doc_id"] for r in
+               deterministic_sample(layout, 0.3, "doc_id")
+               .select("doc_id").collect()}
+        assert got == base
+
+
+def test_seed_changes_sample(spark, documents):
+    a = {r["doc_id"] for r in deterministic_sample(
+        documents, 0.3, "doc_id", seed=0).select("doc_id").collect()}
+    b = {r["doc_id"] for r in deterministic_sample(
+        documents, 0.3, "doc_id", seed=1).select("doc_id").collect()}
+    assert a != b and abs(len(a) - len(b)) < 0.2 * max(len(a), 1)
+
+
+def test_stratified_rates(spark, documents):
+    fractions = {"en": 0.9, "de": 0.25}
+    out = stratified_sample(documents, fractions, "lang", "doc_id")
+    got = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    totals = {r["lang"]: r["n"] for r in
+              documents.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, frac in fractions.items():
+        assert abs(got.get(lang, 0) / totals[lang] - frac) < 0.12, lang
+    # unlisted strata take default_fraction=0.0
+    assert set(got) <= set(fractions)
+
+
+def test_stratified_keep_all_and_default(spark):
+    df = spark.createDataFrame(
+        [(i, ["a", "b", None][i % 3]) for i in range(300)],
+        "k long, s string")
+    out = stratified_sample(df, {"a": 1.0}, "s", "k",
+                            default_fraction=0.5)
+    got = {r["s"]: r["n"] for r in
+           out.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert got["a"] == 100          # keep-all sentinel keeps every row
+    assert 25 <= got.get("b", 0) <= 75
+    assert 25 <= got.get(None, 0) <= 75  # NULL stratum -> default rate
+
+
+def test_train_test_split_stable_and_disjoint(spark, documents):
+    s1 = train_test_split(documents, "doc_id", 0.2)
+    s2 = train_test_split(documents.repartition(13), "doc_id", 0.2)
+    m1 = {r["doc_id"]: r["split"] for r in s1.select("doc_id", "split").collect()}
+    m2 = {r["doc_id"]: r["split"] for r in s2.select("doc_id", "split").collect()}
+    assert m1 == m2
+    n_test = sum(1 for v in m1.values() if v == "test")
+    assert abs(n_test / len(m1) - 0.2) < 0.08
+
+
+def test_null_key_hashes_like_empty(spark):
+    df = spark.createDataFrame([(None,), ("",), ("x",)], "k string")
+    out = df.select("k", hash_keep(F.col("k"), 0.5, 7).alias("keep")).collect()
+    by_k = {r["k"]: r["keep"] for r in out}
+    assert by_k[None] == by_k[""]  # keying convention: NULL == ''
+
+
+def test_duckdb_differential(spark, documents):
+    """Spark's kept id set == DuckDB's for the same (fraction, seed) —
+    md5 hex + ASCII string compare are engine-identical."""
+    pred = sample_oracle_sql("doc_id", 0.37, seed=5)
+    oracle = {
+        r[0] for r in duckdb.sql(
+            "SELECT doc_id FROM '/root/testdata/sf0.001/documents.parquet' "
+            f"WHERE {pred}").fetchall()
+    }
+    got = {r["doc_id"] for r in deterministic_sample(
+        documents, 0.37, "doc_id", seed=5).select("doc_id").collect()}
+    assert got == oracle and got
+
+
+def test_narrow_plan_no_shuffle(spark, documents):
+    plan = (stratified_sample(documents, {"en": 0.9, "de": 0.2}, "lang",
+                              "doc_id")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "Python" not in plan
