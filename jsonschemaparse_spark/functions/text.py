@@ -576,11 +576,18 @@ def quality_flags(df: DataFrame, text_col: str = "text",
     Spark's subexpression elimination dedups common subtrees WITHIN one
     Project's expression set, not across operators (the array HOFs are
     CodegenFallback, so this Project runs interpreted either way — the
-    sharing, not codegen, is what fusion buys). Here all metric columns
-    and both keeps live in a single Project, so the shared
-    words/lines/paras subtrees evaluate once per row and the gate cost is
-    ~max, not the sum, of the individual gates (measured: bench
-    gate_fused 0.59 s vs gate_gopher 0.54 + gate_c4 0.20 at sf0.01).
+    sharing, not codegen, is what fusion buys; interpreted-mode CSE was
+    verified live: a 5-metric projection over one shared words subtree
+    costs 0.30 s vs 0.26 s for 1 metric at sf0.1). Here all metric
+    columns and both keeps live in a single Project, so the shared
+    words/lines/paras subtrees evaluate once per row. What fusion buys,
+    measured honestly (scripts/gate_ab.py, 8 interleaved paired rounds
+    at sf0.1): ONE corpus scan instead of two — the dominant cost at
+    100 TB — plus the shared-tokenization CSE; the residual compute is
+    gopher + C4's own unique work (sentence splits etc.), i.e. fused
+    0.93 s vs gopher 0.79 + c4 0.15 (fused/sum 0.91, fused/gopher
+    1.08). An earlier sf0.01 sample reading fused ~max(gopher, c4) was
+    per-job launch overhead, not compute, being merged.
     tests/test_functions.py asserts the plan is exactly one Project over
     the scan — no Exchange, no Generate, no Python.
 
