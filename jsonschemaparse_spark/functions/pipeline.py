@@ -47,6 +47,7 @@ from .dedup import (
     remove_duplicate_spans,
 )
 from .graph import connected_components
+from .pii import redact_text
 from .text import _c4_flag_columns, _gopher_flag_columns, quality_flags
 
 
@@ -89,6 +90,7 @@ def clean_corpus(
     near_dup_mode: str = "greedy",
     char_fraction_max_items: int = 10_000,
     observe_funnel: bool = False,
+    pii_redact: bool = False,
 ) -> CleanCorpusResult:
     """Apply the canonical cleaning stages in order; returns the surviving
     rows (original columns only), the stages applied, the persisted
@@ -107,10 +109,16 @@ def clean_corpus(
       5. near_dup     minhash pairs at `near_dup_threshold`, dropped per
                       `near_dup_mode` ('greedy' pair rule or 'cc'
                       connected components — module docstring)
+      6. pii_redact   functions/pii.redact_text over the SURVIVORS (the
+                      Dolma order: filter -> dedup -> scrub; scrubbing
+                      last means the regex chain runs only on kept docs).
+                      Rewriting stage: NULL text stays NULL, no rows
+                      dropped, no new shuffle (one more projection)
 
     observe_funnel: attaches `.observe()` accumulators (n_input,
-    n_after_exact, n_after_gopher / n_after_c4 as applicable, and the
-    minhash bucket-overflow counters when near-dup is on) so the first
+    n_after_exact, n_after_gopher / n_after_c4 as applicable, the
+    minhash bucket-overflow counters when near-dup is on, and
+    n_pii_docs when pii_redact is on) so the first
     action on `cleaned` also yields the funnel — the production shape:
     one pass over the corpus, counts for free. Read them via
     result.funnel_counts(). The overflow counters surface what the LSH
@@ -186,6 +194,18 @@ def clean_corpus(
             drop = (labels.filter(F.col("node") != F.col("label"))
                     .select(F.col("node").alias(id_col)))
         out = out.join(drop, id_col, "left_anti")
+    if pii_redact:
+        stages.append("pii_redact")
+        red = out.withColumn("_jsp_red", redact_text(F.col(text_col)))
+        if observe_funnel:
+            obs_p = Observation()
+            funnel["pii"] = obs_p
+            # NULL text: redact_text propagates NULL, the != compare is
+            # NULL -> the when() skips it — NULL docs never count as PII
+            red = red.observe(obs_p, F.coalesce(
+                F.sum(F.when(F.col("_jsp_red") != F.col(text_col), 1)),
+                F.lit(0)).alias("n_pii_docs"))
+        out = red.withColumn(text_col, F.col("_jsp_red")).select(*cols)
     return CleanCorpusResult(cleaned=out, stages=stages, cached=cached,
                              funnel=funnel)
 

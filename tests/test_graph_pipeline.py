@@ -236,3 +236,24 @@ def test_clean_corpus_near_dup_chain_drops_all_b_sides(spark):
     kept = sorted(r["doc_id"] for r in res.cleaned.collect())
     assert kept == [1]
 
+
+
+def test_clean_corpus_pii_redact_stage(spark):
+    """Stage 6 (r6): survivors' text is scrubbed, NULL text preserved,
+    no rows dropped, and the funnel reports n_pii_docs from the same
+    job that materializes the cleaned frame."""
+    from jsonschemaparse_spark.functions.pipeline import clean_corpus
+
+    df = spark.createDataFrame(
+        [(1, "Mail a@b.io now"), (2, "nothing personal here"), (3, None)],
+        "doc_id long, text string")
+    res = clean_corpus(df, gopher=False, c4=False, pii_redact=True,
+                       observe_funnel=True)
+    assert res.stages[-1] == "pii_redact"
+    rows = {r["doc_id"]: r["text"] for r in res.cleaned.collect()}
+    assert rows[1] == "Mail <EMAIL> now"
+    assert rows[2] == "nothing personal here"
+    assert rows[3] is None
+    counts = res.funnel_counts()
+    assert counts["n_pii_docs"] == 1
+    assert counts["n_input"] == 3
