@@ -100,3 +100,45 @@ def test_single_projection_plan(spark, documents):
     assert "Generate" not in plan
     assert "Python" not in plan
     assert plan.count("Project") <= 2  # Catalyst collapses withColumns
+
+
+def test_fuzz_differential(spark):
+    """Seeded fuzz over an adversarial alphabet (digit runs, '@', '+',
+    separators, dots) — Spark (Java regex) and DuckDB (RE2) must agree
+    on every count AND the redacted bytes for every generated string.
+    This is the empirical backing for the 'alternation-free greedy
+    patterns behave identically' portability argument: ambiguous
+    near-matches ('+1 2 3', '1.2.3.4.5', 'a@b', '123-45-678') are
+    exactly what the generator produces."""
+    import random
+
+    rng = random.Random(42)
+    atoms = [
+        "a", "bob", "x9", "@", "+", "-", ".", " ", "  ", "\n",
+        "1", "12", "123", "1234", "45", "6789", "555",
+        "example.com", "b.co", ".uk", "@b.io", "+44", "+1 ",
+        "192.168.0.1", "1.2.3.4.5", "123-45-6789", "123-45-678",
+        "555-123-4567", "v1.2.3", "10.0.255.254", "%", "_", "see:",
+    ]
+    cases = [(i, "".join(rng.choice(atoms) for _ in range(rng.randint(1, 12))))
+             for i in range(400)]
+
+    counts_sql, redacted_sql = pii_oracle_sql("text")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE f (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO f VALUES (?, ?)", cases)
+    oracle = {r[0]: r[1:] for r in con.execute(
+        f"SELECT doc_id, {counts_sql}, {redacted_sql} AS red FROM f"
+    ).fetchall()}
+
+    df = spark.createDataFrame(cases, "doc_id long, text string")
+    got = pii_flags(redact_pii(df, out_col="red")).collect()
+    mismatches = [
+        (r["doc_id"], cases[r["doc_id"]][1],
+         (r["n_emails"], r["n_phones"], r["n_ipv4"], r["n_ssn_ids"], r["red"]),
+         oracle[r["doc_id"]])
+        for r in got
+        if (r["n_emails"], r["n_phones"], r["n_ipv4"], r["n_ssn_ids"],
+            r["red"]) != oracle[r["doc_id"]]
+    ]
+    assert not mismatches, mismatches[:5]
