@@ -136,3 +136,52 @@ def test_quality_gates_on_structured_streaming(spark, tmp_path):
     assert batch[2][0] is False      # gopher n_words gate
     assert batch[3][1] is False      # c4 badwords gate
 
+
+
+def test_streaming_pii_redact_matches_batch(spark, tmp_path):
+    """r6 stage 6: redact_pii is a stateless projection, so the full
+    stateless prefix exact-dedup -> gates -> scrub streams with row-level
+    parity (ids AND redacted bytes) against clean_corpus(pii_redact=True)."""
+    from jsonschemaparse_spark.functions.pii import redact_pii
+    from jsonschemaparse_spark.functions.pipeline import clean_corpus
+    from jsonschemaparse_spark.functions.text import quality_flags
+    from jsonschemaparse_spark.streaming import streaming_exact_dedup
+
+    t0 = datetime.datetime(2026, 8, 17, 12, 0, 0)
+    body = ("A perfectly reasonable document sentence with many words. " * 10
+            + "It closes with proper sentences. One more here. Done now!")
+    rows = [
+        (0, t0, body + " Mail me at spam@example.org today."),
+        (1, t0, body + " Call +1 555-123-4567 anytime."),
+        (2, t0, body + " Nothing personal in this one."),
+        (100, t0 + datetime.timedelta(minutes=1),
+         body + " Mail me at spam@example.org today."),     # clone of 0
+    ]
+    src = str(tmp_path / "src3")
+    _mk_batch(spark, rows[:3]).coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        "doc_id long, warc_ts timestamp, text string").parquet(src)
+    pipe = redact_pii(
+        quality_flags(streaming_exact_dedup(stream, watermark="2 hours"))
+        .filter(F.col("quality_keep"))).select("doc_id", "text")
+    q = (pipe.writeStream.format("memory")
+         .queryName("pii_sink").outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        _mk_batch(spark, rows[3:]).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        streamed = sorted(
+            (r["doc_id"], r["text"])
+            for r in spark.sql("select * from pii_sink").collect())
+    finally:
+        q.stop()
+
+    res = clean_corpus(_mk_batch(spark, rows), pii_redact=True)
+    batch_kept = sorted((r["doc_id"], r["text"])
+                        for r in res.cleaned.collect())
+    assert streamed == batch_kept
+    by_id = dict(streamed)
+    assert "<EMAIL>" in by_id[0] and "<PHONE>" in by_id[1]
+    assert "spam@example.org" not in by_id[0]
+    assert 100 not in by_id
