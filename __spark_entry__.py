@@ -704,6 +704,71 @@ def q_bucketed_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("keep_id").cast("long").alias("keep_id"))
 
 
+def _crawl_url(id_col: Column) -> Column:
+    """Deterministic crawl-style URLs over a handful of registered
+    domains (incl. co.uk two-level-suffix cases and multi-host domains)
+    — shared by the domain_stats and latest_capture queries."""
+    host = (
+        F.when(id_col % 6 == 0, F.lit("www.example.co.uk"))
+        .when(id_col % 6 == 1, F.lit("news.example.co.uk"))
+        .when(id_col % 6 == 2,
+              F.concat(F.lit("a"), (id_col % 10).cast("string"), F.lit(".shop.com")))
+        .when(id_col % 6 == 3, F.lit("blog.site.org"))
+        .when(id_col % 6 == 4, F.lit("site.org"))
+        .otherwise(
+            F.concat(F.lit("cdn"), (id_col % 7).cast("string"), F.lit(".media.net")))
+    )
+    return F.concat(F.lit("https://"), host, F.lit("/p/"),
+                    (id_col % 500).cast("string"))
+
+
+def _crawl_url_sql(id_expr: str) -> str:
+    """DuckDB twin of _crawl_url (same modulus arithmetic, same hosts)."""
+    return f"""('https://' || (CASE CAST({id_expr} % 6 AS INTEGER)
+  WHEN 0 THEN 'www.example.co.uk'
+  WHEN 1 THEN 'news.example.co.uk'
+  WHEN 2 THEN 'a' || CAST({id_expr} % 10 AS VARCHAR) || '.shop.com'
+  WHEN 3 THEN 'blog.site.org'
+  WHEN 4 THEN 'site.org'
+  ELSE 'cdn' || CAST({id_expr} % 7 AS VARCHAR) || '.media.net' END)
+ || '/p/' || CAST({id_expr} % 500 AS VARCHAR))"""
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain corpus profile over deterministic crawl
+    URLs: doc counts, distinct hosts, total chars."""
+    from jsonschemaparse_spark.functions.web import domain_stats
+
+    d = _docs(spark, sf_dir).withColumn("url", _crawl_url(F.col("doc_id")))
+    out = domain_stats(d, size_col="n_chars")
+    return out.select("domain", F.col("n_docs").cast("long").alias("n_docs"),
+                      F.col("n_hosts").cast("long").alias("n_hosts"),
+                      F.col("total_size").cast("long").alias("total_size"))
+
+
+def q_latest_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-crawl dedup: keep the newest capture per URL (ties on ts break
+    by event_id). One struct-max hash aggregate, no window, no join-back."""
+    from jsonschemaparse_spark.functions.web import latest_capture
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    caps = ev.select(_crawl_url(F.col("event_id")).alias("url"),
+                     "ts", "event_id", "event_type")
+    out = latest_capture(caps, url_col="url", ts_col="ts", id_col="event_id")
+    return out.select("url", "ts", "event_id", "event_type")
+
+
+def q_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear quality classifier (fastText-style plumbing with the
+    deterministic stand-in weights): per-doc mean token weight + keep."""
+    from jsonschemaparse_spark.functions.classifier import classify_quality
+
+    out = classify_quality(_docs(spark, sf_dir), threshold=0.01)
+    return out.select("doc_id",
+                      F.round("quality_score", 6).alias("quality_score"),
+                      "classifier_keep")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_documents": q_validate_documents,
@@ -749,6 +814,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize_dims": q_media_resize_dims,
         "audio_resample_ms": q_audio_resample_ms,
         "bucketed_dup_groups": q_bucketed_dup_groups,
+        "domain_stats": q_domain_stats,
+        "latest_capture": q_latest_capture,
+        "classifier_scores": q_classifier_scores,
     }
 
 
@@ -786,8 +854,11 @@ def _lang_score(lang: str) -> str:
 def oracle_sql() -> dict[str, str]:
     # pii_scrub / mixture_sample twins are BUILT from the engine's own
     # pattern/threshold constants so oracle and engine cannot drift
+    from jsonschemaparse_spark.functions.classifier import classifier_weight_sql
     from jsonschemaparse_spark.functions.pii import pii_oracle_sql
     from jsonschemaparse_spark.functions.sampling import threshold_hex
+    from jsonschemaparse_spark.functions.web import DOMAIN_RE as _WEB_DOMAIN_RE
+    from jsonschemaparse_spark.functions.web import HOST_RE as _WEB_HOST_RE
 
     pii_counts_sql, pii_redacted_sql = pii_oracle_sql("t")
     mix_case = " ".join(
@@ -1733,5 +1804,48 @@ SELECT CAST(range AS VARCHAR) AS content_key,
        CAST(10 AS BIGINT) AS n_docs,
        range AS keep_id
 FROM range(0, 100)
+""",
+        # host/domain twins interpolate the ENGINE'S regex constants
+        # (web.HOST_RE / web.DOMAIN_RE) so oracle and engine cannot drift
+        "domain_stats": f"""
+WITH d AS (SELECT doc_id, n_chars, {_crawl_url_sql('doc_id')} AS url FROM documents),
+h AS (SELECT doc_id, n_chars,
+             lower(regexp_extract(trim(url), '{_WEB_HOST_RE}', 1)) AS host FROM d),
+r AS (SELECT doc_id, n_chars, host,
+             CASE WHEN regexp_extract(host, '{_WEB_DOMAIN_RE}', 1) = '' THEN host
+                  ELSE regexp_extract(host, '{_WEB_DOMAIN_RE}', 1) END AS domain
+      FROM h)
+SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+       CAST(sum(n_chars) AS BIGINT) AS total_size
+FROM r GROUP BY domain
+""",
+        "latest_capture": f"""
+WITH caps AS (
+  SELECT {_crawl_url_sql('event_id')} AS url, ts, event_id, event_type
+  FROM events
+)
+SELECT url, ts, event_id, event_type FROM caps
+QUALIFY row_number() OVER (PARTITION BY url ORDER BY ts DESC, event_id DESC) = 1
+""",
+        # weight twin built from the engine's classifier_weight_sql —
+        # same md5/top-32-bit constants on both sides
+        "classifier_scores": f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                     w -> w <> '') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) > 0
+              THEN list_sum(list_transform(toks, t -> {classifier_weight_sql('t')}))
+                   / len(toks)
+              ELSE 0.0 END AS score
+  FROM d
+)
+SELECT doc_id, round(score, 6) AS quality_score,
+       score > 0.01 AS classifier_keep
+FROM s
 """,
     }

@@ -66,3 +66,100 @@ def url_duplicate_groups(df: DataFrame, id_col: str,
              F.sort_array(F.collect_set(id_col)).alias("doc_ids"))
         .filter(F.col("n_docs") > 1)
     )
+
+
+# second-level suffixes under which the registered domain is THREE labels
+# (example.co.uk). A deliberately small heuristic list, not the full
+# public-suffix list: the crawl-pipeline uses of registered_domain
+# (per-domain stats, spam-domain filters) only need hosts of the same
+# site to agree with each other, which a stable heuristic guarantees.
+SECOND_LEVEL_SUFFIXES = ("ac", "co", "com", "edu", "gov", "net", "org")
+
+# both patterns are RE2-portable and shared verbatim with the DuckDB
+# oracle twins (no lookarounds; non-capturing groups only)
+DOMAIN_RE = (
+    r"([^.]+\.(?:" + "|".join(SECOND_LEVEL_SUFFIXES) + r")\.[a-z][a-z]"
+    r"|[^.]+\.[^.]+)$"
+)
+HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)"
+
+
+def host_of(url: Column) -> Column:
+    """Lowercased host (no userinfo, no port) of an absolute URL."""
+    return F.lower(F.regexp_extract(F.trim(url), HOST_RE, 1))
+
+
+def registered_domain(url: Column) -> Column:
+    """Registered (site-owner) domain of a URL: the last two host labels,
+    or the last three when the second-level label is a well-known suffix
+    under a two-letter ccTLD (example.co.uk -> example.co.uk, not co.uk).
+    Dotless hosts (localhost, bare IPv6) fall back to the host itself.
+    Single anchored alternation, RE2-portable (no lookarounds) so the
+    DuckDB oracle evaluates the identical expression. Documented
+    limitation: IPv4 hosts yield their last two octets — callers that
+    crawl by IP should filter on `host_of` instead."""
+    host = host_of(url)
+    dom = F.regexp_extract(host, DOMAIN_RE, 1)
+    return F.when(dom == "", host).otherwise(dom)
+
+
+def domain_stats(df: DataFrame, url_col: str = "url",
+                 size_col: str | None = None) -> DataFrame:
+    """Per-registered-domain corpus profile: (domain, n_docs, n_hosts
+    [, total_size]) — the aggregation behind URL/domain-level curation
+    (spam-domain discovery, per-domain caps a la RefinedWeb). One hash
+    aggregate on the domain key with map-side partial combine; the host
+    HLL (approx_count_distinct) keeps the shuffle row narrow. Domain keys
+    are Zipf-skewed at crawl scale — the heavy hitters are exactly what
+    this query exists to find, and a single combined row per (domain,
+    map-partition) bounds the shuffle regardless of skew."""
+    d = df.select(registered_domain(F.col(url_col)).alias("domain"),
+                  host_of(F.col(url_col)).alias("host"),
+                  *([F.col(size_col)] if size_col else []))
+    aggs = [F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("host").alias("n_hosts")]
+    if size_col:
+        aggs.append(F.sum(size_col).alias("total_size"))
+    return d.groupBy("domain").agg(*aggs)
+
+
+def filter_domains(df: DataFrame, blocklist: DataFrame | list[str],
+                   url_col: str = "url") -> DataFrame:
+    """Drop rows whose registered domain appears in `blocklist` (a list
+    or a 1-column DataFrame). Broadcast anti-join: blocklists are
+    dim-table sized (UT1 ~4M rows ~ 100 MB), so the corpus never
+    shuffles; a list argument becomes an `isin` filter, which codegen
+    compiles to a hash-set probe in the scan stage."""
+    dom = registered_domain(F.col(url_col))
+    if isinstance(blocklist, list):
+        return df.filter(~dom.isin(blocklist))
+    bl = blocklist.toDF("_jsp_blocked_domain").dropDuplicates()
+    return (df.withColumn("_jsp_domain", dom)
+            .join(F.broadcast(bl),
+                  F.col("_jsp_domain") == F.col("_jsp_blocked_domain"),
+                  "left_anti")
+            .drop("_jsp_domain"))
+
+
+def latest_capture(df: DataFrame, url_col: str = "url",
+                   ts_col: str = "warc_ts", id_col: str | None = None) -> DataFrame:
+    """Keep the newest capture of each URL — the re-crawl dedup every
+    Common-Crawl-style corpus runs before content dedup (the same page
+    is fetched in many snapshots; only the latest version should enter
+    the pipeline). Ties on the timestamp break by the largest `id_col`
+    (or arbitrarily-but-deterministically by the remaining columns when
+    no id is given), so the survivor set is a pure function of the data.
+
+    Shape: ONE hash aggregate — max(struct(ts, id, payload)) groups by
+    the URL key with map-side partial combine, so each map partition
+    sends at most one candidate row per URL; no window (a window over
+    `partition by url order by ts` would sort every partition), no
+    join-back (the payload rides inside the struct). Shuffle volume is
+    bounded by the number of distinct URLs, not the number of captures."""
+    cols = [c for c in df.columns if c not in (url_col,)]
+    ordered = [ts_col] + ([id_col] if id_col else []) \
+        + [c for c in cols if c != ts_col and c != id_col]
+    winner = (df.groupBy(url_col)
+              .agg(F.max(F.struct(*ordered)).alias("_jsp_w")))
+    return winner.select(
+        url_col, *[F.col(f"_jsp_w.{c}").alias(c) for c in cols])

@@ -1,0 +1,143 @@
+"""Domain-level curation (registered_domain / domain_stats /
+filter_domains), re-crawl dedup (latest_capture), and the hashed linear
+quality classifier. The reference (a single-document JSON validator,
+awwright/jsonschemaparse) has no counterpart for any of these — they
+belong to the repo's LLM-training-data tier."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from jsonschemaparse_spark.functions.classifier import (
+    classifier_weight_sql,
+    classify_quality,
+    quality_score,
+)
+from jsonschemaparse_spark.functions.web import (
+    domain_stats,
+    filter_domains,
+    host_of,
+    latest_capture,
+    registered_domain,
+)
+
+
+@pytest.mark.parametrize("url,host,domain", [
+    ("https://www.Example.co.uk/p?x=1", "www.example.co.uk", "example.co.uk"),
+    ("http://a.b.example.com/", "a.b.example.com", "example.com"),
+    ("https://user:pw@sub.site.org:8443/q", "sub.site.org", "site.org"),
+    ("http://localhost/x", "localhost", "localhost"),  # dotless fallback
+    ("https://news.bbc.co.uk/story", "news.bbc.co.uk", "bbc.co.uk"),
+    ("https://shop.com/", "shop.com", "shop.com"),
+])
+def test_registered_domain_cases(spark, url, host, domain):
+    row = (spark.createDataFrame([(url,)], "url string")
+           .select(host_of(F.col("url")).alias("h"),
+                   registered_domain(F.col("url")).alias("d"))
+           .first())
+    assert row.h == host
+    assert row.d == domain
+
+
+def test_domain_stats_counts_hosts_and_size(spark):
+    rows = [
+        (1, "https://a.shop.com/1", 10),
+        (2, "https://b.shop.com/2", 20),
+        (3, "https://a.shop.com/3", 30),
+        (4, "https://only.site.org/4", 5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, n_chars long")
+    out = {r.domain: r for r in domain_stats(df, size_col="n_chars").collect()}
+    assert out["shop.com"].n_docs == 3
+    assert out["shop.com"].n_hosts == 2
+    assert out["shop.com"].total_size == 60
+    assert out["site.org"].n_docs == 1
+
+
+def test_filter_domains_list_and_dataframe(spark):
+    df = spark.createDataFrame(
+        [(1, "https://x.spam.com/a"), (2, "https://ok.site.org/b"),
+         (3, "https://spam.com/c")],
+        "doc_id long, url string")
+    kept = filter_domains(df, ["spam.com"])
+    assert sorted(r.doc_id for r in kept.collect()) == [2]
+    bl = spark.createDataFrame([("spam.com",)], "domain string")
+    kept2 = filter_domains(df, bl)
+    assert sorted(r.doc_id for r in kept2.collect()) == [2]
+    assert kept2.columns == df.columns  # helper column dropped
+    plan = kept2._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_latest_capture_keeps_newest_and_breaks_ties_by_id(spark):
+    rows = [
+        ("u1", 10, 1, "old"), ("u1", 30, 2, "new"), ("u1", 20, 3, "mid"),
+        ("u2", 5, 4, "a"), ("u2", 5, 5, "b"),  # ts tie -> max id wins
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts long, id long, body string")
+    out = {r.url: r for r in
+           latest_capture(df, ts_col="warc_ts", id_col="id").collect()}
+    assert (out["u1"].warc_ts, out["u1"].id, out["u1"].body) == (30, 2, "new")
+    assert (out["u2"].id, out["u2"].body) == (5, "b")
+    assert set(out["u1"].asDict()) == {"url", "warc_ts", "id", "body"}
+
+
+def test_latest_capture_plan_single_hash_agg_no_window(spark):
+    """Scale shape: map-side partial + final HashAggregate on the URL key;
+    no Window sort, no join-back, no Python."""
+    df = spark.createDataFrame(
+        [("u", 1, 1, "x")], "url string, warc_ts long, id long, body string")
+    plan = latest_capture(df, ts_col="warc_ts", id_col="id") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_quality_score_null_and_empty_are_zero(spark):
+    """Metric-gate NULL convention: NULL text scores like empty."""
+    df = spark.createDataFrame([(1, None), (2, ""), (3, "   ")],
+                               "doc_id long, text string")
+    rows = classify_quality(df, threshold=0.0).orderBy("doc_id").collect()
+    assert [r.quality_score for r in rows] == [0.0, 0.0, 0.0]
+    assert [r.classifier_keep for r in rows] == [False, False, False]
+
+
+def test_quality_score_explicit_weights_hand_computed(spark):
+    df = spark.createDataFrame([(1, "Good good BAD unk")], "doc_id long, text string")
+    w = {"good": 1.0, "bad": -2.0}
+    r = classify_quality(df, weights=w, threshold=0.0).first()
+    # (1.0 + 1.0 - 2.0 + 0.0) / 4 tokens
+    assert r.quality_score == pytest.approx(0.0)
+    assert r.classifier_keep is False
+    r2 = classify_quality(df, weights={"good": 2.0}, threshold=0.5).first()
+    assert r2.quality_score == pytest.approx(1.0)
+    assert r2.classifier_keep is True
+
+
+def test_hashed_weights_match_duckdb_twin(spark):
+    texts = ["the quick brown fox", "lorem ipsum dolor", "a", "x y z w"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    got = {r.doc_id: r.s for r in
+           df.select("doc_id",
+                     F.round(quality_score(F.col("text")), 9).alias("s")).collect()}
+    con = duckdb.connect()
+    w = classifier_weight_sql("t")
+    for i, t in enumerate(texts):
+        exp = con.sql(
+            f"""SELECT round(list_sum(list_transform(
+                  list_filter(regexp_split_to_array(lower('{t}'), '\\s+'),
+                              x -> x <> ''), t -> {w})) /
+                  len(list_filter(regexp_split_to_array(lower('{t}'), '\\s+'),
+                                  x -> x <> '')), 9)""").fetchone()[0]
+        assert got[i] == pytest.approx(exp, abs=1e-9)
+
+
+def test_classifier_plan_is_one_projection(spark):
+    """One-scan rule: the classifier is a single Project over the scan —
+    no shuffle, no Python, composable with the quality gates."""
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    plan = classify_quality(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
