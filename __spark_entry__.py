@@ -758,6 +758,20 @@ def q_latest_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", "ts", "event_id", "event_type")
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-export sequence packing: global token offsets via the
+    two-stage block prefix sum (no single-partition window), chunked
+    into 128-token sequences."""
+    from jsonschemaparse_spark.functions.packing import pack_sequences
+    from jsonschemaparse_spark.functions.text import token_count
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens"))
+    out = pack_sequences(d, "doc_id", "n_tokens", seq_len=128, n_blocks=16)
+    return out.select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+                      "start_token", "seq_first", "seq_last")
+
+
 def q_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed linear quality classifier (fastText-style plumbing with the
     deterministic stand-in weights): per-doc mean token weight + keep."""
@@ -817,6 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": q_domain_stats,
         "latest_capture": q_latest_capture,
         "classifier_scores": q_classifier_scores,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -1847,5 +1862,27 @@ WITH d AS (
 SELECT doc_id, round(score, 6) AS quality_score,
        score > 0.01 AS classifier_keep
 FROM s
+""",
+        # exclusive running sum over doc_id order == the engine's
+        # two-stage block prefix sum (result invariance is the contract)
+        "pack_sequences": """
+WITH d AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         greatest(coalesce(n_tokens, 0), 0) AS cnt,
+         coalesce(sum(greatest(coalesce(n_tokens, 0), 0))
+            OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            0) AS start
+  FROM d
+)
+SELECT doc_id, n_tokens, CAST(start AS BIGINT) AS start_token,
+       CAST(start // 128 AS BIGINT) AS seq_first,
+       CAST(CASE WHEN cnt > 0 THEN (start + cnt - 1) // 128
+            ELSE start // 128 END AS BIGINT) AS seq_last
+FROM c
 """,
     }

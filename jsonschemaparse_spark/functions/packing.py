@@ -1,0 +1,117 @@
+"""Sequence packing for training-data export: lay the corpus out as one
+virtual token stream (docs concatenated in id order) and chunk it into
+fixed-length training sequences — the GPT-style document-boundary-
+agnostic packing every LLM data pipeline runs as its last step.
+
+The engine-side problem is the GLOBAL prefix sum: every doc needs the
+total token count of all docs before it in the stream order. A naive
+`Window.orderBy(id)` collapses to ONE partition (Spark puts the whole
+frame in a single window partition when there is no partitionBy) — a
+serial sort of 100 TB. This module does the classic scalable two-stage
+prefix sum instead:
+
+ 1. rows get a deterministic contiguous BLOCK key — a pure function of
+    the id's value range (`floor((id - min_id) / K)`), NOT
+    `spark_partition_id()`: partition ids depend on range-sampling and
+    job re-execution, so totals collected in one job could mis-key the
+    offsets applied in the next; a value-derived block cannot drift
+    across jobs, retries, or AQE re-plans;
+ 2. per-block token totals (one map-side-combined hash aggregate,
+    ~n_blocks rows) come back to the driver — a BOUNDED collect, the
+    same class as checkpoint file lists — and fold into exclusive
+    per-block offsets shipped back as a literal lookup;
+ 3. the within-block cumsum is a `Window.partitionBy(block)
+    .orderBy(id)` — n_blocks independent sorted windows, each a
+    partition-sized sort, running fully parallel.
+
+Result invariance: the global cumsum depends only on (id, count) pairs
+and the id ordering — never on which block a row landed in — so the
+output is bit-stable across cluster sizes and partition layouts (the
+same determinism contract as sampling.py). Skew note: blocks are equal
+id-RANGES, not equal row counts; crawl corpora with dense monotone ids
+(the common case) balance naturally, and sparse/skewed id spaces can
+raise `n_blocks` so the heaviest block still fits an executor.
+
+The reference (a single-document JSON validator) has no counterpart;
+this belongs to the repo's LLM-training-data tier. Token counts are
+whatever the caller supplies (text.token_count, bpe_token_count, or a
+real tokenizer's output column); NULL/negative counts clamp to 0 —
+a NULL-text doc occupies no tokens but keeps its row (metric-gate NULL
+convention).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(df: DataFrame, id_col: str, count_col: str,
+                   seq_len: int, n_blocks: int = 256) -> DataFrame:
+    """df + (start_token, seq_first, seq_last): each doc's half-open
+    token interval [start_token, start_token + count) in the
+    concatenated stream, and the first/last sequence of length
+    `seq_len` it lands in. Zero-count docs sit at a boundary point:
+    seq_first = seq_last = the sequence their start offset falls in.
+
+    Cost shape: one tiny aggregate (block totals, collected — bounded
+    by n_blocks), one shuffle on the block key for the windowed cumsum.
+    The totals aggregate touches only (id, count) — column pruning
+    keeps the corpus text out of both shuffles."""
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    cid, ccnt = F.col(id_col), F.col(count_col)
+    cnt = F.greatest(F.coalesce(ccnt.cast("long"), F.lit(0)), F.lit(0))
+
+    bounds = df.select(F.min(cid).alias("lo"), F.max(cid).alias("hi")).first()
+    if bounds.lo is None:
+        return df.select(
+            df["*"], F.lit(None).cast("long").alias("start_token"),
+            F.lit(None).cast("long").alias("seq_first"),
+            F.lit(None).cast("long").alias("seq_last"))
+    span = int(bounds.hi) - int(bounds.lo) + 1
+    k = max(1, -(-span // max(1, n_blocks)))  # ceil
+    block = F.floor((cid - F.lit(int(bounds.lo))) / F.lit(k)).cast("long")
+
+    keyed = df.withColumn("_jsp_block", block).withColumn("_jsp_cnt", cnt)
+    totals = (keyed.groupBy("_jsp_block").agg(F.sum("_jsp_cnt").alias("t"))
+              .collect())
+    offsets, acc = {}, 0
+    for row in sorted(totals, key=lambda r: r._jsp_block):
+        offsets[int(row._jsp_block)] = acc
+        acc += int(row.t)
+
+    off = F.element_at(
+        F.create_map(*[F.lit(x) for b, o in sorted(offsets.items())
+                       for x in (b, o)]),
+        F.col("_jsp_block"))
+    w = (Window.partitionBy("_jsp_block").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum("_jsp_cnt").over(w)
+    start = (off + cum - F.col("_jsp_cnt")).cast("long")
+    end_tok = (off + cum).cast("long")  # exclusive
+    seq_first = F.floor(start / F.lit(seq_len)).cast("long")
+    seq_last = F.when(F.col("_jsp_cnt") > 0,
+                      F.floor((end_tok - 1) / F.lit(seq_len)).cast("long")) \
+                .otherwise(seq_first)
+    return (keyed
+            .withColumn("start_token", start)
+            .withColumn("seq_first", seq_first)
+            .withColumn("seq_last", seq_last)
+            .drop("_jsp_block", "_jsp_cnt"))
+
+
+def pack_stats(packed: DataFrame, count_col: str, seq_len: int) -> DataFrame:
+    """One-row summary of a pack_sequences result: docs, total tokens,
+    number of `seq_len` sequences, and how many docs straddle a
+    sequence boundary (the fraction a boundary-respecting sampler would
+    need to special-case). Single aggregate, map-side combined."""
+    cnt = F.greatest(F.coalesce(F.col(count_col).cast("long"), F.lit(0)),
+                     F.lit(0))
+    return packed.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum(cnt), F.lit(0)).alias("total_tokens"),
+        F.coalesce(F.ceil(F.sum(cnt) / F.lit(seq_len)), F.lit(0))
+         .cast("long").alias("n_sequences"),
+        F.sum(F.when(F.col("seq_last") > F.col("seq_first"), 1).otherwise(0))
+         .cast("long").alias("n_boundary_docs"))
