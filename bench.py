@@ -254,6 +254,45 @@ def main() -> None:
 
     bench("mixture_sample", mixture_sample_bench)
 
+    # hashed linear quality classifier (r6): one codegen projection over
+    # the corpus scan (fastText-style plumbing, no Python, no shuffle)
+    def classifier_bench():
+        from jsonschemaparse_spark.functions.classifier import classify_quality
+
+        df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        classify_quality(df, threshold=0.01).select(
+            F.sum(F.when(F.col("classifier_keep"), 1))).collect()
+
+    bench("classifier_scores", classifier_bench)
+
+    # sequence packing (r6): two-stage block prefix sum — tiny totals agg
+    # + collect, then parallel per-block windowed cumsum (no global sort)
+    def pack_bench():
+        from jsonschemaparse_spark.functions.packing import pack_sequences
+        from jsonschemaparse_spark.functions.text import token_count
+
+        df = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id", token_count(F.col("text")).alias("n_tokens"))
+        pack_sequences(df, "doc_id", "n_tokens", seq_len=2048).select(
+            F.max("seq_last")).collect()
+
+    bench("pack_sequences", pack_bench)
+
+    # re-crawl dedup (r6): struct-max hash aggregate per URL key
+    def latest_capture_bench():
+        from jsonschemaparse_spark.functions.web import latest_capture
+
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        caps = ev.select(
+            F.concat(F.lit("https://h"), (F.col("event_id") % 7).cast("string"),
+                     F.lit(".test/p/"),
+                     (F.col("event_id") % 100000).cast("string")).alias("url"),
+            "ts", "event_id", "event_type")
+        latest_capture(caps, url_col="url", ts_col="ts",
+                       id_col="event_id").count()
+
+    bench("latest_capture", latest_capture_bench)
+
     # stats profile
     def stats():
         from jsonschemaparse_spark.functions.stats import column_profile
