@@ -40,6 +40,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
+from .classifier import quality_score
 from .dedup import (
     content_key,
     exact_dedup_linear,
@@ -64,10 +65,16 @@ class CleanCorpusResult:
     # `cleaned` — the funnel rides the SAME job, no re-count.
     funnel: "dict[str, Observation]" = field(default_factory=dict)
 
-    def funnel_counts(self) -> dict[str, int]:
+    def funnel_counts(self, materialize: bool = False) -> dict[str, int]:
         """Merge every funnel observation into one {metric: value} dict.
-        Call AFTER materializing `cleaned` (obs.get blocks until its
-        query completes)."""
+        Call AFTER materializing `cleaned` — obs.get blocks FOREVER on a
+        query that never ran. If no action has run yet (or you are not
+        sure), pass materialize=True: it drives `cleaned` through the
+        no-op writer first (full execution, nothing collected), which is
+        also the one-job production shape when only the counts are
+        wanted."""
+        if materialize:
+            self.cleaned.write.format("noop").mode("overwrite").save()
         out: dict[str, int] = {}
         for obs in self.funnel.values():
             out.update(obs.get)
@@ -91,6 +98,9 @@ def clean_corpus(
     char_fraction_max_items: int = 10_000,
     observe_funnel: bool = False,
     pii_redact: bool = False,
+    classifier_threshold: "float | None" = None,
+    classifier_weights: "dict[str, float] | None" = None,
+    classifier_seed: int = 0,
 ) -> CleanCorpusResult:
     """Apply the canonical cleaning stages in order; returns the surviving
     rows (original columns only), the stages applied, the persisted
@@ -103,6 +113,13 @@ def clean_corpus(
       2+3. gates      quality_flags — Gopher base gate and/or C4 gate
                       (+ injectable badwords) fused into ONE projection,
                       ONE filter
+      3b. classifier  model-based gate (classifier_threshold set): keep
+                      docs whose functions/classifier quality_score
+                      exceeds the threshold (explicit weights dict or
+                      the deterministic stand-in). Runs right after the
+                      heuristic gates — the CCNet/GPT-3 recipe order —
+                      and, like them, is a zero-shuffle projection that
+                      stacks into the same corpus scan
       4. span_dedup   remove_duplicate_spans (C4 3-sentence rule) — text
                       REWRITTEN, then re-gated docs are NOT re-filtered
                       (C4 order: span dedup happens after the doc gates)
@@ -116,7 +133,8 @@ def clean_corpus(
                       dropped, no new shuffle (one more projection)
 
     observe_funnel: attaches `.observe()` accumulators (n_input,
-    n_after_exact, n_after_gopher / n_after_c4 as applicable, the
+    n_after_exact, n_after_gopher / n_after_c4 / n_after_classifier as
+    applicable, the
     minhash bucket-overflow counters when near-dup is on, and
     n_pii_docs when pii_redact is on) so the first
     action on `cleaned` also yields the funnel — the production shape:
@@ -163,6 +181,19 @@ def clean_corpus(
         obs_g = Observation()
         funnel["gates"] = obs_g
         out = out.observe(obs_g, F.count(F.lit(1)).alias("n_after_exact"))
+    if classifier_threshold is not None:
+        stages.append("classifier")
+        scored = out.withColumn(
+            "_jsp_cls", quality_score(F.col(text_col), classifier_weights,
+                                      classifier_seed))
+        if observe_funnel:
+            obs_c = Observation()
+            funnel["classifier"] = obs_c
+            scored = scored.observe(obs_c, F.coalesce(
+                F.sum(F.when(F.col("_jsp_cls") > classifier_threshold, 1)),
+                F.lit(0)).alias("n_after_classifier"))
+        out = scored.filter(
+            F.col("_jsp_cls") > classifier_threshold).select(*cols)
     if span_dedup:
         stages.append("span_dedup")
         out = remove_duplicate_spans(out, id_col, text_col).select(*cols)

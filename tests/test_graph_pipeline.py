@@ -257,3 +257,64 @@ def test_clean_corpus_pii_redact_stage(spark):
     counts = res.funnel_counts()
     assert counts["n_pii_docs"] == 1
     assert counts["n_input"] == 3
+
+
+def test_clean_corpus_classifier_stage(spark):
+    """Stage 3b (r6): model-based gate equals the manual composition
+    (classify_quality filter after the heuristic gates), reports
+    n_after_classifier from the same job, and with explicit weights
+    keeps exactly the docs above threshold."""
+    from jsonschemaparse_spark.functions.classifier import classify_quality
+    from jsonschemaparse_spark.functions.pipeline import clean_corpus
+
+    w = {"good": 1.0, "bad": -1.0}
+    df = spark.createDataFrame(
+        [(1, "good good stuff"), (2, "bad bad stuff"), (3, "plain stuff"),
+         (4, None)],
+        "doc_id long, text string")
+    res = clean_corpus(df, gopher=False, c4=False,
+                       classifier_threshold=0.1, classifier_weights=w,
+                       observe_funnel=True)
+    assert "classifier" in res.stages
+    kept = sorted(r.doc_id for r in res.cleaned.collect())
+    manual = classify_quality(df, weights=w, threshold=0.1)
+    exp = sorted(r.doc_id for r in manual.filter("classifier_keep").collect())
+    assert kept == exp == [1]
+    counts = res.funnel_counts()
+    assert counts["n_after_classifier"] == 1
+    assert counts["n_input"] == 4
+    assert res.cleaned.columns == df.columns
+
+
+def test_clean_corpus_classifier_composes_with_gates(spark):
+    """Classifier stage runs on the heuristic-gate survivors: a doc the
+    C4 gate drops never reaches the classifier count."""
+    from jsonschemaparse_spark.functions.pipeline import clean_corpus
+
+    good = ("This is a perfectly reasonable sentence. It continues on. "
+            "It even has several more words in it. " * 3)
+    df = spark.createDataFrame(
+        [(1, good), (2, "lorem " * 30)],  # doc 2: no terminal punctuation
+        "doc_id long, text string")
+    res = clean_corpus(df, gopher=False, c4=True,
+                       classifier_threshold=-1.0,  # keep-all classifier
+                       classifier_weights={"this": 1.0},
+                       observe_funnel=True)
+    assert [r.doc_id for r in res.cleaned.collect()] == [1]
+    counts = res.funnel_counts()  # after the action — obs.get blocks else
+    assert counts["n_after_c4"] == 1
+    assert counts["n_after_classifier"] == 1
+
+
+def test_funnel_counts_materialize_never_blocks(spark):
+    """funnel_counts(materialize=True) is safe with NO prior action —
+    the no-op write drives the query so obs.get cannot block forever
+    (the trap: a bare funnel_counts() before any action deadlocks)."""
+    from jsonschemaparse_spark.functions.pipeline import clean_corpus
+
+    df = spark.createDataFrame([(1, "a a"), (2, "a a"), (3, "b")],
+                               "doc_id long, text string")
+    res = clean_corpus(df, gopher=False, c4=False, observe_funnel=True)
+    counts = res.funnel_counts(materialize=True)
+    assert counts["n_input"] == 3
+    assert counts["n_after_exact"] == 2
