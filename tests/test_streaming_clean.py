@@ -185,3 +185,50 @@ def test_streaming_pii_redact_matches_batch(spark, tmp_path):
     assert "<EMAIL>" in by_id[0] and "<PHONE>" in by_id[1]
     assert "spam@example.org" not in by_id[0]
     assert 100 not in by_id
+
+
+def test_streaming_classifier_gate_matches_batch(spark, tmp_path):
+    """r6 stage 3b: the model-based gate is a stateless projection, so
+    exact-dedup -> heuristic gates -> classifier streams with row-level
+    parity against clean_corpus(classifier_threshold=...)."""
+    from jsonschemaparse_spark.functions.classifier import quality_score
+    from jsonschemaparse_spark.functions.pipeline import clean_corpus
+    from jsonschemaparse_spark.functions.text import quality_flags
+    from jsonschemaparse_spark.streaming import streaming_exact_dedup
+
+    t0 = datetime.datetime(2026, 8, 17, 12, 0, 0)
+    body = ("A perfectly reasonable document sentence with many words. " * 10
+            + "It closes with proper sentences. One more here. Done now!")
+    w = {"reasonable": 1.0, "spammy": -5.0}
+    rows = [
+        (0, t0, body + " Extra reasonable trailer."),
+        (1, t0, body.replace("reasonable", "spammy") + " Sad trailer."),
+        (100, t0 + datetime.timedelta(minutes=1),
+         body + " Extra reasonable trailer."),               # clone of 0
+        (101, t0 + datetime.timedelta(minutes=1), body + " Fresh tail."),
+    ]
+    src = str(tmp_path / "src4")
+    _mk_batch(spark, rows[:2]).coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        "doc_id long, warc_ts timestamp, text string").parquet(src)
+    pipe = (quality_flags(streaming_exact_dedup(stream, watermark="2 hours"))
+            .filter(F.col("quality_keep"))
+            .withColumn("_s", quality_score(F.col("text"), w))
+            .filter(F.col("_s") > 0.01).select("doc_id"))
+    q = (pipe.writeStream.format("memory")
+         .queryName("cls_sink").outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        _mk_batch(spark, rows[2:]).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        streamed = sorted(r["doc_id"] for r in
+                          spark.sql("select * from cls_sink").collect())
+    finally:
+        q.stop()
+
+    res = clean_corpus(_mk_batch(spark, rows), classifier_threshold=0.01,
+                       classifier_weights=w)
+    batch_kept = sorted(r["doc_id"] for r in res.cleaned.collect())
+    assert streamed == batch_kept
+    assert streamed == [0, 101]   # spammy doc gated, clone deduped
