@@ -772,6 +772,16 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "start_token", "seq_first", "seq_last")
 
 
+def q_domain_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap (RefinedWeb recipe): at most 25 docs per registered
+    domain, chosen by deterministic md5 rank over doc_id."""
+    from jsonschemaparse_spark.functions.web import cap_per_domain
+
+    d = _docs(spark, sf_dir).withColumn("url", _crawl_url(F.col("doc_id")))
+    out = cap_per_domain(d, max_docs=25, key_col="doc_id", seed=7)
+    return out.select("doc_id")
+
+
 def q_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed linear quality classifier (fastText-style plumbing with the
     deterministic stand-in weights): per-doc mean token weight + keep."""
@@ -832,6 +842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_capture": q_latest_capture,
         "classifier_scores": q_classifier_scores,
         "pack_sequences": q_pack_sequences,
+        "domain_capped": q_domain_capped,
     }
 
 
@@ -1862,6 +1873,21 @@ WITH d AS (
 SELECT doc_id, round(score, 6) AS quality_score,
        score > 0.01 AS classifier_keep
 FROM s
+""",
+        # rank twin reuses the engine's md5-hex ordering (sampling.py
+        # convention: lexicographic hex == numeric top-32-bit order)
+        "domain_capped": f"""
+WITH d AS (SELECT doc_id, {_crawl_url_sql('doc_id')} AS url FROM documents),
+h AS (SELECT doc_id,
+             lower(regexp_extract(trim(url), '{_WEB_HOST_RE}', 1)) AS host FROM d),
+r AS (SELECT doc_id, host,
+             CASE WHEN regexp_extract(host, '{_WEB_DOMAIN_RE}', 1) = '' THEN host
+                  ELSE regexp_extract(host, '{_WEB_DOMAIN_RE}', 1) END AS domain
+      FROM h)
+SELECT doc_id FROM r
+QUALIFY row_number() OVER (
+  PARTITION BY domain
+  ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 8), doc_id) <= 25
 """,
         # exclusive running sum over doc_id order == the engine's
         # two-stage block prefix sum (result invariance is the contract)

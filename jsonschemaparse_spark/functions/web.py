@@ -141,6 +141,37 @@ def filter_domains(df: DataFrame, blocklist: DataFrame | list[str],
             .drop("_jsp_domain"))
 
 
+def cap_per_domain(df: DataFrame, max_docs: int, key_col: str,
+                   url_col: str = "url", seed: int = 0) -> DataFrame:
+    """Keep at most `max_docs` documents per registered domain — the
+    per-domain cap crawl curation applies so template-heavy megasites
+    cannot dominate the corpus (the RefinedWeb recipe).
+
+    Survivors are chosen by DETERMINISTIC hash rank over the row key
+    (md5(key:seed), key as tiebreak), not arrival/partition order: the
+    kept set is a pure function of the data — same rows on every re-run,
+    every cluster size, every layout (the sampling.py determinism
+    contract, extended to a per-group top-N).
+
+    Shape: one Window partitioned by the domain key (parallel across
+    domains; each domain sorts only its own rows). Skew note: a domain
+    with D docs sorts D rows in one task — for crawl-scale hot domains
+    (D ~ 10^8) pre-thin first with a deterministic_sample at a fraction
+    that bounds D, then apply the exact cap; both stages keep the
+    determinism contract, so the composition does too."""
+    from pyspark.sql import Window
+
+    from .sampling import _hash8
+
+    dom = registered_domain(F.col(url_col))
+    w = Window.partitionBy("_jsp_domain").orderBy("_jsp_rank", key_col)
+    return (df.withColumn("_jsp_domain", dom)
+            .withColumn("_jsp_rank", _hash8(F.col(key_col), seed))
+            .withColumn("_jsp_rn", F.row_number().over(w))
+            .filter(F.col("_jsp_rn") <= max_docs)
+            .drop("_jsp_domain", "_jsp_rank", "_jsp_rn"))
+
+
 def latest_capture(df: DataFrame, url_col: str = "url",
                    ts_col: str = "warc_ts", id_col: str | None = None) -> DataFrame:
     """Keep the newest capture of each URL — the re-crawl dedup every

@@ -141,3 +141,38 @@ def test_classifier_plan_is_one_projection(spark):
     plan = classify_quality(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cap_per_domain_caps_and_is_deterministic(spark):
+    from jsonschemaparse_spark.functions.web import cap_per_domain
+
+    rows = [(i, f"https://h{i % 3}.big.com/{i}") for i in range(40)] + \
+           [(100 + i, f"https://small.org/{i}") for i in range(2)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = cap_per_domain(df, max_docs=5, key_col="doc_id")
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert len([i for i in ids if i < 100]) == 5      # big.com capped
+    assert len([i for i in ids if i >= 100]) == 2     # under-cap untouched
+    assert kept.columns == df.columns                 # helpers dropped
+    # deterministic across layouts and re-runs
+    again = sorted(r.doc_id for r in
+                   cap_per_domain(df.repartition(7), max_docs=5,
+                                  key_col="doc_id").collect())
+    assert again == ids
+    # different seed -> (almost surely) different survivor choice, same cap
+    other = sorted(r.doc_id for r in
+                   cap_per_domain(df, max_docs=5, key_col="doc_id",
+                                  seed=99).collect())
+    assert len(other) == len(ids)
+
+
+def test_cap_per_domain_plan_parallel_window(spark):
+    """The window partitions by domain — no SinglePartition exchange."""
+    from jsonschemaparse_spark.functions.web import cap_per_domain
+
+    df = spark.createDataFrame([(1, "https://a.com/x")],
+                               "doc_id long, url string")
+    plan = cap_per_domain(df, max_docs=3, key_col="doc_id") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert "Window" in plan
