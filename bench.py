@@ -288,8 +288,12 @@ def main() -> None:
                      F.lit(".test/p/"),
                      (F.col("event_id") % 100000).cast("string")).alias("url"),
             "ts", "event_id", "event_type")
+        # probe reads payload fields: a bare .count() lets ColumnPruning
+        # strip the max(struct) aggregate and times a cheaper query
+        # (review finding)
         latest_capture(caps, url_col="url", ts_col="ts",
-                       id_col="event_id").count()
+                       id_col="event_id").select(
+            F.min("ts"), F.sum("event_id")).collect()
 
     bench("latest_capture", latest_capture_bench)
 

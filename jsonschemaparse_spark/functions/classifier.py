@@ -9,9 +9,13 @@ and no shuffle. That plumbing is what this module ships:
 
  * tokens come from the engine's standard whitespace split (the same
    convention as text.token_count / the Gopher gate);
- * each token maps to a weight, either (a) a caller-supplied explicit
-   weight table (broadcast map literal — real models are < 10 MB of
-   vocab) or (b) the deterministic hashed stand-in below;
+ * each token maps to a weight, via (a) a caller-supplied dict — an
+   inline map LITERAL, right for lexicon-sized vocabularies (~10k
+   entries; beyond that the expression tree itself bloats every task
+   binary and falls out of codegen), (b) `classify_quality_with_table`
+   — explode + broadcast-join against a weights DataFrame, the path
+   for full fastText-scale vocabularies (100k-1M rows), or (c) the
+   deterministic hashed stand-in below;
  * score is an `aggregate` HOF over the token array — one codegen'd
    projection, zero Python, zero shuffle, composable into the same
    single corpus scan as the quality gates (one-scan rule).
@@ -62,7 +66,9 @@ def quality_score(text: Column, weights: dict[str, float] | None = None,
     """Mean token weight of `text` (0.0 for empty/NULL docs). With a
     `weights` dict, unknown tokens contribute 0.0 (the fastText
     convention for OOV with no subword buckets); without one, every
-    token gets its hashed stand-in weight."""
+    token gets its hashed stand-in weight. The dict becomes an inline
+    map literal — lexicon-sized vocabularies only (see
+    classify_quality_with_table for model-scale vocabs)."""
     toks = _tokens(text)
     if weights is None:
         w = lambda t: hashed_token_weight(t, seed)  # noqa: E731
@@ -86,4 +92,43 @@ def classify_quality(df: DataFrame, text_col: str = "text",
     sampling.deterministic_sample over the rejected stratum."""
     s = quality_score(F.col(text_col), weights, seed)
     return (df.withColumn(score_col, s)
+            .withColumn(keep_col, F.col(score_col) > F.lit(threshold)))
+
+
+def classify_quality_with_table(df: DataFrame, weights_df: DataFrame,
+                                id_col: str, text_col: str = "text",
+                                threshold: float = 0.0,
+                                token_col: str = "token",
+                                weight_col: str = "weight",
+                                score_col: str = "quality_score",
+                                keep_col: str = "classifier_keep") -> DataFrame:
+    """classify_quality for model-scale vocabularies: `weights_df` is a
+    (token, weight) DataFrame — a real fastText/logreg vocab of 100k-1M
+    rows, far past what an inline map literal can carry. Semantics are
+    identical to the dict path (mean weight, OOV = 0.0, empty/NULL text
+    scores 0.0); pinned by an equality test.
+
+    Shape: explode tokens -> BROADCAST hash join against the weights
+    table (the corpus never shuffles for the lookup) -> re-aggregate
+    per doc -> join scores back. Unlike the literal paths this costs
+    one explode and two shuffles (the per-doc agg and the score
+    join-back on the id key), so prefer the projection paths when the
+    vocab genuinely fits a literal."""
+    toks = _tokens(F.col(text_col))
+    w = (weights_df.select(F.col(token_col).alias("_jsp_tok"),
+                           F.col(weight_col).cast("double").alias("_jsp_w"))
+         .dropDuplicates(["_jsp_tok"]))
+    exploded = df.select(F.col(id_col),
+                         F.explode_outer(toks).alias("_jsp_tok"))
+    scored = (exploded.join(F.broadcast(w), "_jsp_tok", "left")
+              .groupBy(id_col)
+              .agg(F.count(F.col("_jsp_tok")).alias("_jsp_n"),
+                   F.sum(F.coalesce(F.col("_jsp_w"), F.lit(0.0)))
+                   .alias("_jsp_sum"))
+              .select(F.col(id_col),
+                      F.when(F.col("_jsp_n") > 0,
+                             F.col("_jsp_sum") / F.col("_jsp_n"))
+                      .otherwise(F.lit(0.0)).alias(score_col)))
+    return (df.join(scored, id_col, "left")
+            .withColumn(score_col, F.coalesce(F.col(score_col), F.lit(0.0)))
             .withColumn(keep_col, F.col(score_col) > F.lit(threshold)))

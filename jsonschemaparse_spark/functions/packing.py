@@ -54,32 +54,54 @@ def pack_sequences(df: DataFrame, id_col: str, count_col: str,
     `seq_len` it lands in. Zero-count docs sit at a boundary point:
     seq_first = seq_last = the sequence their start offset falls in.
 
-    Cost shape: one tiny aggregate (block totals, collected — bounded
-    by n_blocks), one shuffle on the block key for the windowed cumsum.
-    The totals aggregate touches only (id, count) — column pruning
-    keeps the corpus text out of both shuffles."""
+    Cost shape: the driver-side prep (id bounds + per-block totals) runs
+    over a CACHED narrow (id, count) projection — the upstream lineage
+    (e.g. token_count over the corpus) evaluates once for both prep
+    jobs; the apply pass then evaluates it a second time to carry the
+    caller's columns through. Callers that pre-materialize the count
+    column pay one corpus scan total. The block-totals shuffle is
+    ~n_blocks rows; the windowed cumsum shuffles one narrow (id, count)
+    row per doc.
+
+    `id_col` must be non-null numeric (it defines the stream order);
+    a NULL id raises rather than silently placing the doc."""
     if seq_len <= 0:
         raise ValueError("seq_len must be positive")
     cid, ccnt = F.col(id_col), F.col(count_col)
     cnt = F.greatest(F.coalesce(ccnt.cast("long"), F.lit(0)), F.lit(0))
 
-    bounds = df.select(F.min(cid).alias("lo"), F.max(cid).alias("hi")).first()
-    if bounds.lo is None:
-        return df.select(
-            df["*"], F.lit(None).cast("long").alias("start_token"),
-            F.lit(None).cast("long").alias("seq_first"),
-            F.lit(None).cast("long").alias("seq_last"))
-    span = int(bounds.hi) - int(bounds.lo) + 1
-    k = max(1, -(-span // max(1, n_blocks)))  # ceil
-    block = F.floor((cid - F.lit(int(bounds.lo))) / F.lit(k)).cast("long")
+    slim = df.select(cid.alias("_id"), cnt.alias("_cnt")).persist()
+    try:
+        bounds = slim.select(F.min(F.col("_id")).alias("lo"),
+                             F.max(F.col("_id")).alias("hi"),
+                             F.sum(F.col("_id").isNull().cast("long"))
+                             .alias("n_null")).first()
+        if bounds.n_null:
+            raise ValueError(
+                f"pack_sequences: {bounds.n_null} NULL values in id column "
+                f"{id_col!r} — the stream order is undefined for them; "
+                "filter or re-key first")
+        if bounds.lo is None:
+            return df.select(
+                df["*"], F.lit(None).cast("long").alias("start_token"),
+                F.lit(None).cast("long").alias("seq_first"),
+                F.lit(None).cast("long").alias("seq_last"))
+        span = int(bounds.hi) - int(bounds.lo) + 1
+        k = max(1, -(-span // max(1, n_blocks)))  # ceil
+        block = F.floor((cid - F.lit(int(bounds.lo))) / F.lit(k)).cast("long")
 
-    keyed = df.withColumn("_jsp_block", block).withColumn("_jsp_cnt", cnt)
-    totals = (keyed.groupBy("_jsp_block").agg(F.sum("_jsp_cnt").alias("t"))
-              .collect())
+        totals = (slim.groupBy(
+            F.floor((F.col("_id") - F.lit(int(bounds.lo))) / F.lit(k))
+            .cast("long").alias("_jsp_block"))
+            .agg(F.sum("_cnt").alias("t")).collect())
+    finally:
+        slim.unpersist()
     offsets, acc = {}, 0
     for row in sorted(totals, key=lambda r: r._jsp_block):
         offsets[int(row._jsp_block)] = acc
         acc += int(row.t)
+
+    keyed = df.withColumn("_jsp_block", block).withColumn("_jsp_cnt", cnt)
 
     off = F.element_at(
         F.create_map(*[F.lit(x) for b, o in sorted(offsets.items())

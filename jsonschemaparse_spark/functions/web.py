@@ -104,20 +104,27 @@ def registered_domain(url: Column) -> Column:
 
 
 def domain_stats(df: DataFrame, url_col: str = "url",
-                 size_col: str | None = None) -> DataFrame:
+                 size_col: str | None = None,
+                 approx_hosts: bool = False) -> DataFrame:
     """Per-registered-domain corpus profile: (domain, n_docs, n_hosts
     [, total_size]) — the aggregation behind URL/domain-level curation
-    (spam-domain discovery, per-domain caps a la RefinedWeb). One hash
-    aggregate on the domain key with map-side partial combine; the host
-    HLL (approx_count_distinct) keeps the shuffle row narrow. Domain keys
-    are Zipf-skewed at crawl scale — the heavy hitters are exactly what
-    this query exists to find, and a single combined row per (domain,
-    map-partition) bounds the shuffle regardless of skew."""
+    (spam-domain discovery, per-domain caps a la RefinedWeb).
+
+    Cost shape (review-corrected): counts and sums partial-combine
+    map-side to one row per (domain, map partition). The host count is
+    EXACT countDistinct by default — its two-stage plan shuffles one row
+    per distinct (domain, host) pair, so a megasite with millions of
+    hosts ships millions of narrow key rows. At crawl scale pass
+    approx_hosts=True: the HLL sketch (approx_count_distinct) really is
+    one combined row per (domain, map partition), bounding the shuffle
+    regardless of host skew. Exact stays the default because it is the
+    oracle-reproducible form (DuckDB count(DISTINCT ...))."""
     d = df.select(registered_domain(F.col(url_col)).alias("domain"),
                   host_of(F.col(url_col)).alias("host"),
                   *([F.col(size_col)] if size_col else []))
-    aggs = [F.count(F.lit(1)).alias("n_docs"),
-            F.countDistinct("host").alias("n_hosts")]
+    n_hosts = (F.approx_count_distinct("host") if approx_hosts
+               else F.countDistinct("host"))
+    aggs = [F.count(F.lit(1)).alias("n_docs"), n_hosts.alias("n_hosts")]
     if size_col:
         aggs.append(F.sum(size_col).alias("total_size"))
     return d.groupBy("domain").agg(*aggs)
@@ -132,7 +139,11 @@ def filter_domains(df: DataFrame, blocklist: DataFrame | list[str],
     compiles to a hash-set probe in the scan stage."""
     dom = registered_domain(F.col(url_col))
     if isinstance(blocklist, list):
-        return df.filter(~dom.isin(blocklist))
+        # NULL-safe: a NULL url yields a NULL domain; bare ~isin() would
+        # evaluate NULL and silently drop the row, diverging from the
+        # anti-join branch (where a NULL key never matches, so the row
+        # survives). Both branches keep NULL-domain rows.
+        return df.filter(~F.coalesce(dom.isin(blocklist), F.lit(False)))
     bl = blocklist.toDF("_jsp_blocked_domain").dropDuplicates()
     return (df.withColumn("_jsp_domain", dom)
             .join(F.broadcast(bl),
@@ -153,6 +164,13 @@ def cap_per_domain(df: DataFrame, max_docs: int, key_col: str,
     every cluster size, every layout (the sampling.py determinism
     contract, extended to a per-group top-N).
 
+    Rows with NO extractable domain (NULL or relative/malformed URLs)
+    BYPASS the cap: they are not a megasite, and collapsing them into
+    one pseudo-domain would both cap away arbitrary amounts of valid
+    data and manufacture a single giant window partition (review
+    finding). Each such row gets its own partition key, so it neither
+    sorts with others nor gets filtered.
+
     Shape: one Window partitioned by the domain key (parallel across
     domains; each domain sorts only its own rows). Skew note: a domain
     with D docs sorts D rows in one task — for crawl-scale hot domains
@@ -164,8 +182,13 @@ def cap_per_domain(df: DataFrame, max_docs: int, key_col: str,
     from .sampling import _hash8
 
     dom = registered_domain(F.col(url_col))
+    # '\x00' cannot appear in a registered domain, so the per-row bypass
+    # key cannot collide with a real domain group
+    part = F.when((dom.isNull()) | (dom == ""),
+                  F.concat(F.lit("\x00"), F.col(key_col).cast("string"))
+                  ).otherwise(dom)
     w = Window.partitionBy("_jsp_domain").orderBy("_jsp_rank", key_col)
-    return (df.withColumn("_jsp_domain", dom)
+    return (df.withColumn("_jsp_domain", part)
             .withColumn("_jsp_rank", _hash8(F.col(key_col), seed))
             .withColumn("_jsp_rn", F.row_number().over(w))
             .filter(F.col("_jsp_rn") <= max_docs)

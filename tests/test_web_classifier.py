@@ -176,3 +176,78 @@ def test_cap_per_domain_plan_parallel_window(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
     assert "Window" in plan
+
+
+def test_filter_domains_null_url_kept_by_both_branches(spark):
+    """Review fix: a NULL url (NULL domain) must survive BOTH call forms
+    — bare ~isin() would evaluate NULL and silently drop it."""
+    from jsonschemaparse_spark.functions.web import filter_domains
+
+    df = spark.createDataFrame(
+        [(1, "https://spam.com/a"), (2, None), (3, "https://ok.org/b")],
+        "doc_id long, url string")
+    via_list = sorted(r.doc_id for r in
+                      filter_domains(df, ["spam.com"]).collect())
+    bl = spark.createDataFrame([("spam.com",)], "domain string")
+    via_df = sorted(r.doc_id for r in filter_domains(df, bl).collect())
+    assert via_list == via_df == [2, 3]
+
+
+def test_cap_per_domain_bypasses_unparseable_urls(spark):
+    """Review fix: rows with no extractable domain are not a megasite —
+    they bypass the cap instead of collapsing into one pseudo-domain
+    that would cap them at max_docs and sort in one task."""
+    from jsonschemaparse_spark.functions.web import cap_per_domain
+
+    rows = [(i, "not a url") for i in range(30)] + \
+           [(100 + i, None) for i in range(5)] + \
+           [(200 + i, f"https://big.com/{i}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    ids = sorted(r.doc_id for r in
+                 cap_per_domain(df, max_docs=3, key_col="doc_id").collect())
+    assert len([i for i in ids if i < 200]) == 35   # all bypassed
+    assert len([i for i in ids if i >= 200]) == 3   # real domain capped
+
+
+def test_domain_stats_approx_hosts(spark):
+    from jsonschemaparse_spark.functions.web import domain_stats
+
+    rows = [(i, f"https://h{i % 4}.site.org/{i}") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    r = domain_stats(df, approx_hosts=True).first()
+    assert r.domain == "site.org" and r.n_docs == 50
+    assert 3 <= r.n_hosts <= 5  # HLL estimate of 4
+
+
+def test_classify_with_table_matches_dict_path(spark):
+    """The broadcast-join vocab path is semantically identical to the
+    literal-map path: mean weight, OOV = 0, empty/NULL text -> 0.0."""
+    from jsonschemaparse_spark.functions.classifier import (
+        classify_quality,
+        classify_quality_with_table,
+    )
+
+    w = {"good": 1.0, "bad": -2.0, "meh": 0.25}
+    df = spark.createDataFrame(
+        [(1, "Good good BAD unk"), (2, "meh"), (3, ""), (4, None),
+         (5, "unk only words")],
+        "doc_id long, text string")
+    wdf = spark.createDataFrame(list(w.items()), "token string, weight double")
+    via_dict = {(r.doc_id, round(r.quality_score, 9), r.classifier_keep)
+                for r in classify_quality(df, weights=w, threshold=0.1).collect()}
+    via_table = {(r.doc_id, round(r.quality_score, 9), r.classifier_keep)
+                 for r in classify_quality_with_table(
+                     df, wdf, "doc_id", threshold=0.1).collect()}
+    assert via_dict == via_table
+    plan = classify_quality_with_table(df, wdf, "doc_id") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pack_sequences_null_id_raises(spark):
+    from jsonschemaparse_spark.functions.packing import pack_sequences
+
+    df = spark.createDataFrame([(1, 5), (None, 3)],
+                               "doc_id long, n_tokens long")
+    with pytest.raises(ValueError, match="NULL values in id column"):
+        pack_sequences(df, "doc_id", "n_tokens", 8)
