@@ -123,6 +123,29 @@ def pack_sequences(df: DataFrame, id_col: str, count_col: str,
             .drop("_jsp_block", "_jsp_cnt"))
 
 
+def export_shards(packed: DataFrame, path: str, n_shards: int,
+                  id_col: str = "doc_id",
+                  max_records_per_file: int | None = None) -> None:
+    """Write a pack_sequences result as `n_shards` contiguous token-range
+    shards — the layout a training loader wants: shard i holds a
+    contiguous slice of the virtual token stream, docs in stream order
+    within it, so sequential readers touch one shard per range and the
+    doc straddling a shard boundary is duplicated into neither (it lives
+    in the shard of its seq_first).
+
+    Shape: repartitionByRange on (seq_first, id) — one range shuffle
+    with sampled boundaries — then an in-partition sort; no global
+    sort, no driver data. `max_records_per_file` maps to Spark's
+    maxRecordsPerFile so shard files stay loader-sized."""
+    writer = (packed
+              .repartitionByRange(n_shards, F.col("seq_first"), F.col(id_col))
+              .sortWithinPartitions("seq_first", id_col)
+              .write.mode("overwrite"))
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)
+
+
 def pack_stats(packed: DataFrame, count_col: str, seq_len: int) -> DataFrame:
     """One-row summary of a pack_sequences result: docs, total tokens,
     number of `seq_len` sequences, and how many docs straddle a

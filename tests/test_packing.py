@@ -80,3 +80,32 @@ def test_pack_stats(spark):
     s = pack_stats(packed, "n_tokens", 8).first()
     assert (s.n_docs, s.total_tokens, s.n_sequences) == (4, 30, 4)
     assert s.n_boundary_docs == 2  # docs 2 and 4 straddle boundaries
+
+
+def test_export_shards_contiguous_ranges(spark, tmp_path):
+    """Shards partition the token stream into contiguous, disjoint
+    ranges; every doc appears exactly once, in stream order within its
+    shard file."""
+    import glob
+
+    from jsonschemaparse_spark.functions.packing import export_shards
+
+    rows = [(i, (i * 5) % 11 + 1) for i in range(300)]
+    packed = pack_sequences(_mk(spark, rows), "doc_id", "n_tokens", 16)
+    out = str(tmp_path / "shards")
+    export_shards(packed, out, n_shards=4)
+
+    files = sorted(glob.glob(out + "/part-*.parquet"))
+    assert len(files) == 4
+    seen, ranges = [], []
+    for f in files:
+        rows_f = spark.read.parquet(f).collect()
+        ids = [r.doc_id for r in rows_f]
+        assert ids == sorted(ids)          # stream order inside the shard
+        seen.extend(ids)
+        starts = [r.start_token for r in rows_f]
+        ranges.append((min(starts), max(starts)))
+    assert sorted(seen) == [r[0] for r in rows]   # exactly once each
+    ranges.sort()
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+        assert a_hi < b_lo                 # disjoint contiguous ranges
