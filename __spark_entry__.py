@@ -772,6 +772,27 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "start_token", "seq_first", "seq_last")
 
 
+def q_semantic_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup candidate generation with an injected cluster column:
+    within-cluster exact-cosine pairs >= 0.98 (the kmeans path is pinned
+    by pytest + the deterministic IVF snapshot; the oracle reproduces
+    the injectable-cluster plumbing exactly)."""
+    from jsonschemaparse_spark.functions.similarity import (
+        semantic_duplicate_pairs,
+    )
+
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .filter(F.col("vec_id") < 300)
+    # duplicates = cloned vectors (cosine exactly 1.0 in both engines);
+    # the natural within-label pairs top out at cosine 0.41, so every
+    # emitted pair is a clone pair found THROUGH the cluster structure
+    emb = base.unionByName(
+        base.withColumn("vec_id", F.col("vec_id") + 100000))
+    out = semantic_duplicate_pairs(emb, threshold=0.98, cluster_col="label")
+    return out.select(F.col("cluster").cast("long").alias("cluster"),
+                      "id_a", "id_b")
+
+
 def q_domain_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain cap (RefinedWeb recipe): at most 25 docs per registered
     domain, chosen by deterministic md5 rank over doc_id."""
@@ -843,6 +864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_scores": q_classifier_scores,
         "pack_sequences": q_pack_sequences,
         "domain_capped": q_domain_capped,
+        "semantic_dup_pairs": q_semantic_dup_pairs,
     }
 
 
@@ -1873,6 +1895,20 @@ WITH d AS (
 SELECT doc_id, round(score, 6) AS quality_score,
        score > 0.01 AS classifier_keep
 FROM s
+""",
+        "semantic_dup_pairs": """
+WITH corpus AS (
+  SELECT CAST(label AS BIGINT) AS cluster, vec_id, embedding
+  FROM embeddings WHERE vec_id < 300
+  UNION ALL
+  SELECT CAST(label AS BIGINT), vec_id + 100000, embedding
+  FROM embeddings WHERE vec_id < 300
+)
+SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b
+FROM corpus a JOIN corpus b
+  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.98
 """,
         # rank twin reuses the engine's md5-hex ordering (sampling.py
         # convention: lexicographic hex == numeric top-32-bit order)

@@ -311,6 +311,98 @@ def embedding_bucket_overflow(
     )
 
 
+def semantic_duplicate_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str | None = None,
+    n_clusters: int = 16,
+    seed: int = 42,
+    max_cluster_size: int | None = None,
+    index=None,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023): the
+    corpus is partitioned into clusters, and ONLY within-cluster pairs
+    are cosine-verified — the cluster structure replaces LSH banding as
+    the candidate generator, which is what makes semantic (not just
+    lexical) duplicates reachable: two paraphrases land in the same
+    k-means cell even when no shingle or hyperplane bucket agrees.
+
+    Clustering is injectable: pass `cluster_col` to use a precomputed
+    assignment (a metadata cluster, or a MATERIALIZED ivf_index layout —
+    the partitioned-write requirement of SCALING.md r5 applies here
+    verbatim), or leave it None to fit the k-means quantizer in-call
+    (small corpora / tests). Returns (cluster, id_a, id_b) candidate
+    pairs that passed the exact-cosine verify.
+
+    Scale shape: sum-of-squares of cluster sizes bounds the self-join;
+    at 10^9 vectors pick n_clusters ~ sqrt(N) and cap the degenerate
+    cells with `max_cluster_size` (overflowing cells are skipped
+    in-plan and named by semantic_cluster_overflow — the engine-wide
+    no-silent-caps contract). Vectors join back for candidates only
+    (the minhash verify asymmetry)."""
+    if cluster_col is None:
+        listed, _ = index if index is not None else ivf_index(
+            corpus, n_clusters, vec_col, seed)
+        cluster_col = "_ivf_list"
+    else:
+        listed = corpus
+    keyed = listed.select(F.col(cluster_col).alias("cluster"),
+                          F.col(id_col), F.col(vec_col))
+    if max_cluster_size is not None:
+        ok = (keyed.groupBy("cluster")
+              .agg(F.count(F.lit(1)).alias("_n"))
+              .filter(F.col("_n") <= max_cluster_size).drop("_n"))
+        keyed = keyed.join(ok, "cluster", "left_semi")
+    l = keyed.select("cluster", F.col(id_col).alias("id_a"))
+    r = keyed.select("cluster", F.col(id_col).alias("id_b"))
+    cands = (l.join(r, "cluster").filter(F.col("id_a") < F.col("id_b")))
+    va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (cands.join(va, "id_a").join(vb, "id_b")
+            .filter(cosine(F.col("_va"), F.col("_vb")) >= threshold)
+            .select("cluster", "id_a", "id_b"))
+
+
+def semantic_cluster_overflow(
+    corpus: DataFrame,
+    max_cluster_size: int,
+    cluster_col: str,
+) -> DataFrame:
+    """(cluster, n_vectors) for cells semantic_duplicate_pairs skipped
+    under `max_cluster_size` — the no-silent-caps companion view."""
+    return (corpus.groupBy(F.col(cluster_col).alias("cluster"))
+            .agg(F.count(F.lit(1)).alias("n_vectors"))
+            .filter(F.col("n_vectors") > max_cluster_size))
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str | None = None,
+    n_clusters: int = 16,
+    seed: int = 42,
+    max_cluster_size: int | None = None,
+    index=None,
+) -> DataFrame:
+    """Surviving rows after SemDeDup: within each transitive duplicate
+    component (verified pairs as edges — connected_components, the same
+    clustering clean_corpus(near_dup_mode='cc') uses), only the
+    minimum-id member is kept; rows in no pair keep themselves."""
+    from .graph import connected_components
+
+    pairs = semantic_duplicate_pairs(
+        corpus, threshold, id_col, vec_col, cluster_col, n_clusters,
+        seed, max_cluster_size, index)
+    labels = connected_components(pairs, "id_a", "id_b")
+    drop = (labels.filter(F.col("node") != F.col("label"))
+            .select(F.col("node").alias(id_col)))
+    return corpus.join(drop, id_col, "left_anti")
+
+
 def embedding_near_duplicates(
     corpus: DataFrame,
     threshold: float = 0.95,

@@ -1460,3 +1460,69 @@ def test_gopher_quality_full_includes_dup_thresholds(spark):
     assert rows[1]["gopher_keep_full"] == rows[1]["gopher_keep"]
     assert rows[2]["dup_5gram_char_fraction"] > 0
 
+
+
+# ---------------- SemDeDup (r6): cluster-then-verify semantic dedup ---------
+def test_semantic_pairs_injected_clusters(spark):
+    """Within-cluster pairs only: identical vectors in DIFFERENT clusters
+    are never candidates (the cluster structure is the candidate
+    generator); within-cluster clones verify at cosine 1.0."""
+    from jsonschemaparse_spark.functions.similarity import (
+        semantic_duplicate_pairs,
+    )
+
+    v = [1.0, 0.0, 0.0]
+    w = [0.0, 1.0, 0.0]
+    rows = [(1, v, 0), (2, v, 0),      # same cluster, identical -> pair
+            (3, v, 1),                 # identical but other cluster -> no
+            (4, w, 0),                 # same cluster, orthogonal -> no
+            (5, w, 1)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, c int")
+    pairs = semantic_duplicate_pairs(df, threshold=0.95, cluster_col="c")
+    assert [(r.cluster, r.id_a, r.id_b) for r in pairs.collect()] == [(0, 1, 2)]
+
+
+def test_semantic_cluster_cap_and_overflow(spark):
+    from jsonschemaparse_spark.functions.similarity import (
+        semantic_cluster_overflow,
+        semantic_duplicate_pairs,
+    )
+
+    v = [1.0, 0.0]
+    rows = [(i, v, 0) for i in range(10)] + [(20, v, 1), (21, v, 1)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, c int")
+    pairs = semantic_duplicate_pairs(df, threshold=0.9, cluster_col="c",
+                                     max_cluster_size=5)
+    assert [(r.id_a, r.id_b) for r in pairs.collect()] == [(20, 21)]
+    over = semantic_cluster_overflow(df, 5, "c").collect()
+    assert [(r.cluster, r.n_vectors) for r in over] == [(0, 10)]
+
+
+def test_semantic_dedup_keeps_component_min(spark):
+    """Transitive components keep the min id; untouched rows survive."""
+    from jsonschemaparse_spark.functions.similarity import semantic_dedup
+
+    v = [1.0, 0.0]
+    w = [0.0, 1.0]
+    rows = [(1, v, 0), (2, v, 0), (3, v, 0),   # component {1,2,3} -> keep 1
+            (4, w, 0), (9, w, 1)]              # no within-cluster partner
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, c int")
+    kept = sorted(r.vec_id for r in
+                  semantic_dedup(df, threshold=0.9, cluster_col="c").collect())
+    assert kept == [1, 4, 9]
+
+
+def test_semantic_pairs_kmeans_path_finds_clones(spark):
+    """The in-call kmeans path: cloned vectors land in the same cell and
+    verify; deterministic under the fixed seed."""
+    from jsonschemaparse_spark.functions.similarity import (
+        semantic_duplicate_pairs,
+    )
+
+    emb = spark.read.parquet(f"{SF01_DIR}/embeddings.parquet") \
+        .filter(F.col("vec_id") < 60)
+    corpus = emb.unionByName(
+        emb.withColumn("vec_id", F.col("vec_id") + 1000))
+    pairs = semantic_duplicate_pairs(corpus, threshold=0.999, n_clusters=4)
+    got = sorted((r.id_a, r.id_b) for r in pairs.collect())
+    assert got == [(i, i + 1000) for i in range(60)]
