@@ -79,3 +79,21 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds; "
         "raise max_iters (component diameter exceeds it)")
+
+
+def component_drop_ids(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    id_alias: str = "node",
+    max_iters: int = 25,
+) -> DataFrame:
+    """One-column frame of ids to DROP under keep-component-min
+    semantics: every member of each connected component except its
+    minimum-id node. The single definition of the 'label == node means
+    keep' invariant — clean_corpus(near_dup_mode='cc') and
+    semantic_dedup both anti-join against this (review: the invariant
+    was previously encoded at both call sites independently)."""
+    labels = connected_components(edges, src_col, dst_col, max_iters)
+    return (labels.filter(F.col("node") != F.col("label"))
+            .select(F.col("node").alias(id_alias)))

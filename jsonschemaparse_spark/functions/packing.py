@@ -133,6 +133,11 @@ def export_shards(packed: DataFrame, path: str, n_shards: int,
     doc straddling a shard boundary is duplicated into neither (it lives
     in the shard of its seq_first).
 
+    `n_shards` is an UPPER bound: repartitionByRange derives boundaries
+    from a sample, and collapsed boundaries (few distinct keys, or
+    fewer rows than shards) yield fewer non-empty partitions — loaders
+    must enumerate the written files, not assume exactly n_shards.
+
     Shape: repartitionByRange on (seq_first, id) — one range shuffle
     with sampled boundaries — then an in-partition sort; no global
     sort, no driver data. `max_records_per_file` maps to Spark's

@@ -47,7 +47,7 @@ from .dedup import (
     minhash_near_duplicates,
     remove_duplicate_spans,
 )
-from .graph import connected_components
+from .graph import component_drop_ids
 from .pii import redact_text
 from .text import _c4_flag_columns, _gopher_flag_columns, quality_flags
 
@@ -219,11 +219,8 @@ def clean_corpus(
         if near_dup_mode == "greedy":
             drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
         else:
-            labels = connected_components(pairs, "id_a", "id_b")
-            # each component keeps its min-id member (the node whose
-            # label is itself); every other member drops
-            drop = (labels.filter(F.col("node") != F.col("label"))
-                    .select(F.col("node").alias(id_col)))
+            # keep each component's min-id member; every other drops
+            drop = component_drop_ids(pairs, "id_a", "id_b", id_alias=id_col)
         out = out.join(drop, id_col, "left_anti")
     if pii_redact:
         stages.append("pii_redact")

@@ -332,16 +332,33 @@ def semantic_duplicate_pairs(
     Clustering is injectable: pass `cluster_col` to use a precomputed
     assignment (a metadata cluster, or a MATERIALIZED ivf_index layout —
     the partitioned-write requirement of SCALING.md r5 applies here
-    verbatim), or leave it None to fit the k-means quantizer in-call
-    (small corpora / tests). Returns (cluster, id_a, id_b) candidate
-    pairs that passed the exact-cosine verify.
+    verbatim), OR pass `index` (an ivf_index result, clustered on
+    `_ivf_list`), or leave both None to fit the k-means quantizer
+    in-call (small corpora / tests only: the in-call fit discards the
+    assignment, so skipped-cell reporting needs `index`). Passing both
+    raises — two active assignments would silently disagree about which
+    one bounds the self-join.
+
+    NULL-cluster convention: rows whose cluster key is NULL BYPASS the
+    dedup (the equijoins drop NULL keys) — they are never candidates
+    and always survive, mirroring cap_per_domain's no-domain bypass.
+    Cluster unassigned rows explicitly if they must participate.
 
     Scale shape: sum-of-squares of cluster sizes bounds the self-join;
     at 10^9 vectors pick n_clusters ~ sqrt(N) and cap the degenerate
-    cells with `max_cluster_size` (overflowing cells are skipped
-    in-plan and named by semantic_cluster_overflow — the engine-wide
-    no-silent-caps contract). Vectors join back for candidates only
-    (the minhash verify asymmetry)."""
+    cells with `max_cluster_size`. Overflowing cells are skipped
+    in-plan; name them with semantic_cluster_overflow(listed_frame,
+    max_cluster_size, cluster_col) over the SAME assignment frame (for
+    the `index` path: semantic_cluster_overflow(index[0], N,
+    '_ivf_list')) — the engine-wide no-silent-caps contract. Vectors
+    join back for candidates only (the minhash verify asymmetry), read
+    from the same keyed projection so the corpus lineage is evaluated
+    for one subtree; at scale MATERIALIZE the corpus/assignment first
+    (the ivf_topk requirement) rather than re-deriving it per branch."""
+    if cluster_col is not None and index is not None:
+        raise ValueError(
+            "pass either cluster_col or index, not both — two cluster "
+            "assignments would silently disagree")
     if cluster_col is None:
         listed, _ = index if index is not None else ivf_index(
             corpus, n_clusters, vec_col, seed)
@@ -358,8 +375,10 @@ def semantic_duplicate_pairs(
     l = keyed.select("cluster", F.col(id_col).alias("id_a"))
     r = keyed.select("cluster", F.col(id_col).alias("id_b"))
     cands = (l.join(r, "cluster").filter(F.col("id_a") < F.col("id_b")))
-    va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    # join vectors back from the keyed projection (not the raw corpus):
+    # one shared subtree instead of three distinct corpus scans (review)
+    va = keyed.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = keyed.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     return (cands.join(va, "id_a").join(vb, "id_b")
             .filter(cosine(F.col("_va"), F.col("_vb")) >= threshold)
             .select("cluster", "id_a", "id_b"))
@@ -389,17 +408,21 @@ def semantic_dedup(
     index=None,
 ) -> DataFrame:
     """Surviving rows after SemDeDup: within each transitive duplicate
-    component (verified pairs as edges — connected_components, the same
-    clustering clean_corpus(near_dup_mode='cc') uses), only the
-    minimum-id member is kept; rows in no pair keep themselves."""
-    from .graph import connected_components
+    component (verified pairs as edges), only the minimum-id member is
+    kept — graph.component_drop_ids, the same keep-component-min rule
+    clean_corpus(near_dup_mode='cc') uses. Rows in no pair (including
+    NULL-cluster bypass rows) keep themselves.
+
+    Cost note: the pair stage and the final anti-join both read
+    `corpus`; at scale persist/materialize the corpus (and use a
+    materialized `index`) before calling, exactly as clean_corpus
+    persists its gated frame before the near-dup stage."""
+    from .graph import component_drop_ids
 
     pairs = semantic_duplicate_pairs(
         corpus, threshold, id_col, vec_col, cluster_col, n_clusters,
         seed, max_cluster_size, index)
-    labels = connected_components(pairs, "id_a", "id_b")
-    drop = (labels.filter(F.col("node") != F.col("label"))
-            .select(F.col("node").alias(id_col)))
+    drop = component_drop_ids(pairs, "id_a", "id_b", id_alias=id_col)
     return corpus.join(drop, id_col, "left_anti")
 
 

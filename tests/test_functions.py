@@ -1526,3 +1526,32 @@ def test_semantic_pairs_kmeans_path_finds_clones(spark):
     pairs = semantic_duplicate_pairs(corpus, threshold=0.999, n_clusters=4)
     got = sorted((r.id_a, r.id_b) for r in pairs.collect())
     assert got == [(i, i + 1000) for i in range(60)]
+
+
+def test_semantic_pairs_rejects_both_cluster_and_index(spark):
+    from jsonschemaparse_spark.functions.similarity import (
+        semantic_duplicate_pairs,
+    )
+
+    df = spark.createDataFrame([(1, [1.0, 0.0], 0)],
+                               "vec_id long, embedding array<float>, c int")
+    with pytest.raises(ValueError, match="not both"):
+        semantic_duplicate_pairs(df, cluster_col="c", index=(df, None))
+
+
+def test_semantic_null_cluster_rows_bypass(spark):
+    """Pinned NULL-cluster convention: unassigned rows are never
+    candidates and always survive (cap_per_domain-style bypass)."""
+    from jsonschemaparse_spark.functions.similarity import (
+        semantic_dedup,
+        semantic_duplicate_pairs,
+    )
+
+    v = [1.0, 0.0]
+    rows = [(1, v, 0), (2, v, 0), (3, v, None), (4, v, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, c int")
+    pairs = semantic_duplicate_pairs(df, threshold=0.9, cluster_col="c")
+    assert [(r.id_a, r.id_b) for r in pairs.collect()] == [(1, 2)]
+    kept = sorted(r.vec_id for r in
+                  semantic_dedup(df, threshold=0.9, cluster_col="c").collect())
+    assert kept == [1, 3, 4]
