@@ -772,6 +772,29 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "start_token", "seq_first", "seq_last")
 
 
+def q_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental snapshot dedup: the doc_id%3 "new crawl batch" against
+    the doc_id%2 "prior snapshot". Bloom-routed, exact anti-join result
+    (functions/snapshot.py) — the oracle is the plain NOT EXISTS twin."""
+    from jsonschemaparse_spark.functions.snapshot import incremental_dedup
+
+    docs = _docs(spark, sf_dir)
+    seen = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    out = incremental_dedup(new, seen)
+    return out.select("doc_id", "lang")
+
+
+def q_suggest_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style constraint suggestion over documents: one profiling
+    aggregation -> (column, keyword, value) rows (functions/suggest.py).
+    The DuckDB twin recomputes every data-dependent row with the same
+    emission conditions (HAVING twins the engine's guards)."""
+    from jsonschemaparse_spark.functions.suggest import suggest_constraints
+
+    return suggest_constraints(_docs(spark, sf_dir))
+
+
 def q_semantic_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup candidate generation with an injected cluster column:
     within-cluster exact-cosine pairs >= 0.98 (the kmeans path is pinned
@@ -865,6 +888,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "domain_capped": q_domain_capped,
         "semantic_dup_pairs": q_semantic_dup_pairs,
+        "incremental_new_docs": q_incremental_new_docs,
+        "suggest_constraints": q_suggest_constraints,
     }
 
 
@@ -1946,5 +1971,72 @@ SELECT doc_id, n_tokens, CAST(start AS BIGINT) AS start_token,
        CAST(CASE WHEN cnt > 0 THEN (start + cnt - 1) // 128
             ELSE start // 128 END AS BIGINT) AS seq_last
 FROM c
+""",
+        # Bloom routing is invisible to semantics: the twin is the plain
+        # anti-join on the md5 content key (NULL keys like '', the
+        # pinned KEYING convention — coalesce INSIDE the md5)
+        "incremental_new_docs": f"""
+WITH seen AS (
+  SELECT md5(coalesce({_NORM}, '')) AS k
+  FROM documents WHERE doc_id % 2 = 0
+),
+new_batch AS (
+  SELECT doc_id, lang, md5(coalesce({_NORM}, '')) AS k
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT doc_id, lang FROM new_batch n
+WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.k = n.k)
+""",
+        # static type rows restate the parquet schema; data-dependent rows
+        # recompute the engine's aggregates with HAVING as emission guard
+        # (enum: exact-distinct <= 16, sorted '["a", "b"]' like json.dumps)
+        "suggest_constraints": """
+SELECT 'doc_id' AS column, 'type' AS keyword, 'integer' AS value
+UNION ALL SELECT 'text', 'type', 'string'
+UNION ALL SELECT 'lang', 'type', 'string'
+UNION ALL SELECT 'source', 'type', 'string'
+UNION ALL SELECT 'n_chars', 'type', 'integer'
+UNION ALL SELECT 'doc_id', 'required', 'true' FROM documents
+  HAVING count(*) FILTER (doc_id IS NULL) = 0
+UNION ALL SELECT 'text', 'required', 'true' FROM documents
+  HAVING count(*) FILTER (text IS NULL) = 0
+UNION ALL SELECT 'lang', 'required', 'true' FROM documents
+  HAVING count(*) FILTER (lang IS NULL) = 0
+UNION ALL SELECT 'source', 'required', 'true' FROM documents
+  HAVING count(*) FILTER (source IS NULL) = 0
+UNION ALL SELECT 'n_chars', 'required', 'true' FROM documents
+  HAVING count(*) FILTER (n_chars IS NULL) = 0
+UNION ALL SELECT 'doc_id', 'minimum', CAST(min(doc_id) AS VARCHAR)
+  FROM documents HAVING min(doc_id) IS NOT NULL
+UNION ALL SELECT 'doc_id', 'maximum', CAST(max(doc_id) AS VARCHAR)
+  FROM documents HAVING min(doc_id) IS NOT NULL
+UNION ALL SELECT 'n_chars', 'minimum', CAST(min(n_chars) AS VARCHAR)
+  FROM documents HAVING min(n_chars) IS NOT NULL
+UNION ALL SELECT 'n_chars', 'maximum', CAST(max(n_chars) AS VARCHAR)
+  FROM documents HAVING min(n_chars) IS NOT NULL
+UNION ALL SELECT 'text', 'minLength', CAST(min(length(text)) AS VARCHAR)
+  FROM documents HAVING min(length(text)) IS NOT NULL
+UNION ALL SELECT 'text', 'maxLength', CAST(max(length(text)) AS VARCHAR)
+  FROM documents HAVING min(length(text)) IS NOT NULL
+UNION ALL SELECT 'lang', 'minLength', CAST(min(length(lang)) AS VARCHAR)
+  FROM documents HAVING min(length(lang)) IS NOT NULL
+UNION ALL SELECT 'lang', 'maxLength', CAST(max(length(lang)) AS VARCHAR)
+  FROM documents HAVING min(length(lang)) IS NOT NULL
+UNION ALL SELECT 'source', 'minLength', CAST(min(length(source)) AS VARCHAR)
+  FROM documents HAVING min(length(source)) IS NOT NULL
+UNION ALL SELECT 'source', 'maxLength', CAST(max(length(source)) AS VARCHAR)
+  FROM documents HAVING min(length(source)) IS NOT NULL
+UNION ALL SELECT 'text', 'enum',
+  '[' || string_agg('"' || v || '"', ', ' ORDER BY v) || ']'
+  FROM (SELECT DISTINCT text AS v FROM documents WHERE text IS NOT NULL)
+  HAVING count(*) <= 16
+UNION ALL SELECT 'lang', 'enum',
+  '[' || string_agg('"' || v || '"', ', ' ORDER BY v) || ']'
+  FROM (SELECT DISTINCT lang AS v FROM documents WHERE lang IS NOT NULL)
+  HAVING count(*) <= 16
+UNION ALL SELECT 'source', 'enum',
+  '[' || string_agg('"' || v || '"', ', ' ORDER BY v) || ']'
+  FROM (SELECT DISTINCT source AS v FROM documents WHERE source IS NOT NULL)
+  HAVING count(*) <= 16
 """,
     }

@@ -4,7 +4,9 @@ from . import (
     formats,
     integrity,
     similarity,
+    snapshot,
     stats,
+    suggest,
     stats_math,
     text,
     web,
@@ -16,6 +18,7 @@ __all__ = [
     "formats",
     "integrity",
     "similarity",
+    "snapshot",
     "stats",
     "stats_math",
     "text",

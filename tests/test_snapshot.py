@@ -1,0 +1,116 @@
+"""Incremental snapshot dedup (functions/snapshot.py): Bloom routing is
+an optimization only — the result is always exact anti-join semantics."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+from jsonschemaparse_spark.functions import snapshot
+from jsonschemaparse_spark.functions.dedup import content_key
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # web corpora always contain NULL-text and empty rows — synthesize them
+    extra = spark.createDataFrame(
+        [(9000001, None, "xx", "synth", 0), (9000002, "", "xx", "synth", 0)],
+        schema=docs.schema,
+    )
+    return docs.unionByName(extra)
+
+
+def _ids(df):
+    return sorted(r["doc_id"] for r in df.select("doc_id").collect())
+
+
+def test_bloom_equals_exact(spark, corpus):
+    seen = corpus.filter(F.col("doc_id") % 2 == 0)
+    new = corpus.filter(F.col("doc_id") % 3 == 0)
+    bloom = snapshot.incremental_dedup(new, seen)
+    exact = snapshot.incremental_dedup(new, seen, mode="exact")
+    assert bloom.columns == new.columns
+    assert _ids(bloom) == _ids(exact)
+    # sanity: the overlap (doc_id % 6 == 0 shares the exact text) was dropped
+    surv = set(_ids(bloom))
+    overlap = {r["doc_id"] for r in new.filter(F.col("doc_id") % 6 == 0)
+               .select("doc_id").collect()}
+    assert not (surv & overlap)
+
+
+def test_prefilter_seen_equivalent(spark, corpus):
+    seen = corpus.filter(F.col("doc_id") % 2 == 0)
+    new = corpus.filter(F.col("doc_id") % 3 == 0)
+    a = snapshot.incremental_dedup(new, seen, prefilter_seen=True)
+    b = snapshot.incremental_dedup(new, seen, mode="exact")
+    assert _ids(a) == _ids(b)
+
+
+def test_no_false_negatives_jvm_vs_numpy(spark, corpus):
+    """The JVM bit_or build and the numpy probe must hit identical bits:
+    probing the exact key set the Bloom was built from yields ZERO
+    negatives (a single disagreeing bit would leak a seen row through)."""
+    keys = corpus.select(content_key(F.col("text")).alias("_ik"))
+    bloom = snapshot.build_key_bloom(keys, "_ik", fpp=0.001)
+    probed = keys.withColumn(
+        "hit", snapshot.bloom_probe_column(spark, bloom, F.col("_ik")))
+    n_miss = probed.filter(~F.col("hit")).count()
+    assert n_miss == 0
+
+
+def test_null_text_keys_like_empty(spark, corpus):
+    """KEYING convention (dedup.py): NULL text == '' — a NULL-text new row
+    is a dup of an empty-text seen row and must be dropped."""
+    seen = corpus.filter(F.col("doc_id") == 9000002)  # text = ''
+    new = corpus.filter(F.col("doc_id") == 9000001)   # text = NULL
+    for mode in ("bloom", "exact"):
+        assert snapshot.incremental_dedup(new, seen, mode=mode).count() == 0
+
+
+def test_empty_seen_passes_everything(spark, corpus):
+    seen = corpus.filter(F.lit(False))
+    new = corpus.filter(F.col("doc_id") % 3 == 0)
+    out = snapshot.incremental_dedup(new, seen, expected_items=1)
+    assert _ids(out) == _ids(new)
+
+
+def test_bloom_parameters_shape():
+    m, k = snapshot.bloom_parameters(1000, fpp=0.01)
+    assert m % 64 == 0 and m >= 9000 and 1 <= k <= 16
+    # cap respected, k recomputed against the capped m
+    m2, k2 = snapshot.bloom_parameters(10**12, fpp=0.01, max_bits=1 << 20)
+    assert m2 == 1 << 20 and k2 == 1
+
+
+def test_stats_funnel(spark, corpus):
+    seen = corpus.filter(F.col("doc_id") % 2 == 0)
+    new = corpus.filter(F.col("doc_id") % 3 == 0)
+    st = snapshot.incremental_dedup_stats(new, seen)
+    assert st["n_new"] == new.count()
+    assert st["n_bloom_negative"] + st["n_bloom_positive"] == st["n_new"]
+    assert st["n_false_positive"] == st["n_bloom_positive"] - st["n_true_dup"]
+    # no false negatives: every true dup must have tested positive
+    seen_keys = seen.select(content_key(F.col("text")).alias("_ik")).distinct()
+    true_dups = (
+        new.select(content_key(F.col("text")).alias("_ik"))
+        .join(seen_keys, on="_ik", how="left_semi").count()
+    )
+    assert st["n_true_dup"] == true_dups
+    assert 0.0 <= st["fp_rate"] < 0.1
+
+
+def test_might_contain_numpy_bounds():
+    """Probe math stays in-range for the extreme int64 hash values."""
+    bloom = snapshot.KeyBloom(
+        n_bits=128, n_hashes=3, words=np.zeros(2, dtype=np.int64))
+    h = np.array([np.iinfo(np.int64).min, -1, 0, np.iinfo(np.int64).max],
+                 dtype=np.int64)
+    out = bloom.might_contain(h, h[::-1].copy())
+    assert out.dtype == bool and not out.any()  # empty bitmap: all negative
+
+
+def test_bad_mode_raises(spark, corpus):
+    with pytest.raises(ValueError):
+        snapshot.incremental_dedup(corpus, corpus, mode="nope")
