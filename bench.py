@@ -297,6 +297,30 @@ def main() -> None:
 
     bench("latest_capture", latest_capture_bench)
 
+    # incremental snapshot dedup: batch (events-derived texts) vs the
+    # documents corpus as the seen snapshot, bloom-routed (r6)
+    def incremental_bench():
+        from jsonschemaparse_spark.functions.snapshot import incremental_dedup
+
+        seen = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        # batch: half re-crawls of seen texts (joined by key mod), half
+        # fresh event-derived texts — realistic dup mix at events scale
+        n_docs = seen.count()
+        recrawl = (
+            ev.filter(F.col("event_id") % 2 == 0)
+            .withColumn("_k", F.col("event_id") % n_docs)
+            .join(seen.select(F.col("doc_id").alias("_k"), "text"), on="_k")
+            .select((F.col("event_id") + 10_000_000).alias("doc_id"), "text")
+        )
+        fresh = ev.filter(F.col("event_id") % 2 == 1).select(
+            (F.col("event_id") + 20_000_000).alias("doc_id"),
+            F.concat(F.lit("fresh "), F.col("props")).alias("text"))
+        batch = recrawl.unionByName(fresh)
+        incremental_dedup(batch, seen).count()
+
+    bench("incremental_dedup", incremental_bench)
+
     # stats profile
     def stats():
         from jsonschemaparse_spark.functions.stats import column_profile

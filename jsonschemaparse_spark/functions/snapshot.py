@@ -52,7 +52,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .dedup import content_key
+from .dedup import content_key, normalized_text
 
 # Second-hash salt: any fixed non-null literal distinct from the bare key
 # works; xxhash64(key, salt) and xxhash64(key) are then independent-ish
@@ -65,6 +65,14 @@ def _hash_cols(key: Column) -> tuple[Column, Column]:
         F.xxhash64(key),
         F.xxhash64(key, F.lit(_H2_SALT)),
     )
+
+
+def probe_key(text: Column) -> Column:
+    """Bloom probe key: the normalized text itself (NULL keys like '',
+    dedup.py's pinned KEYING convention) — deliberately a strict
+    SUBexpression of the md5 join key; see incremental_dedup for why
+    that stops a wasteful inferred filter on the snapshot side."""
+    return F.coalesce(normalized_text(text), F.lit(""))
 
 
 @dataclass
@@ -90,6 +98,32 @@ class KeyBloom:
             word = self.words[(pos >> np.int64(6)).astype(np.int64)]
             out &= (word >> (pos & np.int64(63))) & one != 0
         return out
+
+
+def save_bloom(bloom: KeyBloom, path: str) -> None:
+    """Persist the bitmap as a snapshot artifact: build once when a
+    snapshot publishes, reuse for every subsequent batch (the build is
+    one pass over the snapshot's keys; the probe is free of it)."""
+    import json as _json
+
+    header = _json.dumps(
+        {"n_bits": bloom.n_bits, "n_hashes": bloom.n_hashes}).encode()
+    with open(path, "wb") as f:
+        f.write(len(header).to_bytes(4, "big"))
+        f.write(header)
+        f.write(bloom.words.tobytes())
+
+
+def load_bloom(path: str) -> KeyBloom:
+    import json as _json
+
+    with open(path, "rb") as f:
+        hlen = int.from_bytes(f.read(4), "big")
+        meta = _json.loads(f.read(hlen).decode())
+        words = np.frombuffer(f.read(), dtype=np.int64).copy()
+    assert len(words) == meta["n_bits"] // 64
+    return KeyBloom(n_bits=meta["n_bits"], n_hashes=meta["n_hashes"],
+                    words=words)
 
 
 def bloom_parameters(expected_items: int, fpp: float = 0.01,
@@ -175,6 +209,8 @@ def incremental_dedup(
     fpp: float = 0.01,
     max_bits: int = 1 << 27,
     prefilter_seen: bool = False,
+    bloom: KeyBloom | None = None,
+    verify_bloom: bool = True,
 ) -> DataFrame:
     """Rows of new_df whose content key (dedup.content_key — NULL keys
     like '', the pinned KEYING convention) does not appear in seen_df.
@@ -190,6 +226,12 @@ def incremental_dedup(
     neither join input is snapshot-sized. Off by default: it re-scans the
     new batch once to build the positive Bloom (scan + hash, zero
     shuffle, no cache held) and only pays off when |positives| << |seen|.
+
+    bloom: a precomputed KeyBloom for seen_df's keys — built with
+    build_key_bloom over probe_key(text_col) (or load_bloom of such a
+    build) — the operational shape: the bitmap is built ONCE when a
+    snapshot publishes and reused for every batch, so the per-batch cost
+    is probe + the positives-only join, never a snapshot pass.
     """
     out_cols = list(new_df.columns)
     seen_keys = seen_df.select(content_key(F.col(text_col)).alias("_ik"))
@@ -199,18 +241,57 @@ def incremental_dedup(
     if mode != "bloom":
         raise ValueError(f"mode must be 'bloom' or 'exact', got {mode!r}")
 
-    bloom = build_key_bloom(seen_keys, "_ik", expected_items=expected_items,
-                            fpp=fpp, max_bits=max_bits)
+    # The Bloom is keyed on probe_key (the normalized text), NOT on the
+    # md5 join key, for two load-bearing reasons:
+    # 1. the hot negative path never computes md5 at all;
+    # 2. Catalyst's InferFiltersFromConstraints copies any filter that is
+    #    a function of the whole join-key expression onto the SEEN side
+    #    through the join equality — an inferred filter that is always-
+    #    true by construction (a Bloom has no false negatives on the keys
+    #    it was built from) yet costs a full Arrow probe pass over the
+    #    snapshot on every batch. probe_key is a strict SUBexpression of
+    #    the join key, and constraint substitution only rewrites whole
+    #    join-key trees, so the inference cannot fire (plan-asserted in
+    #    tests/test_snapshot.py; an OR-rand() guard was tried first and
+    #    got simplified away by the optimizer).
+    pk = probe_key(F.col(text_col))
+    if bloom is None:
+        bloom = build_key_bloom(seen_df.select(pk.alias("_pk")), "_pk",
+                                expected_items=expected_items,
+                                fpp=fpp, max_bits=max_bits)
+    elif verify_bloom:
+        # a Bloom keyed on anything but probe_key has false negatives on
+        # the very keys it should contain — which silently leaks dups
+        # through the negative branch. One bounded sample probe (<=1000
+        # seen rows, ~one partition) catches the mismatch at run time.
+        miss = (
+            seen_df.select(pk.alias("_pk")).limit(1000)
+            .filter(~bloom_probe_column(
+                seen_df.sparkSession, bloom, F.col("_pk")))
+            .count()
+        )
+        if miss:
+            raise ValueError(
+                f"prebuilt bloom misses {miss}/1000 sampled seen keys — "
+                "it must be built over probe_key(text) "
+                "(see incremental_dedup docstring); pass "
+                "verify_bloom=False only if you know the bitmap matches")
     probed = keyed.withColumn(
         "_maybe_seen",
-        bloom_probe_column(new_df.sparkSession, bloom, F.col("_ik")))
+        bloom_probe_column(new_df.sparkSession, bloom, pk))
     negatives = probed.filter(~F.col("_maybe_seen")).select(out_cols)
     positives = probed.filter(F.col("_maybe_seen"))
     if prefilter_seen:
+        # same subexpression trick on the positive Bloom: key it on _pk
+        # so the seen-side filter cannot be inferred back onto the left
         pos_bloom = build_key_bloom(
-            positives.select("_ik"), "_ik", fpp=fpp, max_bits=max_bits)
-        seen_keys = seen_keys.filter(
-            bloom_probe_column(seen_df.sparkSession, pos_bloom, F.col("_ik")))
+            positives.select(pk.alias("_pk")), "_pk",
+            fpp=fpp, max_bits=max_bits)
+        seen_keys = (
+            seen_df.select(F.col(text_col))
+            .filter(bloom_probe_column(seen_df.sparkSession, pos_bloom, pk))
+            .select(content_key(F.col(text_col)).alias("_ik"))
+        )
     survivors = (
         positives.join(seen_keys, on="_ik", how="left_anti").select(out_cols)
     )
@@ -229,13 +310,15 @@ def incremental_dedup_stats(
     probed batch plus one join count: how many rows skipped the join
     (bloom negatives), how many were true dups, and the realized false-
     positive rate. Diagnostic surface — the dedup itself never needs it."""
+    pk = probe_key(F.col(text_col))
     seen_keys = seen_df.select(content_key(F.col(text_col)).alias("_ik"))
-    bloom = build_key_bloom(seen_keys, "_ik", expected_items=expected_items,
+    bloom = build_key_bloom(seen_df.select(pk.alias("_pk")), "_pk",
+                            expected_items=expected_items,
                             fpp=fpp, max_bits=max_bits)
-    keyed = new_df.select(content_key(F.col(text_col)).alias("_ik"))
-    probed = keyed.withColumn(
-        "_maybe_seen",
-        bloom_probe_column(new_df.sparkSession, bloom, F.col("_ik")))
+    probed = new_df.select(
+        content_key(F.col(text_col)).alias("_ik"),
+        bloom_probe_column(new_df.sparkSession, bloom, pk)
+        .alias("_maybe_seen"))
     row = probed.agg(
         F.count(F.lit(1)).alias("n_new"),
         F.sum(F.col("_maybe_seen").cast("long")).alias("n_positive"),

@@ -111,6 +111,52 @@ def test_might_contain_numpy_bounds():
     assert out.dtype == bool and not out.any()  # empty bitmap: all negative
 
 
+def test_bloom_save_load_reuse(spark, corpus, tmp_path):
+    """The snapshot-artifact shape: build once, persist, reuse per batch.
+    The reusable bitmap is keyed on probe_key (normalized text), the
+    contract incremental_dedup(bloom=...) documents."""
+    seen = corpus.filter(F.col("doc_id") % 2 == 0)
+    new = corpus.filter(F.col("doc_id") % 3 == 0)
+    keys = seen.select(snapshot.probe_key(F.col("text")).alias("_pk"))
+    bloom = snapshot.build_key_bloom(keys, "_pk")
+    p = str(tmp_path / "seen.bloom")
+    snapshot.save_bloom(bloom, p)
+    loaded = snapshot.load_bloom(p)
+    assert loaded.n_bits == bloom.n_bits and loaded.n_hashes == bloom.n_hashes
+    assert (loaded.words == bloom.words).all()
+    out = snapshot.incremental_dedup(new, seen, bloom=loaded)
+    ref = snapshot.incremental_dedup(new, seen, mode="exact")
+    assert _ids(out) == _ids(ref)
+
+
+def test_no_inferred_probe_on_seen_side(spark, corpus):
+    """InferFiltersFromConstraints must NOT copy the (always-true) probe
+    filter onto the snapshot side: the plan carries exactly two
+    ArrowEvalPython nodes — one per batch branch of the union — and the
+    seen side stays a plain scan->project->join (the probe is keyed on a
+    strict subexpression of the join key precisely to pin this)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")  # single
+    # source: the union-fixture corpus would double the probe count by
+    # legitimately pushing it into each union branch
+    seen = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    out = snapshot.incremental_dedup(new, seen)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 2, plan
+
+
+def test_mismatched_bloom_rejected(spark, corpus):
+    """A prebuilt Bloom keyed on the WRONG expression (here: the md5 join
+    key instead of probe_key) would silently leak dups through the
+    negative branch — the runtime sample guard must catch it."""
+    seen = corpus.filter(F.col("doc_id") % 2 == 0)
+    new = corpus.filter(F.col("doc_id") % 3 == 0)
+    wrong = snapshot.build_key_bloom(
+        seen.select(content_key(F.col("text")).alias("_ik")), "_ik")
+    with pytest.raises(ValueError, match="probe_key"):
+        snapshot.incremental_dedup(new, seen, bloom=wrong).count()
+
+
 def test_bad_mode_raises(spark, corpus):
     with pytest.raises(ValueError):
         snapshot.incremental_dedup(corpus, corpus, mode="nope")
