@@ -1989,7 +1989,8 @@ WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.k = n.k)
 """,
         # static type rows restate the parquet schema; data-dependent rows
         # recompute the engine's aggregates with HAVING as emission guard
-        # (enum: exact-distinct <= 16, sorted '["a", "b"]' like json.dumps)
+        # (count(*) > 0 twins the engine's None-on-empty aggregates; enum:
+        # 1..16 exact-distinct, to_json == json.dumps(ensure_ascii=False))
         "suggest_constraints": """
 SELECT 'doc_id' AS column, 'type' AS keyword, 'integer' AS value
 UNION ALL SELECT 'text', 'type', 'string'
@@ -1997,15 +1998,15 @@ UNION ALL SELECT 'lang', 'type', 'string'
 UNION ALL SELECT 'source', 'type', 'string'
 UNION ALL SELECT 'n_chars', 'type', 'integer'
 UNION ALL SELECT 'doc_id', 'required', 'true' FROM documents
-  HAVING count(*) FILTER (doc_id IS NULL) = 0
+  HAVING count(*) > 0 AND count(*) FILTER (doc_id IS NULL) = 0
 UNION ALL SELECT 'text', 'required', 'true' FROM documents
-  HAVING count(*) FILTER (text IS NULL) = 0
+  HAVING count(*) > 0 AND count(*) FILTER (text IS NULL) = 0
 UNION ALL SELECT 'lang', 'required', 'true' FROM documents
-  HAVING count(*) FILTER (lang IS NULL) = 0
+  HAVING count(*) > 0 AND count(*) FILTER (lang IS NULL) = 0
 UNION ALL SELECT 'source', 'required', 'true' FROM documents
-  HAVING count(*) FILTER (source IS NULL) = 0
+  HAVING count(*) > 0 AND count(*) FILTER (source IS NULL) = 0
 UNION ALL SELECT 'n_chars', 'required', 'true' FROM documents
-  HAVING count(*) FILTER (n_chars IS NULL) = 0
+  HAVING count(*) > 0 AND count(*) FILTER (n_chars IS NULL) = 0
 UNION ALL SELECT 'doc_id', 'minimum', CAST(min(doc_id) AS VARCHAR)
   FROM documents HAVING min(doc_id) IS NOT NULL
 UNION ALL SELECT 'doc_id', 'maximum', CAST(max(doc_id) AS VARCHAR)
@@ -2027,16 +2028,16 @@ UNION ALL SELECT 'source', 'minLength', CAST(min(length(source)) AS VARCHAR)
 UNION ALL SELECT 'source', 'maxLength', CAST(max(length(source)) AS VARCHAR)
   FROM documents HAVING min(length(source)) IS NOT NULL
 UNION ALL SELECT 'text', 'enum',
-  '[' || string_agg('"' || v || '"', ', ' ORDER BY v) || ']'
+  '[' || string_agg(to_json(v), ', ' ORDER BY v) || ']'
   FROM (SELECT DISTINCT text AS v FROM documents WHERE text IS NOT NULL)
-  HAVING count(*) <= 16
+  HAVING count(*) BETWEEN 1 AND 16
 UNION ALL SELECT 'lang', 'enum',
-  '[' || string_agg('"' || v || '"', ', ' ORDER BY v) || ']'
+  '[' || string_agg(to_json(v), ', ' ORDER BY v) || ']'
   FROM (SELECT DISTINCT lang AS v FROM documents WHERE lang IS NOT NULL)
-  HAVING count(*) <= 16
+  HAVING count(*) BETWEEN 1 AND 16
 UNION ALL SELECT 'source', 'enum',
-  '[' || string_agg('"' || v || '"', ', ' ORDER BY v) || ']'
+  '[' || string_agg(to_json(v), ', ' ORDER BY v) || ']'
   FROM (SELECT DISTINCT source AS v FROM documents WHERE source IS NOT NULL)
-  HAVING count(*) <= 16
+  HAVING count(*) BETWEEN 1 AND 16
 """,
     }

@@ -6,8 +6,8 @@ from . import (
     similarity,
     snapshot,
     stats,
-    suggest,
     stats_math,
+    suggest,
     text,
     web,
 )
@@ -21,6 +21,7 @@ __all__ = [
     "snapshot",
     "stats",
     "stats_math",
+    "suggest",
     "text",
     "web",
 ]

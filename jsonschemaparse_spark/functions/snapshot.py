@@ -43,7 +43,7 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
 import pandas as pd
@@ -83,6 +83,15 @@ class KeyBloom:
     n_bits: int
     n_hashes: int
     words: "np.ndarray"
+    # one SparkContext broadcast per bitmap, lazily created and reused
+    # across probe calls (a per-call broadcast would accumulate blocks
+    # over a long-lived batch loop); not part of equality/persistence
+    _bc: object = field(default=None, repr=False, compare=False)
+
+    def broadcast(self, sc):
+        if self._bc is None or getattr(self._bc, "_jbroadcast", None) is None:
+            self._bc = sc.broadcast((self.n_bits, self.n_hashes, self.words))
+        return self._bc
 
     def might_contain(self, h1: "np.ndarray", h2: "np.ndarray") -> "np.ndarray":
         """Vectorized probe: True = maybe seen, False = definitely new."""
@@ -184,11 +193,11 @@ def build_key_bloom(df: DataFrame, key: Column | str,
 
 def bloom_probe_column(spark, bloom: KeyBloom, key: Column | str) -> Column:
     """Boolean Column: True = Bloom-positive (maybe seen). The bitmap is
-    a SparkContext broadcast (ships once per executor, never per task);
-    the UDF is Arrow-batched and numpy-vectorized — no per-row Python."""
+    a SparkContext broadcast (ships once per executor, never per task,
+    and reused across probe calls on the same KeyBloom); the UDF is
+    Arrow-batched and numpy-vectorized — no per-row Python."""
     key = F.col(key) if isinstance(key, str) else key
-    bc = spark.sparkContext.broadcast(
-        (bloom.n_bits, bloom.n_hashes, bloom.words))
+    bc = bloom.broadcast(spark.sparkContext)
 
     @F.pandas_udf(T.BooleanType())
     def _probe(h1: pd.Series, h2: pd.Series) -> pd.Series:
@@ -283,9 +292,14 @@ def incremental_dedup(
     positives = probed.filter(F.col("_maybe_seen"))
     if prefilter_seen:
         # same subexpression trick on the positive Bloom: key it on _pk
-        # so the seen-side filter cannot be inferred back onto the left
+        # so the seen-side filter cannot be inferred back onto the left.
+        # expected_items is an explicit over-estimate (the snapshot's key
+        # count, reconstructed from its bitmap sizing) so build_key_bloom
+        # never runs its approx_count_distinct pass over the batch —
+        # over-sizing only LOWERS the fp rate and max_bits caps memory
         pos_bloom = build_key_bloom(
             positives.select(pk.alias("_pk")), "_pk",
+            expected_items=max(1, bloom.n_bits // 10),
             fpp=fpp, max_bits=max_bits)
         seen_keys = (
             seen_df.select(F.col(text_col))

@@ -107,9 +107,13 @@ def suggest_constraints(
                     .distinct().limit(enum_max_distinct + 1).collect()
                 ]
                 if len(vals) <= enum_max_distinct:
+                    # ensure_ascii=False: keep non-ASCII raw so the value
+                    # string matches DuckDB's to_json encoding (quotes,
+                    # backslashes and control chars escape identically)
                     out.append((
                         c, "enum",
-                        "[" + ", ".join(json.dumps(v) for v in sorted(vals)) + "]",
+                        "[" + ", ".join(json.dumps(v, ensure_ascii=False)
+                                        for v in sorted(vals)) + "]",
                     ))
 
     schema = T.StructType([

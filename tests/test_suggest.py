@@ -66,6 +66,47 @@ def test_enum_guard_bounds_collect(spark):
     assert ("tag", "enum") not in rows
 
 
+def test_empty_table_emits_only_type_rows(spark):
+    """Review pin: on an empty table every data-dependent aggregate is
+    None, so only the static type rows come out — no required, no
+    bounds, no enum (the oracle twin guards with count(*) > 0)."""
+    df = spark.createDataFrame([], "id: long, name: string")
+    rows = {(r["column"], r["keyword"]) for r in
+            suggest_constraints(df).collect()}
+    assert rows == {("id", "type"), ("name", "type")}
+
+
+def test_all_null_string_column(spark):
+    """All-NULL string column: type row only (no length bounds, no enum,
+    no required)."""
+    df = spark.createDataFrame([(1, None), (2, None)],
+                               "id: long, name: string")
+    rows = {(r["column"], r["keyword"]) for r in
+            suggest_constraints(df).collect()}
+    assert ("name", "enum") not in rows
+    assert ("name", "minLength") not in rows
+    assert ("name", "required") not in rows
+    assert ("name", "type") in rows
+
+
+def test_enum_escaping_matches_duckdb_to_json(spark):
+    """Enum values with quotes/backslashes/non-ASCII must encode exactly
+    like DuckDB's to_json (the oracle twin): json.dumps with
+    ensure_ascii=False."""
+    import duckdb
+
+    vals = ['a"b', "back\\slash", "café", "plain"]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "id: long, tag: string")
+    rows = {(r["column"], r["keyword"]): r["value"] for r in
+            suggest_constraints(df).collect()}
+    got = rows[("tag", "enum")]
+    want = duckdb.sql(
+        "SELECT '[' || string_agg(to_json(v), ', ' ORDER BY v) || ']' "
+        "FROM (SELECT unnest(?) AS v)", params=[vals]).fetchone()[0]
+    assert got == want
+
+
 def test_roundtrip_zero_violations(spark, docs):
     """The engine must accept its own suggestion: every row of the profiled
     table validates clean against the suggested schema."""
