@@ -232,3 +232,65 @@ def test_streaming_classifier_gate_matches_batch(spark, tmp_path):
     batch_kept = sorted(r["doc_id"] for r in res.cleaned.collect())
     assert streamed == batch_kept
     assert streamed == [0, 101]   # spammy doc gated, clone deduped
+
+
+def test_streaming_bloom_route_matches_batch(spark, tmp_path):
+    """The snapshot-dedup Bloom probe is stateless, so a streaming ingest
+    can route against a PUBLISHED snapshot bitmap (save_bloom artifact):
+    the streamed negative branch must equal the batch bloom-negative set,
+    and it never leaks a true dup (no false negatives across restarts —
+    the bitmap is driver state, not stream state)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from jsonschemaparse_spark.functions.snapshot import (
+        bloom_probe_column,
+        build_key_bloom,
+        load_bloom,
+        probe_key,
+        save_bloom,
+    )
+
+    t0 = datetime.datetime(2026, 8, 17, 12, 0, 0)
+    seen_rows = [(i, t0, f"snapshot document number {i} body") for i in range(50)]
+    seen = _mk_batch(spark, seen_rows)
+    bloom = build_key_bloom(
+        seen.select(probe_key(F.col("text")).alias("_pk")), "_pk")
+    path = str(tmp_path / "snap.bloom")
+    save_bloom(bloom, path)
+    published = load_bloom(path)
+
+    # batch 1: 5 re-crawls + 5 fresh; batch 2: 3 re-crawls + 2 fresh
+    b1 = [(100 + i, t0, seen_rows[i][2]) for i in range(5)] + \
+         [(200 + i, t0, f"fresh page {i} body") for i in range(5)]
+    b2 = [(300 + i, t0, seen_rows[10 + i][2]) for i in range(3)] + \
+         [(400 + i, t0, f"fresh later page {i} body") for i in range(2)]
+
+    src = str(tmp_path / "stream_src")
+    _mk_batch(spark, b1).coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        "doc_id long, warc_ts timestamp, text string").parquet(src)
+    routed = stream.filter(
+        ~bloom_probe_column(spark, published, probe_key(F.col("text"))))
+    q = (routed.select("doc_id").writeStream.format("memory")
+         .queryName("bloom_route_sink").outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        _mk_batch(spark, b2).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        streamed = sorted(r["doc_id"] for r in
+                          spark.sql("select * from bloom_route_sink").collect())
+    finally:
+        q.stop()
+
+    whole = _mk_batch(spark, b1 + b2)
+    batch_neg = sorted(
+        r["doc_id"] for r in whole.filter(
+            ~bloom_probe_column(spark, published, probe_key(F.col("text"))))
+        .select("doc_id").collect())
+    assert streamed == batch_neg, (streamed, batch_neg)
+    # no false negatives: every re-crawl id is absent from the negatives
+    recrawls = {r[0] for r in b1[:5] + b2[:3]}
+    assert not (set(streamed) & recrawls)
