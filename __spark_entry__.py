@@ -795,6 +795,16 @@ def q_suggest_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suggest_constraints(_docs(spark, sf_dir))
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking for training/RAG export: 32-token windows,
+    8-token overlap (functions/chunking.py) — trailing windows emitted
+    only when they carry uncovered tokens."""
+    from jsonschemaparse_spark.functions.chunking import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), "doc_id",
+                           chunk_tokens=32, overlap=8)
+
+
 def q_semantic_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup candidate generation with an injected cluster column:
     within-cluster exact-cosine pairs >= 0.98 (the kmeans path is pinned
@@ -890,6 +900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dup_pairs": q_semantic_dup_pairs,
         "incremental_new_docs": q_incremental_new_docs,
         "suggest_constraints": q_suggest_constraints,
+        "chunk_documents": q_chunk_documents,
     }
 
 
@@ -2039,5 +2050,24 @@ UNION ALL SELECT 'source', 'enum',
   '[' || string_agg(to_json(v), ', ' ORDER BY v) || ']'
   FROM (SELECT DISTINCT source AS v FROM documents WHERE source IS NOT NULL)
   HAVING count(*) BETWEEN 1 AND 16
+""",
+        # windows start every stride=24 tokens; trailing window only when
+        # start + overlap < n (greatest(1, ceil((n-8)/24)) chunks); list
+        # slice toks[a:b] is 1-based inclusive == Spark slice(toks,a,len)
+        "chunk_documents": """
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+),
+c AS (
+  SELECT doc_id, toks,
+         greatest(1, CAST(ceil((len(toks) - 8) / 24.0) AS BIGINT)) AS nc
+  FROM d
+)
+SELECT doc_id,
+       CAST(k AS BIGINT) AS chunk_id,
+       array_to_string(toks[k*24+1 : k*24+32], ' ') AS chunk_text,
+       CAST(least(32, len(toks) - k*24) AS BIGINT) AS n_tokens
+FROM c, unnest(generate_series(0, nc - 1)) AS u(k)
 """,
     }

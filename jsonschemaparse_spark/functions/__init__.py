@@ -1,4 +1,5 @@
 from . import (
+    chunking,
     decontaminate,
     dedup,
     formats,
@@ -13,6 +14,7 @@ from . import (
 )
 
 __all__ = [
+    "chunking",
     "decontaminate",
     "dedup",
     "formats",

@@ -157,6 +157,31 @@ def test_mismatched_bloom_rejected(spark, corpus):
         snapshot.incremental_dedup(new, seen, bloom=wrong).count()
 
 
+def test_bloom_no_false_negatives_property(spark):
+    """Property: for arbitrary unicode keys (astral chars, quotes,
+    whitespace runs, empties), building over A and probing A yields all
+    positives. Run as one batched Spark round-trip per example set to
+    keep it fast; hypothesis drives the key corpus."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(st.lists(st.text(min_size=0, max_size=40), min_size=1,
+                    max_size=30))
+    def check(keys):
+        df = spark.createDataFrame([(k,) for k in keys], "t: string")
+        pk = snapshot.probe_key(F.col("t"))
+        bloom = snapshot.build_key_bloom(df.select(pk.alias("_pk")), "_pk",
+                                         expected_items=len(keys))
+        miss = (df.withColumn("hit",
+                              snapshot.bloom_probe_column(spark, bloom, pk))
+                .filter(~F.col("hit")).count())
+        assert miss == 0
+
+    check()
+
+
 def test_bad_mode_raises(spark, corpus):
     with pytest.raises(ValueError):
         snapshot.incremental_dedup(corpus, corpus, mode="nope")
