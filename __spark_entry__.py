@@ -805,6 +805,14 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                            chunk_tokens=32, overlap=8)
 
 
+def q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary (tokenizer-training prerequisite): top-200
+    tokens by frequency, deterministic tie-break (n desc, token asc)."""
+    from jsonschemaparse_spark.functions.text import vocabulary
+
+    return vocabulary(_docs(spark, sf_dir), size=200)
+
+
 def q_semantic_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup candidate generation with an injected cluster column:
     within-cluster exact-cosine pairs >= 0.98 (the kmeans path is pinned
@@ -901,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_new_docs": q_incremental_new_docs,
         "suggest_constraints": q_suggest_constraints,
         "chunk_documents": q_chunk_documents,
+        "vocabulary": q_vocabulary,
     }
 
 
@@ -2069,5 +2078,23 @@ SELECT doc_id,
        array_to_string(toks[k*24+1 : k*24+32], ' ') AS chunk_text,
        CAST(least(32, len(toks) - k*24) AS BIGINT) AS n_tokens
 FROM c, unnest(generate_series(0, nc - 1)) AS u(k)
+""",
+        # engine: explode tokens -> hash agg -> TakeOrdered(size) with
+        # the deterministic (n desc, token asc) tie-break
+        "vocabulary": """
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+  FROM documents WHERE text IS NOT NULL
+),
+counts AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n
+  FROM toks WHERE token <> '' GROUP BY token
+)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, token ASC) - 1 AS BIGINT)
+         AS rank,
+       token, n
+FROM counts
+ORDER BY n DESC, token ASC
+LIMIT 200
 """,
     }

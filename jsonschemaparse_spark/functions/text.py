@@ -632,3 +632,48 @@ def c4_line_filter(df: DataFrame, text_col: str = "text",
         F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
         .otherwise(F.array_join(kept, "\n")),
     )
+
+
+def word_counts(df: DataFrame, text_col: str = "text",
+                lowercase: bool = True, min_count: int = 1) -> DataFrame:
+    """Corpus-wide word frequencies — the tokenizer-training prerequisite:
+    (token, n) for every whitespace token (normalized like dedup's
+    content key when lowercase=True). One explode + hash aggregate: the
+    partial agg combines map-side, so the shuffle carries one row per
+    distinct token per partition — bounded by vocabulary, not corpus.
+    NULL/empty docs contribute nothing."""
+    t = F.trim(F.col(text_col))
+    if lowercase:
+        t = F.lower(t)
+    toks = F.filter(F.split(t, r"\s+"), lambda w: w != F.lit(""))
+    out = (
+        df.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    if min_count > 1:
+        out = out.filter(F.col("n") >= min_count)
+    return out
+
+
+def vocabulary(df: DataFrame, text_col: str = "text", size: int = 1000,
+               lowercase: bool = True) -> DataFrame:
+    """Top-`size` tokens by frequency with a DETERMINISTIC tie-break
+    (count desc, then token asc): (rank, token, n), rank from 0.
+    TakeOrderedAndProject on the aggregated counts — only `size` rows
+    ever reach the driver side of the sort, never the vocabulary."""
+    counts = word_counts(df, text_col, lowercase=lowercase)
+    ranked = (
+        counts.orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(size)
+    )
+    # rank assignment over the already-limited frame: a window over
+    # `size` rows, not over the vocabulary
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return ranked.select(
+        (F.row_number().over(w) - 1).cast("long").alias("rank"),
+        "token",
+        "n",
+    )

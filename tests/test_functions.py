@@ -1555,3 +1555,31 @@ def test_semantic_null_cluster_rows_bypass(spark):
     kept = sorted(r.vec_id for r in
                   semantic_dedup(df, threshold=0.9, cluster_col="c").collect())
     assert kept == [1, 3, 4]
+
+
+# ---------------------------------------------------------------------------
+# word_counts / vocabulary (r6)
+# ---------------------------------------------------------------------------
+def test_word_counts_basic(spark):
+    from jsonschemaparse_spark.functions.text import word_counts
+
+    df = spark.createDataFrame(
+        [(1, "The cat the CAT  dog"), (2, None), (3, ""), (4, "dog")],
+        "id: long, text: string")
+    got = {r["token"]: r["n"] for r in word_counts(df).collect()}
+    assert got == {"the": 2, "cat": 2, "dog": 2}
+    # case-preserving mode + min_count
+    got2 = {r["token"]: r["n"]
+            for r in word_counts(df, lowercase=False, min_count=2).collect()}
+    assert got2 == {"dog": 2}
+
+
+def test_vocabulary_rank_and_tiebreak(spark):
+    from jsonschemaparse_spark.functions.text import vocabulary
+
+    df = spark.createDataFrame(
+        [(1, "b b a a c")], "id: long, text: string")
+    rows = [(r["rank"], r["token"], r["n"])
+            for r in vocabulary(df, size=2).orderBy("rank").collect()]
+    # a and b tie at 2 -> token asc breaks the tie; c cut by size
+    assert rows == [(0, "a", 2), (1, "b", 2)]
