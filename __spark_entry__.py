@@ -2047,6 +2047,21 @@ UNION ALL SELECT 'source', 'minLength', CAST(min(length(source)) AS VARCHAR)
   FROM documents HAVING min(length(source)) IS NOT NULL
 UNION ALL SELECT 'source', 'maxLength', CAST(max(length(source)) AS VARCHAR)
   FROM documents HAVING min(length(source)) IS NOT NULL
+UNION ALL SELECT 'doc_id', 'unique', 'true' FROM documents
+  HAVING count(*) > 0 AND count(*) FILTER (doc_id IS NULL) = 0
+     AND count(DISTINCT doc_id) = count(*)
+UNION ALL SELECT 'text', 'unique', 'true' FROM documents
+  HAVING count(*) > 0 AND count(*) FILTER (text IS NULL) = 0
+     AND count(DISTINCT text) = count(*)
+UNION ALL SELECT 'lang', 'unique', 'true' FROM documents
+  HAVING count(*) > 0 AND count(*) FILTER (lang IS NULL) = 0
+     AND count(DISTINCT lang) = count(*)
+UNION ALL SELECT 'source', 'unique', 'true' FROM documents
+  HAVING count(*) > 0 AND count(*) FILTER (source IS NULL) = 0
+     AND count(DISTINCT source) = count(*)
+UNION ALL SELECT 'n_chars', 'unique', 'true' FROM documents
+  HAVING count(*) > 0 AND count(*) FILTER (n_chars IS NULL) = 0
+     AND count(DISTINCT n_chars) = count(*)
 UNION ALL SELECT 'text', 'enum',
   '[' || string_agg(to_json(v), ', ' ORDER BY v) || ']'
   FROM (SELECT DISTINCT text AS v FROM documents WHERE text IS NOT NULL)

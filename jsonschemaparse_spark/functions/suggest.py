@@ -55,6 +55,7 @@ def suggest_constraints(
     columns: Optional[Sequence[str]] = None,
     enum_max_distinct: int = 16,
     rsd: float = 0.05,
+    check_uniqueness: bool = True,
 ) -> DataFrame:
     """Long-format suggestion table: (column, keyword, value), value
     always a string (JSON-encoded where the keyword takes JSON).
@@ -62,7 +63,13 @@ def suggest_constraints(
     Emitted per column where applicable: type, required (zero nulls),
     minimum/maximum (integral only — see module docstring), minLength/
     maxLength (strings, code points), enum (strings whose exact distinct
-    set fits enum_max_distinct, JSON array sorted ascending).
+    set fits enum_max_distinct, JSON array sorted ascending), unique
+    (Deequ isUnique analog: zero nulls AND exact distinct == row count,
+    verified exactly — the HLL estimate only nominates candidates, with
+    3*rsd headroom like integrity.uniqueness_check, so the exact
+    distinct shuffle runs only for columns that are plausibly unique).
+    'unique' feeds integrity.uniqueness_violations, not the row-level
+    schema (it is a table-scope constraint).
     """
     spark = df.sparkSession
     cols = list(columns) if columns is not None else df.columns
@@ -78,6 +85,7 @@ def suggest_constraints(
         if jt == "integer":
             aggs.append(F.min(c).alias(f"{c}__min"))
             aggs.append(F.max(c).alias(f"{c}__max"))
+            aggs.append(F.approx_count_distinct(c, rsd).alias(f"{c}__distinct"))
         elif jt == "string":
             aggs.append(F.min(F.length(c)).alias(f"{c}__minlen"))
             aggs.append(F.max(F.length(c)).alias(f"{c}__maxlen"))
@@ -116,6 +124,21 @@ def suggest_constraints(
                                         for v in sorted(vals)) + "]",
                     ))
 
+    if check_uniqueness and row["_total"]:
+        total = row["_total"]
+        candidates = [
+            c for c in cols
+            if _json_type(dtypes[c]) in ("integer", "string")
+            and row[f"{c}__nulls"] == 0
+            and row[f"{c}__distinct"] >= total * (1 - 3 * rsd)
+        ]
+        if candidates:
+            exact = df.agg(*[
+                F.countDistinct(c).alias(c) for c in candidates]).first()
+            for c in candidates:
+                if exact[c] == total:
+                    out.append((c, "unique", "true"))
+
     schema = T.StructType([
         T.StructField("column", T.StringType(), False),
         T.StructField("keyword", T.StringType(), False),
@@ -127,18 +150,24 @@ def suggest_constraints(
 def constraints_to_schema(suggestions: DataFrame | list) -> dict:
     """Assemble the suggestion rows into a JSON-Schema dict consumable
     by schema/compiler.py (and by the reference's Schema class — the
-    emitted keywords are all core draft keywords)."""
+    emitted keywords are all core draft keywords). 'unique' rows are
+    table-scope, so they land in the documented 'x-unique-columns'
+    extension (feed each to integrity.uniqueness_violations), not in
+    properties."""
     rows = (
         suggestions.collect()
         if isinstance(suggestions, DataFrame) else list(suggestions)
     )
     props: dict = {}
     required: list[str] = []
+    unique: list[str] = []
     for r in rows:
         c, kw, val = r[0], r[1], r[2]
         p = props.setdefault(c, {})
         if kw == "required":
             required.append(c)
+        elif kw == "unique":
+            unique.append(c)
         elif kw == "type":
             p["type"] = val
         elif kw in ("minimum", "maximum", "minLength", "maxLength"):
@@ -148,4 +177,6 @@ def constraints_to_schema(suggestions: DataFrame | list) -> dict:
     out: dict = {"type": "object", "properties": props}
     if required:
         out["required"] = sorted(required)
+    if unique:
+        out["x-unique-columns"] = sorted(unique)
     return out

@@ -37,6 +37,9 @@ def test_suggestions_shape_and_values(spark, docs):
     # high-cardinality string gets length bounds but NO enum
     assert ("text", "enum") not in rows
     assert int(rows[("text", "maxLength")]) >= int(rows[("text", "minLength")])
+    # uniqueness: the key column is exactly unique; lang is not
+    assert rows.get(("doc_id", "unique")) == "true"
+    assert ("lang", "unique") not in rows
 
 
 def test_required_only_when_no_nulls(spark):
@@ -107,11 +110,29 @@ def test_enum_escaping_matches_duckdb_to_json(spark):
     assert got == want
 
 
+def test_unique_requires_no_nulls_and_exact(spark):
+    """Deequ isUnique semantics: a NULL disqualifies; a single dup
+    disqualifies; the emitted column feeds uniqueness_violations (zero
+    violations by construction)."""
+    from jsonschemaparse_spark.functions.integrity import uniqueness_violations
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10), (3, None, 30)],
+        "id: long, name: string, v: long")
+    rows = {(r["column"], r["keyword"]) for r in
+            suggest_constraints(df).collect()}
+    assert ("id", "unique") in rows
+    assert ("name", "unique") not in rows   # has a NULL
+    assert ("v", "unique") not in rows      # has a dup
+    assert uniqueness_violations(df, "id").count() == 0
+
+
 def test_roundtrip_zero_violations(spark, docs):
     """The engine must accept its own suggestion: every row of the profiled
     table validates clean against the suggested schema."""
     schema = constraints_to_schema(suggest_constraints(docs))
     assert schema["type"] == "object"
+    assert "doc_id" in schema.get("x-unique-columns", [])
     res = validate_dataframe(docs, schema, key_cols=["doc_id"])
     n_bad = res.annotated.filter(~F.col("_jsp_valid")).count()
     assert n_bad == 0
