@@ -101,6 +101,9 @@ def clean_corpus(
     classifier_threshold: "float | None" = None,
     classifier_weights: "dict[str, float] | None" = None,
     classifier_seed: int = 0,
+    seen_df: "DataFrame | None" = None,
+    snapshot_bloom=None,
+    snapshot_mode: str = "bloom",
 ) -> CleanCorpusResult:
     """Apply the canonical cleaning stages in order; returns the surviving
     rows (original columns only), the stages applied, the persisted
@@ -108,6 +111,13 @@ def clean_corpus(
     observations.
 
     Stages (each optional except exact dedup, the universal first step):
+      0. snapshot     (seen_df set) incremental re-crawl cleaning: drop
+                      rows whose content key already exists in the prior
+                      snapshot (functions/snapshot.py — Bloom-routed by
+                      default; pass snapshot_bloom=load_bloom(...) to
+                      reuse the published bitmap, snapshot_mode='exact'
+                      for snapshots too big to Bloom-broadcast). Runs
+                      FIRST so no downstream stage pays for re-crawls
       1. exact        exact_dedup_linear — collapse identical docs
                       (min id kept; one full-row shuffle)
       2+3. gates      quality_flags — Gopher base gate and/or C4 gate
@@ -133,6 +143,7 @@ def clean_corpus(
                       dropped, no new shuffle (one more projection)
 
     observe_funnel: attaches `.observe()` accumulators (n_input,
+    n_after_snapshot when seen_df is set,
     n_after_exact, n_after_gopher / n_after_c4 / n_after_classifier as
     applicable, the
     minhash bucket-overflow counters when near-dup is on, and
@@ -151,7 +162,23 @@ def clean_corpus(
         obs_in = Observation()
         funnel["input"] = obs_in
         out = out.observe(obs_in, F.count(F.lit(1)).alias("n_input"))
-    stages = ["exact"]
+    stages = []
+    if seen_df is not None:
+        # stage 0 (incremental re-crawl cleaning): drop rows whose
+        # content already exists in the prior snapshot BEFORE any
+        # in-batch work — functions/snapshot.py Bloom routing, or the
+        # plain anti-join for snapshots too big to Bloom-broadcast
+        from .snapshot import incremental_dedup
+
+        stages.append("snapshot")
+        out = incremental_dedup(out, seen_df, text_col=text_col,
+                                mode=snapshot_mode, bloom=snapshot_bloom)
+        if observe_funnel:
+            obs_s = Observation()
+            funnel["snapshot"] = obs_s
+            out = out.observe(
+                obs_s, F.count(F.lit(1)).alias("n_after_snapshot"))
+    stages.append("exact")
     out = exact_dedup_linear(out, id_col, text_col)
     gate_kw: dict = {}
     if gopher or c4:

@@ -318,3 +318,44 @@ def test_funnel_counts_materialize_never_blocks(spark):
     counts = res.funnel_counts(materialize=True)
     assert counts["n_input"] == 3
     assert counts["n_after_exact"] == 2
+
+
+def test_clean_corpus_snapshot_stage(spark):
+    """Stage 0 (r6): with seen_df set, re-crawls of the prior snapshot
+    are dropped before any in-batch work, the funnel gains
+    n_after_snapshot, and a prebuilt published bitmap (save_bloom
+    artifact) gives the identical result."""
+    from pyspark.sql import functions as F
+
+    from jsonschemaparse_spark.functions.pipeline import clean_corpus
+    from jsonschemaparse_spark.functions.snapshot import (
+        build_key_bloom,
+        probe_key,
+    )
+
+    base = ("A useful document sentence with plenty of words inside. " * 8
+            + "It ends with three proper sentences. Another one here. Done!")
+    seen = spark.createDataFrame(
+        [(i, base + f" Old {i}.") for i in range(5)],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(100 + i, base + f" Old {i}.") for i in range(3)]      # re-crawls
+        + [(200 + i, base + f" New {i}.") for i in range(4)]    # fresh
+        + [(300, base + " New 0.")],                            # in-batch dup
+        "doc_id long, text string")
+
+    res = clean_corpus(batch, seen_df=seen, observe_funnel=True)
+    kept = sorted(r["doc_id"] for r in res.cleaned.collect())
+    assert res.stages[0] == "snapshot"
+    assert kept == [200, 201, 202, 203]   # re-crawls and the dup gone
+    funnel = res.funnel_counts()
+    assert funnel["n_input"] == 8
+    assert funnel["n_after_snapshot"] == 5   # 3 re-crawls dropped
+    assert funnel["n_after_exact"] == 4      # in-batch dup collapsed
+
+    bloom = build_key_bloom(
+        seen.select(probe_key(F.col("text")).alias("_pk")), "_pk")
+    res2 = clean_corpus(batch, seen_df=seen, snapshot_bloom=bloom)
+    assert sorted(r["doc_id"] for r in res2.cleaned.collect()) == kept
+    res3 = clean_corpus(batch, seen_df=seen, snapshot_mode="exact")
+    assert sorted(r["doc_id"] for r in res3.cleaned.collect()) == kept
