@@ -855,6 +855,25 @@ def q_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "classifier_keep")
 
 
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode canonicalization (functions/normalize.py): NFC + newline/
+    NBSP/control cleanup. The corpus text is ASCII at test SF, so the
+    query appends deterministic suffixes per doc_id residue (decomposed
+    accent / CRLF+NBSP / control bytes) to exercise every step; the
+    oracle twins NFC via DuckDB's nfc_normalize (character-identical to
+    unicodedata, pinned in tests/test_normalize.py)."""
+    from jsonschemaparse_spark.functions.normalize import normalize_text
+
+    d = _docs(spark, sf_dir)
+    raw = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" Cafe\u0301"))
+         .when(F.col("doc_id") % 3 == 1, F.lit("\r\nline\u00a0x"))
+         .otherwise(F.lit("\x07bell\x7f")))
+    out = normalize_text(d.select("doc_id", raw.alias("text")))
+    return out.select("doc_id", F.col("text").alias("text_norm"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_documents": q_validate_documents,
@@ -910,6 +929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_constraints": q_suggest_constraints,
         "chunk_documents": q_chunk_documents,
         "vocabulary": q_vocabulary,
+        "normalize_text": q_normalize_text,
     }
 
 
@@ -2111,5 +2131,26 @@ SELECT CAST(row_number() OVER (ORDER BY n DESC, token ASC) - 1 AS BIGINT)
 FROM counts
 ORDER BY n DESC, token ASC
 LIMIT 200
+""",
+        # engine: unicodedata NFC (Arrow UDF) + regexp_replace chain;
+        # DuckDB nfc_normalize is character-identical to unicodedata
+        # (pinned in tests/test_normalize.py); suffixes replay the
+        # query's deterministic per-residue concat. Step order (NFC ->
+        # newlines -> NBSP -> controls) is the module contract.
+        "normalize_text": """
+SELECT doc_id,
+       regexp_replace(
+         replace(
+           regexp_replace(
+             nfc_normalize(
+               coalesce(text, '') ||
+               CASE WHEN doc_id % 3 = 0 THEN ' Cafe' || chr(769)
+                    WHEN doc_id % 3 = 1
+                      THEN chr(13) || chr(10) || 'line' || chr(160) || 'x'
+                    ELSE chr(7) || 'bell' || chr(127) END),
+             '\\r\\n?', chr(10), 'g'),
+           chr(160), ' '),
+         '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g') AS text_norm
+FROM documents
 """,
     }

@@ -321,6 +321,21 @@ def main() -> None:
 
     bench("incremental_dedup", incremental_bench)
 
+    # unicode canonicalization: NFC Arrow UDF (ASCII fast path on ~2/3
+    # of rows, real decomposed suffix on the rest) + JVM cleanup chain
+    def normalize_bench():
+        from jsonschemaparse_spark.functions.normalize import normalize_text
+
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        raw = F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" Cafe\u0301"))
+             .otherwise(F.lit("\r\nline\u00a0x")))
+        out = normalize_text(d.select("doc_id", raw.alias("text")))
+        out.select(F.sum(F.length("text"))).collect()
+
+    bench("normalize_text", normalize_bench)
+
     # stats profile
     def stats():
         from jsonschemaparse_spark.functions.stats import column_profile
