@@ -104,6 +104,8 @@ def clean_corpus(
     seen_df: "DataFrame | None" = None,
     snapshot_bloom=None,
     snapshot_mode: str = "bloom",
+    normalize: bool = False,
+    normalize_kw: "dict | None" = None,
 ) -> CleanCorpusResult:
     """Apply the canonical cleaning stages in order; returns the surviving
     rows (original columns only), the stages applied, the persisted
@@ -111,6 +113,14 @@ def clean_corpus(
     observations.
 
     Stages (each optional except exact dedup, the universal first step):
+      -1. normalize   (normalize=True) unicode canonicalization
+                      (functions/normalize.py NFC + cleanup chain;
+                      normalize_kw forwards options). Runs before
+                      EVERYTHING — byte-different but canonically-equal
+                      docs must collapse to one content key, and the
+                      snapshot probe must see the same canonical form
+                      the snapshot was keyed with. Rewriting stage: no
+                      rows dropped, no counter
       0. snapshot     (seen_df set) incremental re-crawl cleaning: drop
                       rows whose content key already exists in the prior
                       snapshot (functions/snapshot.py — Bloom-routed by
@@ -163,6 +173,11 @@ def clean_corpus(
         funnel["input"] = obs_in
         out = out.observe(obs_in, F.count(F.lit(1)).alias("n_input"))
     stages = []
+    if normalize:
+        from .normalize import normalize_text
+
+        stages.append("normalize")
+        out = normalize_text(out, text_col=text_col, **(normalize_kw or {}))
     if seen_df is not None:
         # stage 0 (incremental re-crawl cleaning): drop rows whose
         # content already exists in the prior snapshot BEFORE any

@@ -3,6 +3,7 @@ wiring, observe-funnel, near_dup_mode='cc', cached exposure, minhash
 overflow observation)."""
 
 import pytest
+import unicodedata
 
 from pyspark.sql import Observation
 from pyspark.sql import functions as F
@@ -359,3 +360,33 @@ def test_clean_corpus_snapshot_stage(spark):
     assert sorted(r["doc_id"] for r in res2.cleaned.collect()) == kept
     res3 = clean_corpus(batch, seen_df=seen, snapshot_mode="exact")
     assert sorted(r["doc_id"] for r in res3.cleaned.collect()) == kept
+
+
+def test_clean_corpus_normalize_stage(spark):
+    """Stage -1 (r6): normalize=True canonicalizes BEFORE keying, so a
+    decomposed (NFD) clone of a composed doc collapses in exact dedup;
+    without it the two survive as byte-different keys. Composition pin:
+    clean_corpus(normalize=True) == normalize_text -> clean_corpus."""
+    from pyspark.sql import functions as F
+
+    from jsonschemaparse_spark.functions.normalize import normalize_text
+    from jsonschemaparse_spark.functions.pipeline import clean_corpus
+
+    body = ("A café document sentence with plenty of words inside. "
+            * 8 + "It ends with proper sentences. Another one. Done!")
+    decomposed = unicodedata.normalize("NFD", body)
+    df = spark.createDataFrame(
+        [(1, body), (2, decomposed), (3, body + " Unique tail.")],
+        "doc_id long, text string")
+
+    plain = clean_corpus(df)
+    assert sorted(r["doc_id"] for r in plain.cleaned.collect()) == [1, 2, 3]
+
+    res = clean_corpus(df, normalize=True)
+    assert res.stages[0] == "normalize"
+    assert sorted(r["doc_id"] for r in res.cleaned.collect()) == [1, 3]
+
+    pre = clean_corpus(normalize_text(df))
+    a = sorted(tuple(r) for r in res.cleaned.collect())
+    b = sorted(tuple(r) for r in pre.cleaned.collect())
+    assert a == b

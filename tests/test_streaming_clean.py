@@ -4,6 +4,7 @@ r5 #7): exact dedup (dropDuplicatesWithinWatermark on the content key)
 watermark horizon."""
 
 import datetime
+import unicodedata
 
 from pyspark.sql import functions as F
 
@@ -294,3 +295,40 @@ def test_streaming_bloom_route_matches_batch(spark, tmp_path):
     # no false negatives: every re-crawl id is absent from the negatives
     recrawls = {r[0] for r in b1[:5] + b2[:3]}
     assert not (set(streamed) & recrawls)
+
+
+def test_streaming_normalize_stage_matches_batch(spark, tmp_path):
+    """normalize_text is a stateless projection (Arrow UDF + regex
+    chain), so the normalize -> exact-dedup streaming prefix is exact:
+    an NFD clone arriving in a later micro-batch is dropped just as the
+    batch pipeline drops it."""
+    from jsonschemaparse_spark.functions.normalize import normalize_text
+    from jsonschemaparse_spark.streaming import streaming_exact_dedup
+
+    t0 = datetime.datetime(2026, 8, 17, 12, 0, 0)
+    body = "A café sentence with words. " * 8 + "Proper ending here!"
+    batch1 = [(0, t0, body), (1, t0, body + " Tail one.")]
+    batch2 = [(100, t0 + datetime.timedelta(minutes=1),
+               unicodedata.normalize("NFD", body)),        # NFD clone of 0
+              (101, t0 + datetime.timedelta(minutes=1), body + " Fresh.")]
+
+    src = str(tmp_path / "src_norm")
+    _mk_batch(spark, batch1).coalesce(1).write.mode("overwrite").parquet(src)
+
+    def pipe(frame):
+        return streaming_exact_dedup(
+            normalize_text(frame), watermark="2 hours").select("doc_id")
+
+    stream = spark.readStream.schema(
+        "doc_id long, warc_ts timestamp, text string").parquet(src)
+    q = (pipe(stream).writeStream.format("memory")
+         .queryName("norm_prefix_sink").outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        _mk_batch(spark, batch2).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = sorted(r["doc_id"] for r in
+                     spark.sql("select * from norm_prefix_sink").collect())
+    finally:
+        q.stop()
+    assert got == [0, 1, 101]
