@@ -874,6 +874,32 @@ def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.col("text").alias("text_norm"))
 
 
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup (Lee et al. 2022 ExactSubstr, windowed):
+    every non-first occurrence of a duplicated 8-token window is deleted;
+    touched docs are rebuilt as the kept token stream, untouched docs
+    pass through byte-identical (functions/dedup.py)."""
+    from jsonschemaparse_spark.functions.dedup import (
+        remove_duplicate_substrings,
+    )
+
+    out = remove_duplicate_substrings(_docs(spark, sf_dir), "doc_id",
+                                      min_tokens=8, out_col="text_dedup")
+    return out.select("doc_id", "text_dedup")
+
+
+def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Victim-interval inspection view for exact substring dedup: merged
+    half-open token intervals per doc (in-plan aggregate interval merge,
+    no Python)."""
+    from jsonschemaparse_spark.functions.dedup import (
+        duplicate_substring_spans,
+    )
+
+    return duplicate_substring_spans(_docs(spark, sf_dir), "doc_id",
+                                     min_tokens=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_documents": q_validate_documents,
@@ -930,6 +956,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "vocabulary": q_vocabulary,
         "normalize_text": q_normalize_text,
+        "substring_dedup": q_substring_dedup,
+        "substring_spans": q_substring_spans,
     }
 
 
@@ -2152,5 +2180,82 @@ SELECT doc_id,
            chr(160), ' '),
          '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g') AS text_norm
 FROM documents
+""",
+        # engine: window-hash groupBy + min(struct) keep-first + victim
+        # coverage anti-join; twin replays keep-first as row_number over
+        # (doc_id, pos) — identical order to Spark's min(struct). DuckDB
+        # list slice w[i:i+7] is 1-based INCLUSIVE = Spark slice(w, i, 8).
+        "substring_dedup": """
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                     t -> t <> '') AS w
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, i - 1 AS pos, md5(array_to_string(w[i:i+7], ' ')) AS h
+  FROM toks, unnest(generate_series(1, len(w) - 7)) AS u(i)
+  WHERE len(w) >= 8
+),
+marked AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+    FROM wins)
+  WHERE rn >= 2
+),
+cov AS (
+  SELECT doc_id,
+         list_distinct(flatten(list(generate_series(pos, pos + 7)))) AS covered
+  FROM marked GROUP BY doc_id
+)
+SELECT t.doc_id,
+  CASE WHEN t.text IS NULL THEN NULL
+       WHEN c.doc_id IS NULL THEN t.text
+       -- array_to_string([]) is NULL in DuckDB; a fully-victim doc
+       -- rebuilds to '' (the engine's coalesce convention)
+       ELSE coalesce(array_to_string(
+         list_transform(
+           list_filter(generate_series(0, len(t.w) - 1),
+                       p -> NOT list_contains(c.covered, p)),
+           p -> t.w[p + 1]),
+         ' '), '')
+  END AS text_dedup
+FROM toks t LEFT JOIN cov c USING (doc_id)
+""",
+        # victim intervals via gaps-and-islands over the covered
+        # positions (p - row_number() groups consecutive runs)
+        "substring_spans": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                     t -> t <> '') AS w
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, i - 1 AS pos, md5(array_to_string(w[i:i+7], ' ')) AS h
+  FROM toks, unnest(generate_series(1, len(w) - 7)) AS u(i)
+  WHERE len(w) >= 8
+),
+marked AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+    FROM wins)
+  WHERE rn >= 2
+),
+covpos AS (
+  SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + 7)) AS p
+  FROM marked
+),
+isl AS (
+  SELECT doc_id, p,
+         p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS g
+  FROM covpos
+)
+SELECT doc_id,
+       CAST(min(p) AS BIGINT) AS start_tok,
+       CAST(max(p) + 1 AS BIGINT) AS end_tok
+FROM isl GROUP BY doc_id, g
 """,
     }

@@ -336,6 +336,19 @@ def main() -> None:
 
     bench("normalize_text", normalize_bench)
 
+    # exact substring dedup (Lee et al. ExactSubstr, windowed): one
+    # (doc, pos, hash) shuffle + victim join-back + touched-only rebuild
+    def substring_bench():
+        from jsonschemaparse_spark.functions.dedup import (
+            remove_duplicate_substrings,
+        )
+
+        df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        out = remove_duplicate_substrings(df, "doc_id", min_tokens=8)
+        out.select(F.sum(F.length("text"))).collect()
+
+    bench("substring_dedup", substring_bench)
+
     # stats profile
     def stats():
         from jsonschemaparse_spark.functions.stats import column_profile

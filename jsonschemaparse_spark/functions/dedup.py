@@ -981,3 +981,205 @@ def remove_duplicate_spans(
         )
         .drop("_jsp_rebuilt")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring dedup (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better", ExactSubstr): remove every non-first
+# occurrence of any K-token window that appears >= 2 times corpus-wide.
+# The paper builds a suffix array to find maximal duplicated substrings;
+# the distributed formulation here marks duplicated K-token WINDOWS — a
+# duplicated region of length L >= K has every window inside it
+# duplicated, so window coverage equals the maximal region; regions
+# shorter than K tokens are never marked (the same threshold the paper
+# applies). Keep-first = min (doc, pos), the family convention
+# (remove_duplicate_spans above).
+# ---------------------------------------------------------------------------
+def _substring_rows(df: DataFrame, id_col: str, text_col: str, k: int,
+                    hash_mode: str = "md5") -> DataFrame:
+    """One row per (doc, pos, window_hash): hashes of the K-token sliding
+    windows over the RAW whitespace-tokenized text (exact matching is
+    case- and punctuation-sensitive — 'exact substring' means exact).
+    Hashing before the exchange keeps shuffle rows at one 32-char md5
+    (or one long in 'fast' mode) instead of a K-token string. The token
+    array is bound ONCE as a lambda variable (the r5 CollapseProject/
+    Generate lesson: a bare `slice(toks, i, k)` inside the per-window
+    lambda re-evaluates the split PER WINDOW — O(L^2))."""
+    if hash_mode not in ("md5", "fast"):
+        raise ValueError(f"hash_mode must be 'md5' or 'fast', got {hash_mode!r}")
+
+    def win_hash(joined: Column) -> Column:
+        return F.md5(joined) if hash_mode == "md5" else \
+            F.xxhash64(joined).cast("string")
+
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda t: t != "")
+    wins = F.element_at(
+        F.transform(
+            F.array(toks),
+            lambda w: F.when(
+                F.size(w) >= k,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - (k - 1)),
+                    lambda i: win_hash(F.array_join(F.slice(w, i, k), " ")),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        ),
+        1,
+    )
+    return df.select(
+        F.col(id_col).alias("_jsp_doc"),
+        F.posexplode(wins).alias("_jsp_pos", "_jsp_h"),
+    )
+
+
+def _substring_covered(df: DataFrame, id_col: str, text_col: str, k: int,
+                       hash_mode: str) -> DataFrame:
+    """(_jsp_doc, _jsp_cov): per VICTIM doc, the set of token indices
+    covered by any non-first occurrence of a duplicated window. Plan
+    shape: one groupBy on the hash (map-side combine), only duplicated
+    hashes join back (both sides arrive partitioned on the hash from
+    the same exchange; AQE converts to broadcast when the duplicated
+    set is small), victim windows explode to K rows each, ONE
+    (doc) exchange folds them into the per-doc set. Built exactly once
+    by both consumers — no victims self-join (the r5 expensive-lineage
+    lesson; the first cut of this operator evaluated the window scan
+    4x: plan-pinned in tests now)."""
+    occ = _substring_rows(df, id_col, text_col, k, hash_mode)
+    firsts = (
+        occ.groupBy("_jsp_h")
+        .agg(
+            F.min(F.struct("_jsp_doc", "_jsp_pos")).alias("_jsp_first"),
+            F.count(F.lit(1)).alias("_jsp_n"),
+        )
+        .filter(F.col("_jsp_n") >= 2)
+        .select("_jsp_h", "_jsp_first")
+    )
+    return (
+        occ.join(firsts, "_jsp_h")
+        .filter(
+            (F.col("_jsp_doc") != F.col("_jsp_first._jsp_doc"))
+            | (F.col("_jsp_pos") != F.col("_jsp_first._jsp_pos"))
+        )
+        .select(
+            "_jsp_doc",
+            F.explode(
+                F.sequence(F.col("_jsp_pos"), F.col("_jsp_pos") + (k - 1))
+            ).alias("_jsp_idx"),
+        )
+        .groupBy("_jsp_doc")
+        .agg(F.collect_set("_jsp_idx").alias("_jsp_cov"))
+    )
+
+
+def duplicate_substring_spans(
+    df: DataFrame, id_col: str, text_col: str = "text",
+    min_tokens: int = 50, hash_mode: str = "md5",
+) -> DataFrame:
+    """Inspection view: merged victim token intervals per document —
+    (doc_id, start_tok, end_tok) half-open, 0-based over the whitespace
+    token stream. Victim indices are unions of K-length runs, so merging
+    is a single in-plan `aggregate` over the sorted index array (runs of
+    consecutive ints -> intervals); one (doc, idx) shuffle, no Python."""
+    covered = _substring_covered(df, id_col, text_col, min_tokens, hash_mode)
+    idxs = covered.select(
+        "_jsp_doc", F.sort_array(F.col("_jsp_cov")).alias("_jsp_idxs"))
+    interval = "struct<start_tok:long,end_tok:long>"
+    merged = F.aggregate(
+        F.col("_jsp_idxs"),
+        F.array().cast(f"array<{interval}>"),
+        lambda acc, p: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1).getField("end_tok") == p.cast("long")),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.struct(
+                    F.element_at(acc, -1).getField("start_tok")
+                     .alias("start_tok"),
+                    (p.cast("long") + 1).alias("end_tok"))),
+            ),
+        ).otherwise(
+            F.concat(acc, F.array(F.struct(
+                p.cast("long").alias("start_tok"),
+                (p.cast("long") + 1).alias("end_tok"))))
+        ),
+    )
+    return idxs.select(
+        F.col("_jsp_doc").alias(id_col),
+        F.explode(merged).alias("_jsp_iv"),
+    ).select(
+        id_col,
+        F.col("_jsp_iv.start_tok").alias("start_tok"),
+        F.col("_jsp_iv.end_tok").alias("end_tok"),
+    )
+
+
+def remove_duplicate_substrings(
+    df: DataFrame, id_col: str, text_col: str = "text",
+    min_tokens: int = 50, out_col: str | None = None,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """ExactSubstr dedup: delete the tokens of every non-first occurrence
+    of any duplicated >= min_tokens-token window; the globally first
+    occurrence (min (doc, pos)) survives. Only TOUCHED documents are
+    re-tokenized and rebuilt (single-space-joined token stream — Lee et
+    al. operate on the token stream, so rebuilt docs lose original
+    whitespace runs); untouched documents pass through byte-identical
+    via the anti-join, the remove_duplicate_spans contract. As there, a
+    kept first occurrence can still lose tokens to a DIFFERENT window's
+    victim occurrence overlapping it.
+
+    min_tokens: the paper's threshold is 50 BPE tokens; the default here
+    is 50 whitespace tokens. hash_mode='fast' swaps md5 for xxhash64
+    (at-scale configuration; benched, not DuckDB-oracled — the
+    minhash_near_duplicates convention).
+
+    NULL convention (module header): rewriting op — NULL text stays NULL
+    (a NULL doc has no windows, is never a victim, passes through).
+
+    Scale shape: one (doc, pos, hash) shuffle with map-side combine on
+    the window hash; duplicated hashes (the boilerplate) are the only
+    join-back; victim windows fold into ONE per-doc covered-index set,
+    and touched docs rebuild IN-PLAN — `array_except` of the position
+    range (linear: hash-set difference) then index back into the token
+    array bound once as a lambda variable. No token explode, no rebuild
+    shuffle, no victims self-join — the window scan runs exactly twice
+    (the occ agg + join-back pair, the remove_duplicate_spans shape),
+    which the plan test pins."""
+    k = min_tokens
+    out_col = out_col or text_col
+    covered = _substring_covered(df, id_col, text_col, k, hash_mode)
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda t: t != "")
+    # evaluated only on join-matched (victim) rows, which have >= k
+    # tokens by construction — sequence(0, size-1) never sees size 0.
+    # array_join([]) is '' in Spark, so a fully-victim doc rebuilds to
+    # '' with no special anchor.
+    rebuilt = F.element_at(
+        F.transform(
+            F.array(toks),
+            lambda w: F.array_join(
+                F.transform(
+                    F.array_except(
+                        F.sequence(F.lit(0), F.size(w) - 1),
+                        F.col("_jsp_cov"),
+                    ),
+                    lambda p: F.element_at(w, p + 1),
+                ),
+                " ",
+            ),
+        ),
+        1,
+    )
+    return (
+        df.join(covered, df[id_col] == covered["_jsp_doc"], "left")
+        .withColumn(
+            out_col,
+            F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+            .when(F.col("_jsp_doc").isNotNull(), rebuilt)
+            .otherwise(F.col(text_col)),
+        )
+        .drop("_jsp_doc", "_jsp_cov")
+    )
