@@ -900,6 +900,23 @@ def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      min_tokens=8)
 
 
+def q_within_doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document duplicate-line removal (RefinedWeb in-doc rule):
+    keep-first verbatim, trim-keyed, blanks never keyed. The corpus has
+    no in-doc repeats at test SF, so the query appends a deterministic
+    repeated-line block (same concat in the oracle)."""
+    from jsonschemaparse_spark.functions.dedup import dedupe_lines_within_doc
+
+    d = _docs(spark, sf_dir)
+    t = F.concat_ws(
+        "\n", F.col("text"), F.lit("Share this post"),
+        F.concat(F.lit("Unique middle "), F.col("doc_id").cast("string")),
+        F.lit("  Share this post  "), F.lit("Tail line"))
+    out = dedupe_lines_within_doc(
+        d.select("doc_id", t.alias("text")), "doc_id", out_col="text_clean")
+    return out.select("doc_id", "text_clean")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_documents": q_validate_documents,
@@ -958,6 +975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": q_normalize_text,
         "substring_dedup": q_substring_dedup,
         "substring_spans": q_substring_spans,
+        "within_doc_line_dedup": q_within_doc_line_dedup,
     }
 
 
@@ -2257,5 +2275,40 @@ SELECT doc_id,
        CAST(min(p) AS BIGINT) AS start_tok,
        CAST(max(p) + 1 AS BIGINT) AS end_tok
 FROM isl GROUP BY doc_id, g
+""",
+        # engine: trim-keyed min-pos per (doc, line) + per-doc ordered
+        # rebuild; blanks never keyed. string_agg of zero rows is NULL
+        # in DuckDB -> coalesce'd '' (only reachable for all-blank docs)
+        "within_doc_line_dedup": """
+WITH src AS (
+  SELECT doc_id,
+         concat_ws(chr(10), text, 'Share this post',
+                   'Unique middle ' || CAST(doc_id AS VARCHAR),
+                   '  Share this post  ', 'Tail line') AS t
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, i - 1 AS pos, l[i] AS raw, trim(l[i]) AS key
+  FROM (SELECT doc_id, string_split(coalesce(t, ''), chr(10)) AS l
+        FROM src),
+       unnest(generate_series(1, len(l))) AS u(i)
+),
+keeps AS (
+  SELECT doc_id, key, min(pos) AS keep_pos
+  FROM lines WHERE key <> '' GROUP BY doc_id, key
+),
+kept AS (
+  SELECT l.doc_id, l.pos, l.raw
+  FROM lines l LEFT JOIN keeps k USING (doc_id, key)
+  WHERE l.key = '' OR l.pos = k.keep_pos
+),
+reb AS (
+  SELECT doc_id, string_agg(raw, chr(10) ORDER BY pos) AS r
+  FROM kept GROUP BY doc_id
+)
+SELECT s.doc_id,
+       CASE WHEN s.t IS NULL THEN NULL ELSE coalesce(reb.r, '') END
+         AS text_clean
+FROM src s LEFT JOIN reb USING (doc_id)
 """,
     }

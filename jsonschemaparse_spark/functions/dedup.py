@@ -849,6 +849,69 @@ def strip_boilerplate_lines(
     )
 
 
+def dedupe_lines_within_doc(
+    df: DataFrame, id_col: str, text_col: str = "text",
+    out_col: str | None = None,
+) -> DataFrame:
+    """WITHIN-document duplicate-line removal (the RefinedWeb/Dolma
+    in-document repetition rule, the per-doc counterpart of
+    strip_boilerplate_lines): every repeat of a line inside the same
+    document is dropped, the first occurrence survives VERBATIM.
+    Matching is on trimmed content (the cross-doc convention); blank
+    lines are never keyed - paragraph structure survives intact. The
+    newline split/join pair is lossless, so a doc with no repeats
+    round-trips byte-identically.
+
+    Scale shape: all keys carry the doc id, so there is no hot-key skew
+    by construction; two (doc, ...)-keyed exchanges (min-pos per (doc,
+    line), then the per-doc rebuild), map-side combine on both, no
+    Python, no join against any corpus-wide structure.
+
+    NULL convention (module header): rewriting op - NULL text stays
+    NULL."""
+    out_col = out_col or text_col
+    exploded = (
+        df.select(
+            F.col(id_col).alias("_jsp_doc"),
+            F.posexplode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+            ).alias("_jsp_pos", "_jsp_raw"),
+        )
+        .withColumn("_jsp_key", F.trim(F.col("_jsp_raw")))
+    )
+    firsts = (
+        exploded.filter(F.col("_jsp_key") != "")
+        .groupBy("_jsp_doc", "_jsp_key")
+        .agg(F.min("_jsp_pos").alias("_jsp_keep_pos"))
+    )
+    kept = (
+        exploded.join(firsts, ["_jsp_doc", "_jsp_key"], "left")
+        .filter(
+            (F.col("_jsp_key") == "")
+            | (F.col("_jsp_pos") == F.col("_jsp_keep_pos"))
+        )
+    )
+    rebuilt = kept.groupBy("_jsp_doc").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_jsp_pos", "_jsp_raw"))),
+                lambda s: s.getField("_jsp_raw"),
+            ),
+            "\n",
+        ).alias("_jsp_rebuilt")
+    )
+    return (
+        df.join(rebuilt, df[id_col] == rebuilt["_jsp_doc"], "left")
+        .drop("_jsp_doc")
+        .withColumn(
+            out_col,
+            F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+            .otherwise(F.coalesce(F.col("_jsp_rebuilt"), F.lit(""))),
+        )
+        .drop("_jsp_rebuilt")
+    )
+
+
 # ---------------------------------------------------------------------------
 # C4 three-sentence-span dedup (Raffel et al. 2020 §2.2: "we discarded any
 # repeated occurrence of any three-sentence span"). Keep-first semantics:
