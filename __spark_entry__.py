@@ -917,6 +917,23 @@ def q_within_doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "text_clean")
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bigram-LM perplexity: train on the corpus, score each
+    doc (mean -log2 P(w2|w1), add-0.5 smoothing). Scores rounded so
+    engine log/ulp differences cannot flip the value hash
+    (functions/lm.py)."""
+    from jsonschemaparse_spark.functions.lm import (
+        lm_perplexity,
+        train_bigram_lm,
+    )
+
+    d = _docs(spark, sf_dir)
+    lm = train_bigram_lm(d, id_col="doc_id")
+    out = lm_perplexity(d, lm, "doc_id")
+    return out.select("doc_id", "n_bigrams",
+                      F.round("log2_ppl", 6).alias("log2_ppl"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_documents": q_validate_documents,
@@ -976,6 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": q_substring_dedup,
         "substring_spans": q_substring_spans,
         "within_doc_line_dedup": q_within_doc_line_dedup,
+        "lm_perplexity": q_lm_perplexity,
     }
 
 
@@ -2310,5 +2328,37 @@ SELECT s.doc_id,
        CASE WHEN s.t IS NULL THEN NULL ELSE coalesce(reb.r, '') END
          AS text_clean
 FROM src s LEFT JOIN reb USING (doc_id)
+""",
+        # engine: train + score in one plan; same _NORM tokens, same
+        # add-0.5 smoothing, same history counts (bigram POSITIONS).
+        # round(...,6) on both sides absorbs log ulp differences.
+        "lm_perplexity": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(
+           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+           t -> t <> '') AS w
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+  FROM toks, unnest(generate_series(1, len(w) - 1)) AS u(i)
+  WHERE len(w) >= 2
+),
+bgc AS (SELECT w1, w2, count(*) AS nbg FROM bg GROUP BY w1, w2),
+ugc AS (SELECT w1, count(*) AS nw1 FROM bg GROUP BY w1),
+v AS (SELECT count(DISTINCT t) AS vocab
+      FROM (SELECT unnest(w) AS t FROM toks)),
+scored AS (
+  SELECT b.doc_id, count(*) AS n,
+         avg(-log2((coalesce(bgc.nbg, 0) + 0.5)
+                   / (coalesce(ugc.nw1, 0) + 0.5 * v.vocab))) AS lp
+  FROM bg b LEFT JOIN bgc USING (w1, w2) LEFT JOIN ugc USING (w1), v
+  GROUP BY b.doc_id
+)
+SELECT t.doc_id,
+       CAST(coalesce(s.n, 0) AS BIGINT) AS n_bigrams,
+       round(s.lp, 6) AS log2_ppl
+FROM toks t LEFT JOIN scored s USING (doc_id)
 """,
     }

@@ -349,6 +349,23 @@ def main() -> None:
 
     bench("substring_dedup", substring_bench)
 
+    # bigram-LM perplexity: train once outside the timed region (the
+    # production shape — the model is trained on a reference corpus,
+    # broadcast, and reused), score the corpus per pass
+    from jsonschemaparse_spark.functions.lm import (
+        lm_perplexity,
+        train_bigram_lm,
+    )
+
+    _lm_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    _lm = train_bigram_lm(_lm_docs, id_col="doc_id")
+
+    def lm_bench():
+        out = lm_perplexity(_lm_docs, _lm, "doc_id")
+        out.select(F.sum("n_bigrams"), F.avg("log2_ppl")).collect()
+
+    bench("lm_perplexity", lm_bench)
+
     # stats profile
     def stats():
         from jsonschemaparse_spark.functions.stats import column_profile

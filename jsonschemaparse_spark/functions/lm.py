@@ -1,0 +1,163 @@
+"""N-gram language-model perplexity scoring (the CCNet / GPT-3 era
+quality signal: score web documents against an LM trained on a trusted
+reference corpus; keep the low-perplexity head or stratify into
+head/middle/tail buckets).
+
+The reference (a single-document JSON validator) has no counterpart;
+this sits in the repo's LLM-training-data tier next to the hashed
+linear classifier (functions/classifier.py) — the classifier is a
+discriminative gate, this is the generative one.
+
+Model: word bigrams with add-alpha smoothing over the training vocab,
+    P(w2 | w1) = (c(w1 w2) + alpha) / (c(w1) + alpha * V)
+so an unseen bigram backs off to alpha / (c(w1) + alpha*V) and an
+unseen history to 1/V — every score is finite without a separate
+backoff table. Tokens are the _NORM convention (lowercased,
+whitespace-split), matching the dedup/stats tier.
+
+Scale shape (the 100-TB argument):
+- training is one explode + two map-side-combined hash aggregates;
+  the shuffle is bounded by the bigram vocabulary, not the corpus.
+- scoring explodes the doc's bigrams once (the token array bound once
+  inside the generator — the r5 CollapseProject/Generate lesson), joins
+  the BROADCAST model tables (explicit F.broadcast: the model is the
+  small side by construction; without the hint AQE would materialize
+  the corpus-side shuffle first — r5 NOTES), and folds back to one row
+  per doc with a map-side-combinable sum/count. No corpus-keyed
+  shuffle other than the per-doc agg.
+- max_bigrams caps the model (keep the most frequent); dropped bigrams
+  are NOT silent — they score exactly like unseen bigrams, and
+  train_bigram_lm reports how many were dropped in BigramLM.n_dropped
+  (the no-silent-caps rule).
+
+DuckDB oracle twin: fully algorithmic (same counts, same smoothing,
+same log2); scores are rounded in the driver query so engine log/ulp
+differences cannot flip the value hash (the classifier_scores
+convention).
+
+NULL convention: metric op over KEYED rows — a doc with fewer than 2
+tokens (including NULL/empty text) has no bigrams and scores NULL
+(perplexity of nothing is undefined, not 0)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import normalized_text
+
+
+def _tokens(text_col: Column) -> Column:
+    return F.filter(
+        F.split(F.coalesce(normalized_text(text_col), F.lit("")), " "),
+        lambda t: t != "")
+
+
+def _bigram_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per (doc, w1, w2) bigram occurrence. The token array is
+    bound once as a lambda variable; the pair array is built inside the
+    generator so CollapseProject cannot re-evaluate the split per
+    element."""
+    pairs = F.element_at(
+        F.transform(
+            F.array(_tokens(F.col(text_col))),
+            lambda w: F.when(
+                F.size(w) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - 1),
+                    lambda i: F.struct(
+                        F.element_at(w, i).alias("w1"),
+                        F.element_at(w, i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<w1:string,w2:string>>")),
+        ),
+        1,
+    )
+    return df.select(
+        F.col(id_col).alias("_jsp_doc"),
+        F.explode(pairs).alias("_jsp_bg"),
+    ).select("_jsp_doc", F.col("_jsp_bg.w1").alias("w1"),
+             F.col("_jsp_bg.w2").alias("w2"))
+
+
+@dataclass
+class BigramLM:
+    """A trained bigram model: `bigrams` (w1, w2, n), `unigrams`
+    (w1, n) — history counts over bigram POSITIONS, i.e. every token
+    except each doc's last — `vocab_size`, `alpha`, and `n_dropped`
+    (bigram types cut by max_bigrams; they score as unseen)."""
+
+    bigrams: DataFrame
+    unigrams: DataFrame
+    vocab_size: int
+    alpha: float
+    n_dropped: int
+
+
+def train_bigram_lm(
+    df: DataFrame, text_col: str = "text", *, alpha: float = 0.5,
+    max_bigrams: int | None = None, id_col: str | None = None,
+) -> BigramLM:
+    """Count bigrams/histories over the training corpus. vocab_size is
+    the distinct-token count of the corpus (the smoothing denominator's
+    V). The two count tables are materialized eagerly (they are the
+    broadcast side of every score; an unmaterialized model would re-run
+    the training scan per scoring query — the r5 IVF-index lesson)."""
+    key = id_col or "__row__"
+    src = df if id_col else df.withColumn(
+        key, F.monotonically_increasing_id())
+    bg = _bigram_rows(src, key, text_col)
+    bigrams = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    n_dropped = 0
+    if max_bigrams is not None:
+        total = bigrams.count()
+        if total > max_bigrams:
+            n_dropped = total - max_bigrams
+            # deterministic cut: frequency desc, then (w1, w2) asc
+            bigrams = bigrams.orderBy(
+                F.col("n").desc(), "w1", "w2").limit(max_bigrams)
+    unigrams = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n"))
+    vocab = src.select(
+        F.explode(_tokens(F.col(text_col))).alias("t")).distinct().count()
+    return BigramLM(
+        bigrams=bigrams.persist(),
+        unigrams=unigrams.persist(),
+        vocab_size=max(vocab, 1),
+        alpha=alpha,
+        n_dropped=n_dropped,
+    )
+
+
+def lm_perplexity(
+    df: DataFrame, lm: BigramLM, id_col: str, text_col: str = "text",
+) -> DataFrame:
+    """Per-doc bigram log2-perplexity: df + (n_bigrams, log2_ppl,
+    perplexity). log2_ppl = mean over bigram positions of
+    -log2 P(w2|w1); docs with < 2 tokens get NULL scores."""
+    a, v = float(lm.alpha), int(lm.vocab_size)
+    bg = _bigram_rows(df, id_col, text_col)
+    joined = (
+        bg.join(F.broadcast(lm.bigrams.withColumnRenamed("n", "_jsp_nbg")),
+                ["w1", "w2"], "left")
+        .join(F.broadcast(lm.unigrams.withColumnRenamed("n", "_jsp_nw1")),
+              ["w1"], "left")
+    )
+    logp = F.log2(
+        (F.coalesce(F.col("_jsp_nbg"), F.lit(0)).cast("double") + a)
+        / (F.coalesce(F.col("_jsp_nw1"), F.lit(0)).cast("double") + a * v))
+    scored = joined.groupBy("_jsp_doc").agg(
+        F.count(F.lit(1)).alias("_jsp_n"),
+        F.avg(-logp).alias("_jsp_log2ppl"),
+    )
+    return (
+        df.join(scored, df[id_col] == scored["_jsp_doc"], "left")
+        .withColumn("n_bigrams",
+                    F.coalesce(F.col("_jsp_n"), F.lit(0)).cast("long"))
+        .withColumn("log2_ppl", F.col("_jsp_log2ppl"))
+        .withColumn("perplexity", F.pow(F.lit(2.0), F.col("_jsp_log2ppl")))
+        .drop("_jsp_doc", "_jsp_n", "_jsp_log2ppl")
+    )
