@@ -321,8 +321,11 @@ def main() -> None:
 
     bench("incremental_dedup", incremental_bench)
 
-    # unicode canonicalization: NFC Arrow UDF (ASCII fast path on ~2/3
-    # of rows, real decomposed suffix on the rest) + JVM cleanup chain
+    # unicode canonicalization: ASCII fast path on 2/3 of rows (CRLF is
+    # ASCII \u2014 it exercises the JVM newline step while str.isascii()
+    # skips the Python normalize; r6 review: an NBSP here made EVERY
+    # row take the slow path, overstating the production Python cost),
+    # real decomposed suffix on the rest
     def normalize_bench():
         from jsonschemaparse_spark.functions.normalize import normalize_text
 
@@ -330,7 +333,7 @@ def main() -> None:
         raw = F.concat(
             F.coalesce(F.col("text"), F.lit("")),
             F.when(F.col("doc_id") % 3 == 0, F.lit(" Cafe\u0301"))
-             .otherwise(F.lit("\r\nline\u00a0x")))
+             .otherwise(F.lit("\r\nplain ascii tail.")))
         out = normalize_text(d.select("doc_id", raw.alias("text")))
         out.select(F.sum(F.length("text"))).collect()
 

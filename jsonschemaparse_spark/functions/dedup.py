@@ -843,6 +843,9 @@ def strip_boilerplate_lines(
         .withColumn(
             out_col,
             F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+            # NULL-id docs never match the rebuild join — untouched,
+            # not wiped to '' (r6 review finding #2)
+            .when(F.col(id_col).isNull(), F.col(text_col))
             .otherwise(F.coalesce(F.col("_jsp_rebuilt"), F.lit(""))),
         )
         .drop("_jsp_rebuilt")
@@ -906,6 +909,10 @@ def dedupe_lines_within_doc(
         .withColumn(
             out_col,
             F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+            # NULL-id docs never match the rebuild join (equality join,
+            # not null-safe): pass them through untouched instead of
+            # wiping to '' (r6 review finding #2)
+            .when(F.col(id_col).isNull(), F.col(text_col))
             .otherwise(F.coalesce(F.col("_jsp_rebuilt"), F.lit(""))),
         )
         .drop("_jsp_rebuilt")
@@ -1040,6 +1047,9 @@ def remove_duplicate_spans(
         .withColumn(
             out_col,
             F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+            # NULL-id docs never match the rebuild join — untouched,
+            # not wiped to '' (r6 review finding #2)
+            .when(F.col(id_col).isNull(), F.col(text_col))
             .otherwise(F.coalesce(F.col("_jsp_rebuilt"), F.lit(""))),
         )
         .drop("_jsp_rebuilt")
@@ -1058,6 +1068,17 @@ def remove_duplicate_spans(
 # applies). Keep-first = min (doc, pos), the family convention
 # (remove_duplicate_spans above).
 # ---------------------------------------------------------------------------
+def _ws_tokens(text_col: str) -> Column:
+    """RAW whitespace tokens (case/punctuation preserved — 'exact
+    substring' means exact). ONE definition shared by the window scan
+    and the rebuild: the covered-index set indexes into this array, so
+    a drifted copy would silently delete the wrong tokens (r6 review
+    finding #4)."""
+    return F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda t: t != "")
+
+
 def _substring_rows(df: DataFrame, id_col: str, text_col: str, k: int,
                     hash_mode: str = "md5") -> DataFrame:
     """One row per (doc, pos, window_hash): hashes of the K-token sliding
@@ -1075,9 +1096,7 @@ def _substring_rows(df: DataFrame, id_col: str, text_col: str, k: int,
         return F.md5(joined) if hash_mode == "md5" else \
             F.xxhash64(joined).cast("string")
 
-    toks = F.filter(
-        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
-        lambda t: t != "")
+    toks = _ws_tokens(text_col)
     wins = F.element_at(
         F.transform(
             F.array(toks),
@@ -1213,9 +1232,7 @@ def remove_duplicate_substrings(
     k = min_tokens
     out_col = out_col or text_col
     covered = _substring_covered(df, id_col, text_col, k, hash_mode)
-    toks = F.filter(
-        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
-        lambda t: t != "")
+    toks = _ws_tokens(text_col)
     # evaluated only on join-matched (victim) rows, which have >= k
     # tokens by construction — sequence(0, size-1) never sees size 0.
     # array_join([]) is '' in Spark, so a fully-victim doc rebuilds to

@@ -16,8 +16,10 @@ backoff table. Tokens are the _NORM convention (lowercased,
 whitespace-split), matching the dedup/stats tier.
 
 Scale shape (the 100-TB argument):
-- training is one explode + two map-side-combined hash aggregates;
-  the shuffle is bounded by the bigram vocabulary, not the corpus.
+- training is two corpus scans (the bigram-type count, persisted and
+  materialized eagerly, and the vocab count), each a map-side-combined
+  hash aggregate whose shuffle is bounded by the vocabulary, not the
+  corpus; history counts derive from the cached bigram table.
 - scoring explodes the doc's bigrams once (the token array bound once
   inside the generator — the r5 CollapseProject/Generate lesson), joins
   the BROADCAST model tables (explicit F.broadcast: the model is the
@@ -104,28 +106,40 @@ def train_bigram_lm(
 ) -> BigramLM:
     """Count bigrams/histories over the training corpus. vocab_size is
     the distinct-token count of the corpus (the smoothing denominator's
-    V). The two count tables are materialized eagerly (they are the
-    broadcast side of every score; an unmaterialized model would re-run
-    the training scan per scoring query — the r5 IVF-index lesson)."""
+    V).
+
+    Exactly TWO corpus scans (r6 review finding #3 — the first cut ran
+    three, four with the cap): the bigram-type count — persisted and
+    materialized HERE with a count() that doubles as the cap check (an
+    unmaterialized model would re-run the training scan per scoring
+    query, the r5 IVF-index lesson) — and the vocab count (V includes
+    each doc's final token and single-token docs' tokens, so it is NOT
+    derivable from the bigram table). Histories ARE derivable:
+    c(w1) = sum over w2 of c(w1, w2), a model-sized agg over the cached
+    counts, never a corpus scan."""
     key = id_col or "__row__"
     src = df if id_col else df.withColumn(
         key, F.monotonically_increasing_id())
     bg = _bigram_rows(src, key, text_col)
-    bigrams = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    bg_counts = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("n")).persist()
+    n_types = bg_counts.count()  # corpus scan #1; materializes the cache
+    unigrams = bg_counts.groupBy("w1").agg(F.sum("n").alias("n")).persist()
     n_dropped = 0
-    if max_bigrams is not None:
-        total = bigrams.count()
-        if total > max_bigrams:
-            n_dropped = total - max_bigrams
-            # deterministic cut: frequency desc, then (w1, w2) asc
-            bigrams = bigrams.orderBy(
-                F.col("n").desc(), "w1", "w2").limit(max_bigrams)
-    unigrams = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n"))
+    bigrams = bg_counts
+    if max_bigrams is not None and n_types > max_bigrams:
+        n_dropped = n_types - max_bigrams
+        # deterministic cut: frequency desc, then (w1, w2) asc —
+        # histories stay the PRE-cap sums so capped bigrams score
+        # exactly like unseen ones
+        bigrams = bg_counts.orderBy(
+            F.col("n").desc(), "w1", "w2").limit(max_bigrams).persist()
     vocab = src.select(
-        F.explode(_tokens(F.col(text_col))).alias("t")).distinct().count()
+        F.explode(_tokens(F.col(text_col))).alias("t")
+    ).distinct().count()  # corpus scan #2
     return BigramLM(
-        bigrams=bigrams.persist(),
-        unigrams=unigrams.persist(),
+        bigrams=bigrams,
+        unigrams=unigrams,
         vocab_size=max(vocab, 1),
         alpha=alpha,
         n_dropped=n_dropped,

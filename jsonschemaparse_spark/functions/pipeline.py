@@ -176,6 +176,13 @@ def clean_corpus(
     if normalize:
         from .normalize import normalize_text
 
+        # the stage exists to canonicalize the column every later stage
+        # KEYS ON; redirecting the output elsewhere would silently turn
+        # it into a no-op (r6 review finding #1)
+        if normalize_kw and "output_col" in normalize_kw:
+            raise ValueError(
+                "clean_corpus normalize stage must rewrite text_col in "
+                "place; output_col is not allowed in normalize_kw")
         stages.append("normalize")
         out = normalize_text(out, text_col=text_col, **(normalize_kw or {}))
     if seen_df is not None:

@@ -40,11 +40,14 @@ INTRO = ("boilerplate navigation header menu about contact privacy terms "
 K = 20
 
 
-def _shuffle_totals() -> tuple[int, int]:
-    base = f"http://localhost:{UI_PORT}/api/v1/applications"
-    with urllib.request.urlopen(base, timeout=10) as r:
-        app_id = json.load(r)[0]["id"]
-    with urllib.request.urlopen(f"{base}/{app_id}/stages", timeout=10) as r:
+def _shuffle_totals(spark) -> tuple[int, int]:
+    # read THIS session's bound UI url + app id — if the requested port
+    # was taken, Spark auto-increments and a hard-coded port would read
+    # some other application's totals (r6 review finding #6)
+    ui = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    url = f"{ui}/api/v1/applications/{app_id}/stages"
+    with urllib.request.urlopen(url, timeout=10) as r:
         stages = json.load(r)
     return (sum(s.get("shuffleReadBytes", 0) for s in stages),
             sum(s.get("shuffleWriteBytes", 0) for s in stages))
@@ -93,7 +96,7 @@ def main() -> None:
     for label, n in (("small", N_SMALL), ("big", N_BIG)):
         path = corpus_dir(n)
         docs = spark.read.parquet(path)
-        rd0, wr0 = _shuffle_totals()
+        rd0, wr0 = _shuffle_totals(spark)
         t0 = time.perf_counter()
         out = remove_duplicate_substrings(docs, "doc_id", min_tokens=K)
         intro_doc = F.col("doc_id") % 10 != 0
@@ -113,7 +116,7 @@ def main() -> None:
                   .cast("long")),
         ).first()
         wall = time.perf_counter() - t0
-        rd1, wr1 = _shuffle_totals()
+        rd1, wr1 = _shuffle_totals(spark)
         assert n_rows == n, n_rows
         assert n_ok == n, (n_ok, n)
         assert n_unique_identical == n // 10, n_unique_identical

@@ -390,3 +390,14 @@ def test_clean_corpus_normalize_stage(spark):
     a = sorted(tuple(r) for r in res.cleaned.collect())
     b = sorted(tuple(r) for r in pre.cleaned.collect())
     assert a == b
+
+
+def test_clean_corpus_normalize_rejects_output_col(spark):
+    # r6 review finding #1: redirecting the normalize output would make
+    # the stage a silent no-op for every keying stage downstream
+    from jsonschemaparse_spark.functions.pipeline import clean_corpus
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="output_col"):
+        clean_corpus(df, normalize=True,
+                     normalize_kw={"output_col": "text_norm"})

@@ -53,3 +53,34 @@ def test_output_col_and_no_python(spark):
     assert (row["text"], row["clean"]) == ("a\na", "a")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_null_id_doc_passes_through_untouched(spark):
+    # r6 review finding #2: the rebuild join is an equality join, so a
+    # NULL-id doc never matches — it must pass through, not wipe to ''
+    from jsonschemaparse_spark.functions.dedup import (
+        remove_duplicate_spans,
+        strip_boilerplate_lines,
+    )
+
+    df = spark.createDataFrame(
+        [(None, "a\na\nkeep me"), (1, "b\nb")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["text"]
+           for r in dedupe_lines_within_doc(df, "doc_id").collect()}
+    assert got[None] == "a\na\nkeep me"
+    assert got[1] == "b"
+    # same convention across the rebuild family
+    df2 = spark.createDataFrame(
+        [(None, "hot\nown"), (1, "hot\nx"), (2, "hot\ny")],
+        "doc_id long, text string")
+    got2 = {r["doc_id"]: r["text"]
+            for r in strip_boilerplate_lines(df2, "doc_id").collect()}
+    assert got2[None] == "hot\nown"
+    assert got2[1] == "x" and got2[2] == "y"
+    span = ("First sentence here. Second sentence too. Third one closes. "
+            "Tail unique SENTINEL.")
+    df3 = spark.createDataFrame(
+        [(None, span)], "doc_id long, text string")
+    got3 = remove_duplicate_spans(df3, "doc_id").collect()[0]["text"]
+    assert got3 == span
