@@ -106,6 +106,8 @@ def clean_corpus(
     snapshot_mode: str = "bloom",
     normalize: bool = False,
     normalize_kw: "dict | None" = None,
+    lm=None,
+    lm_max_log2_ppl: "float | None" = None,
 ) -> CleanCorpusResult:
     """Apply the canonical cleaning stages in order; returns the surviving
     rows (original columns only), the stages applied, the persisted
@@ -140,6 +142,13 @@ def clean_corpus(
                       heuristic gates — the CCNet/GPT-3 recipe order —
                       and, like them, is a zero-shuffle projection that
                       stacks into the same corpus scan
+      3c. lm          perplexity gate (lm + lm_max_log2_ppl set): keep
+                      docs whose functions/lm.py bigram log2-perplexity
+                      is <= the threshold — the CCNet order, generative
+                      signal after the discriminative classifier. The
+                      gate ABSTAINS on unscoreable (<2-token) docs.
+                      Batch-only (per-doc agg), unlike the stateless
+                      projection gates
       4. span_dedup   remove_duplicate_spans (C4 3-sentence rule) — text
                       REWRITTEN, then re-gated docs are NOT re-filtered
                       (C4 order: span dedup happens after the doc gates)
@@ -243,6 +252,25 @@ def clean_corpus(
                 F.lit(0)).alias("n_after_classifier"))
         out = scored.filter(
             F.col("_jsp_cls") > classifier_threshold).select(*cols)
+    if lm_max_log2_ppl is not None:
+        if lm is None:
+            raise ValueError("lm_max_log2_ppl requires lm (a BigramLM)")
+        from .lm import lm_perplexity
+
+        stages.append("lm")
+        ppl = lm_perplexity(out, lm, id_col, text_col)
+        # gate ABSTAINS on unscoreable docs (< 2 tokens -> NULL score):
+        # perplexity cannot judge them; the heuristic gates are the
+        # short-doc filter. Batch-only stage (per-doc agg; not part of
+        # the streaming stateless prefix).
+        keep = F.col("log2_ppl").isNull() | \
+            (F.col("log2_ppl") <= lm_max_log2_ppl)
+        if observe_funnel:
+            obs_l = Observation()
+            funnel["lm"] = obs_l
+            ppl = ppl.observe(obs_l, F.coalesce(
+                F.sum(F.when(keep, 1)), F.lit(0)).alias("n_after_lm"))
+        out = ppl.filter(keep).select(*cols)
     if span_dedup:
         stages.append("span_dedup")
         out = remove_duplicate_spans(out, id_col, text_col).select(*cols)

@@ -401,3 +401,39 @@ def test_clean_corpus_normalize_rejects_output_col(spark):
     with pytest.raises(ValueError, match="output_col"):
         clean_corpus(df, normalize=True,
                      normalize_kw={"output_col": "text_norm"})
+
+
+def test_clean_corpus_lm_gate(spark):
+    """Stage 3c (r6): the perplexity gate keeps in-distribution docs,
+    drops high-perplexity ones, abstains on unscoreable (<2-token)
+    docs, and reports n_after_lm in the funnel."""
+    from jsonschemaparse_spark.functions.lm import (
+        lm_perplexity,
+        train_bigram_lm,
+    )
+    from jsonschemaparse_spark.functions.pipeline import clean_corpus
+
+    indist = ("the quick brown fox jumps over the lazy dog and then "
+              "the quick brown fox rests") 
+    train = spark.createDataFrame(
+        [(i, indist + f" epoch {i}") for i in range(5)],
+        "doc_id long, text string")
+    lm = train_bigram_lm(train, id_col="doc_id")
+
+    batch = spark.createDataFrame(
+        [(1, indist + " epoch 99"),                       # in-distribution
+         (2, "zzz qqq vvv kkk jjj xxx www unseen tokens entirely"),
+         (3, "solo")],                                    # unscoreable
+        "doc_id long, text string")
+    scores = {r["doc_id"]: r["log2_ppl"]
+              for r in lm_perplexity(batch, lm, "doc_id").collect()}
+    thr = (scores[1] + scores[2]) / 2
+    res = clean_corpus(batch, gopher=False, c4=False,
+                       lm=lm, lm_max_log2_ppl=thr, observe_funnel=True)
+    kept = sorted(r["doc_id"] for r in res.cleaned.collect())
+    assert kept == [1, 3]                                 # 2 gated, 3 abstained
+    assert "lm" in res.stages
+    assert res.funnel_counts()["n_after_lm"] == 2
+
+    with pytest.raises(ValueError, match="BigramLM"):
+        clean_corpus(batch, gopher=False, c4=False, lm_max_log2_ppl=1.0)
