@@ -934,6 +934,25 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("log2_ppl", 6).alias("log2_ppl"))
 
 
+def q_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail stratification over the LM scores with
+    FIXED cut points (the production thresholds= path — CCNet computes
+    cut points once on a sample, every shard applies constants; the
+    in-call percentile_approx path is approx-by-design and pinned in
+    pytest instead)."""
+    from jsonschemaparse_spark.functions.lm import (
+        lm_buckets,
+        lm_perplexity,
+        train_bigram_lm,
+    )
+
+    d = _docs(spark, sf_dir)
+    lm = train_bigram_lm(d, id_col="doc_id")
+    scored = lm_perplexity(d, lm, "doc_id")
+    out = lm_buckets(scored, thresholds=[7.0, 8.0])
+    return out.select("doc_id", F.col("lm_bucket").cast("int").alias("lm_bucket"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_documents": q_validate_documents,
@@ -994,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_spans": q_substring_spans,
         "within_doc_line_dedup": q_within_doc_line_dedup,
         "lm_perplexity": q_lm_perplexity,
+        "lm_buckets": q_lm_buckets,
     }
 
 
@@ -2359,6 +2379,42 @@ scored AS (
 SELECT t.doc_id,
        CAST(coalesce(s.n, 0) AS BIGINT) AS n_bigrams,
        round(s.lp, 6) AS log2_ppl
+FROM toks t LEFT JOIN scored s USING (doc_id)
+""",
+        # engine: same LM lineage as lm_perplexity, bucket by the same
+        # FIXED cut points (<= 7.0 -> 0, <= 8.0 -> 1, else 2; NULL
+        # score -> NULL bucket). Unrounded scores on both sides: a log
+        # ulp difference can only flip a bucket if a score lands
+        # EXACTLY on a cut point, which the fixed constants avoid.
+        "lm_buckets": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(
+           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+           t -> t <> '') AS w
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+  FROM toks, unnest(generate_series(1, len(w) - 1)) AS u(i)
+  WHERE len(w) >= 2
+),
+bgc AS (SELECT w1, w2, count(*) AS nbg FROM bg GROUP BY w1, w2),
+ugc AS (SELECT w1, count(*) AS nw1 FROM bg GROUP BY w1),
+v AS (SELECT count(DISTINCT t) AS vocab
+      FROM (SELECT unnest(w) AS t FROM toks)),
+scored AS (
+  SELECT b.doc_id,
+         avg(-log2((coalesce(bgc.nbg, 0) + 0.5)
+                   / (coalesce(ugc.nw1, 0) + 0.5 * v.vocab))) AS lp
+  FROM bg b LEFT JOIN bgc USING (w1, w2) LEFT JOIN ugc USING (w1), v
+  GROUP BY b.doc_id
+)
+SELECT t.doc_id,
+       CASE WHEN s.lp IS NULL THEN NULL
+            WHEN s.lp <= 7.0 THEN 0
+            WHEN s.lp <= 8.0 THEN 1
+            ELSE 2 END AS lm_bucket
 FROM toks t LEFT JOIN scored s USING (doc_id)
 """,
     }

@@ -175,3 +175,35 @@ def lm_perplexity(
         .withColumn("perplexity", F.pow(F.lit(2.0), F.col("_jsp_log2ppl")))
         .drop("_jsp_doc", "_jsp_n", "_jsp_log2ppl")
     )
+
+
+def lm_buckets(
+    scored: DataFrame, *, buckets: tuple[float, ...] = (1 / 3, 2 / 3),
+    score_col: str = "log2_ppl", accuracy: int = 10_000,
+    thresholds: "list[float] | None" = None,
+) -> DataFrame:
+    """CCNet head/middle/tail stratification: adds `lm_bucket` (0 =
+    lowest-perplexity stratum) from quantile cut points of `score_col`.
+
+    thresholds: pass precomputed cut points (the production shape — the
+    CCNet paper computes them once per language on a sample, then every
+    shard applies the same constants; a 100-TB run must NOT recompute
+    global quantiles per shard). When None, cut points come from ONE
+    percentile_approx pass (GK sketch, `accuracy`) over `scored` — the
+    same approx-by-design contract as stats.column_profile's quantiles:
+    deterministic, but not DuckDB-twinnable, so drive correctness
+    through the thresholds= path (exact SQL quantiles) and pin the
+    approx path's monotonicity in pytest.
+
+    NULL scores (unscoreable docs) get bucket NULL — they are neither
+    head nor tail."""
+    if thresholds is None:
+        qs = [float(q) for q in buckets]
+        row = scored.select(
+            F.percentile_approx(score_col, qs, accuracy).alias("t")).first()
+        thresholds = [float(t) for t in row["t"]]
+    expr = F.when(F.col(score_col).isNull(), F.lit(None).cast("int"))
+    for b, t in enumerate(thresholds):
+        expr = expr.when(F.col(score_col) <= t, b)
+    expr = expr.otherwise(len(thresholds))
+    return scored.withColumn("lm_bucket", expr)

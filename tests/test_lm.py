@@ -92,3 +92,39 @@ def test_plan_broadcasts_model(spark, lm):
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 2
     assert "EvalPython" not in plan
+
+
+def test_lm_buckets_thresholds_path(spark, lm):
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b c"), (3, "z z"), (4, "solo")],
+        "doc_id long, text string")
+    scored = lm_perplexity(df, lm, "doc_id")
+    from jsonschemaparse_spark.functions.lm import lm_buckets
+
+    vals = {r["doc_id"]: r["log2_ppl"] for r in scored.collect()}
+    # cut exactly between the sorted finite scores
+    s = sorted(v for v in vals.values() if v is not None)
+    thr = [(s[0] + s[1]) / 2, (s[1] + s[2]) / 2]
+    out = {r["doc_id"]: r["lm_bucket"]
+           for r in lm_buckets(scored, thresholds=thr).collect()}
+    ranked = sorted((v, k) for k, v in vals.items() if v is not None)
+    assert out[ranked[0][1]] == 0
+    assert out[ranked[1][1]] == 1
+    assert out[ranked[2][1]] == 2
+    assert out[4] is None                     # unscoreable: no bucket
+
+
+def test_lm_buckets_approx_path_monotonic(spark, lm):
+    rows = [(i, " ".join(["a b"] * (i % 7 + 1)) + (" z" * (i % 5)))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    scored = lm_perplexity(df, lm, "doc_id")
+    from jsonschemaparse_spark.functions.lm import lm_buckets
+
+    out = lm_buckets(scored).collect()
+    got = [(r["log2_ppl"], r["lm_bucket"]) for r in out
+           if r["log2_ppl"] is not None]
+    got.sort()
+    buckets = [b for _, b in got]
+    assert buckets == sorted(buckets)          # monotonic in score
+    assert set(buckets) == {0, 1, 2}
