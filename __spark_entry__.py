@@ -953,6 +953,24 @@ def q_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.col("lm_bucket").cast("int").alias("lm_bucket"))
 
 
+def q_quantized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 embedding quantization: per-dim affine int8 codes from global
+    min/span stats (one aggregate pass, pure-projection encode). EXACT
+    integer oracle — IEEE +,-,*,/ are exactly rounded so both engines
+    compute bit-identical doubles, and round-half-away-from-zero matches
+    (functions/similarity.py)."""
+    from jsonschemaparse_spark.functions.similarity import (
+        embedding_dim_stats,
+        quantize_embeddings,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    stats = embedding_dim_stats(emb)
+    return quantize_embeddings(emb, stats).select(
+        "vec_id", F.col("qvec").cast("array<int>").alias("qvec"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_documents": q_validate_documents,
@@ -1014,6 +1032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "within_doc_line_dedup": q_within_doc_line_dedup,
         "lm_perplexity": q_lm_perplexity,
         "lm_buckets": q_lm_buckets,
+        "quantized_embeddings": q_quantized_embeddings,
     }
 
 
@@ -2416,5 +2435,31 @@ SELECT t.doc_id,
             WHEN s.lp <= 8.0 THEN 1
             ELSE 2 END AS lm_bucket
 FROM toks t LEFT JOIN scored s USING (doc_id)
+""",
+        # engine: one 2*d-agg stats pass + zip_with projection encode;
+        # twin recomputes the same per-dim min/span and affine rounding
+        # (IEEE arithmetic bit-identical; round half-away-from-zero in
+        # both engines). Compared as array<int> for a clean hash cell.
+        "quantized_embeddings": """
+WITH stats AS (
+  SELECT i, min(CAST(v AS DOUBLE)) AS mn, max(CAST(v AS DOUBLE)) AS mx
+  FROM (SELECT unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings)
+  GROUP BY i
+),
+arrs AS (
+  SELECT list(mn ORDER BY i) AS mins,
+         list(mx - mn ORDER BY i) AS spans
+  FROM stats
+)
+SELECT e.vec_id,
+       list_transform(
+         generate_series(1, len(e.embedding)),
+         i -> CASE WHEN a.spans[i] > 0
+              THEN CAST(round((CAST(e.embedding[i] AS DOUBLE) - a.mins[i])
+                              / a.spans[i] * 255.0) AS INTEGER) - 128
+              ELSE 0 END) AS qvec
+FROM embeddings e, arrs a
 """,
     }

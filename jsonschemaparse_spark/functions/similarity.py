@@ -476,3 +476,79 @@ def embedding_near_duplicates(
         .select("id_a", "id_b", F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (SQ8): the ANN memory/IO lever at 100 TB — a
+# float32 embedding column shrinks 4x (array<tinyint>), which is the
+# difference between an in-memory and a spilling corpus for the
+# brute-force and IVF paths above. Per-dimension affine quantization:
+#     q_i = round((x_i - min_i) / span_i * 255) - 128      (span > 0)
+# with the global per-dim min/span computed in ONE aggregate pass (2*d
+# map-side-combinable min/max aggs — no explode, no (row, dim) shuffle).
+# Dequantization error is bounded by span_i / 255 / 2 per dimension.
+# ---------------------------------------------------------------------------
+def embedding_dim_stats(
+    df: DataFrame, vec_col: str = "embedding", dim: int | None = None,
+) -> tuple[list[float], list[float]]:
+    """(mins, maxs) per dimension, one corpus pass. The result is a
+    driver-side constant pair (2*d floats) — persist it alongside the
+    quantized table; quantize/dequantize must use the SAME stats."""
+    d = _dim_of(df, vec_col, dim)
+    elem = lambda i: F.element_at(F.col(vec_col), i + 1).cast("double")
+    row = df.agg(
+        F.array(*[F.min(elem(i)) for i in range(d)]).alias("mins"),
+        F.array(*[F.max(elem(i)) for i in range(d)]).alias("maxs"),
+    ).first()
+    return [float(v) for v in row["mins"]], [float(v) for v in row["maxs"]]
+
+
+def _stats_arrays(stats: tuple[list[float], list[float]]):
+    mins, maxs = stats
+    mins_l = F.array(*[F.lit(float(v)) for v in mins])
+    spans_l = F.array(*[F.lit(float(mx - mn))
+                        for mn, mx in zip(mins, maxs)])
+    return mins_l, spans_l
+
+
+def quantize_embeddings(
+    df: DataFrame, stats: tuple[list[float], list[float]],
+    vec_col: str = "embedding", out_col: str = "qvec",
+) -> DataFrame:
+    """Adds `out_col`: array<tinyint> SQ8 codes. Pure projection — the
+    stats ride along as literal arrays, each evaluated once per row by
+    the zip_with pair (NOT element_at(literal, i) inside a transform
+    lambda, which would rebuild the d-element literal per element:
+    O(d^2) per row). Constant dimensions (span 0) code to 0."""
+    mins_l, spans_l = _stats_arrays(stats)
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    paired = F.zip_with(
+        vec_d, mins_l, lambda x, mn: F.struct(x.alias("x"), mn.alias("mn")))
+    q = F.zip_with(
+        paired, spans_l,
+        lambda s, sp: F.when(
+            sp > 0,
+            (F.round(
+                (s.getField("x") - s.getField("mn")) / sp * 255.0)
+             .cast("int") - 128),
+        ).otherwise(F.lit(0)).cast("tinyint"))
+    return df.withColumn(out_col, q)
+
+
+def dequantize_embeddings(
+    df: DataFrame, stats: tuple[list[float], list[float]],
+    qvec_col: str = "qvec", out_col: str = "embedding",
+) -> DataFrame:
+    """Inverse projection: x̂_i = min_i + (q_i + 128) / 255 * span_i.
+    Feed the result to brute_force_topk / ivf_topk for 4x-cheaper scans
+    at a bounded score error."""
+    mins_l, spans_l = _stats_arrays(stats)
+    paired = F.zip_with(
+        F.col(qvec_col), mins_l,
+        lambda q, mn: F.struct(q.cast("double").alias("q"),
+                               mn.alias("mn")))
+    x = F.zip_with(
+        paired, spans_l,
+        lambda s, sp: s.getField("mn")
+        + (s.getField("q") + 128.0) / 255.0 * sp)
+    return df.withColumn(out_col, x)

@@ -1583,3 +1583,63 @@ def test_vocabulary_rank_and_tiebreak(spark):
             for r in vocabulary(df, size=2).orderBy("rank").collect()]
     # a and b tie at 2 -> token asc breaks the tie; c cut by size
     assert rows == [(0, "a", 2), (1, "b", 2)]
+
+
+def test_sq8_quantization_roundtrip_and_bounds(spark):
+    """SQ8 (r6): codes live in [-128, 127], constant dims code to 0,
+    and the dequantization error is bounded by span/255/2 per dim."""
+    from jsonschemaparse_spark.functions.similarity import (
+        dequantize_embeddings,
+        embedding_dim_stats,
+        quantize_embeddings,
+    )
+
+    rows = [(i, [float(i), -1.0 + i * 0.25, 7.5]) for i in range(9)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    stats = embedding_dim_stats(df)
+    mins, maxs = stats
+    assert mins == [0.0, -1.0, 7.5] and maxs == [8.0, 1.0, 7.5]
+
+    q = quantize_embeddings(df, stats)
+    back = dequantize_embeddings(q, stats, out_col="deq")
+    for r in back.collect():
+        for d in range(3):
+            code = r["qvec"][d]
+            assert -128 <= code <= 127
+            span = maxs[d] - mins[d]
+            if span == 0:
+                assert code == 0
+                # constant dim dequantizes to min + 128/255*0 = min
+                assert r["deq"][d] == mins[d]
+            else:
+                orig = rows[r["vec_id"]][1][d]
+                assert abs(r["deq"][d] - orig) <= span / 255 / 2 + 1e-12
+    # extremes hit the code range ends
+    codes0 = {r["vec_id"]: r["qvec"][0] for r in q.collect()}
+    assert codes0[0] == -128 and codes0[8] == 127
+
+
+def test_sq8_topk_matches_float_topk_on_separated_corpus(spark):
+    """On a corpus with clear cosine separation, brute-force top-k over
+    dequantized SQ8 vectors returns the same ids as the float path."""
+    import math
+
+    from jsonschemaparse_spark.functions.similarity import (
+        brute_force_topk,
+        dequantize_embeddings,
+        embedding_dim_stats,
+        quantize_embeddings,
+    )
+
+    def vec(theta):
+        return [math.cos(theta), math.sin(theta), 0.0, 1.0]
+
+    rows = [(i, vec(i * 0.35)) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qdf = dequantize_embeddings(
+        quantize_embeddings(df, embedding_dim_stats(df)).drop("embedding"),
+        embedding_dim_stats(df))
+    query = rows[0][1]
+    a = [r["vec_id"] for r in brute_force_topk(df, query, k=4).collect()]
+    b = [r["vec_id"] for r in brute_force_topk(qdf, query, k=4).collect()]
+    assert a == b
