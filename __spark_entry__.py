@@ -971,6 +971,15 @@ def q_quantized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("qvec").cast("array<int>").alias("qvec"))
 
 
+def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) corpus quality report: gate pass rates + size
+    stats from one fused-gate scan (functions/text.py quality_report).
+    Integer-derived aggregates only, so the twin is exact."""
+    from jsonschemaparse_spark.functions.text import quality_report
+
+    return quality_report(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_documents": q_validate_documents,
@@ -1033,6 +1042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "lm_buckets": q_lm_buckets,
         "quantized_embeddings": q_quantized_embeddings,
+        "quality_report": q_quality_report,
     }
 
 
@@ -2461,5 +2471,49 @@ SELECT e.vec_id,
                               / a.spans[i] * 255.0) AS INTEGER) - 128
               ELSE 0 END) AS qvec
 FROM embeddings e, arrs a
+""",
+        # engine: quality_flags fused gate over RAW text -> groupBy
+        # (lang, source). Thresholds applied to UNROUNDED ratios of
+        # exact integers (bit-identical across engines); only
+        # integer-derived aggregates are emitted, so no float drift.
+        "quality_report": r"""
+WITH f AS (
+  SELECT doc_id, lang, source, coalesce(text, '') AS text,
+    list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'), w -> w <> '') AS words,
+    list_filter(string_split(coalesce(text, ''), chr(10)), l -> trim(l) <> '') AS lines,
+    list_filter(regexp_split_to_array(coalesce(text, ''), '\n\n+'), p -> trim(p) <> '') AS paras
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang, source, len(words) AS n_words,
+    (len(words) >= 50 AND len(words) <= 100000
+     AND CASE WHEN len(words) > 0 THEN list_aggregate(list_transform(words, w -> length(w)), 'sum') * 1.0 / len(words) ELSE 0 END >= 3
+     AND CASE WHEN len(words) > 0 THEN list_aggregate(list_transform(words, w -> length(w)), 'sum') * 1.0 / len(words) ELSE 0 END <= 10
+     AND CASE WHEN len(words) > 0 THEN ((length(text) - length(replace(text, '#', ''))) + len(regexp_extract_all(text, '\.\.\.|…'))) * 1.0 / len(words) ELSE 0 END <= 0.1
+     AND CASE WHEN len(lines) > 0 THEN len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) * 1.0 / len(lines) ELSE 0 END <= 0.9
+     AND CASE WHEN len(lines) > 0 THEN len(list_filter(lines, l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) * 1.0 / len(lines) ELSE 0 END <= 0.3
+     AND CASE WHEN len(words) > 0 THEN len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) * 1.0 / len(words) ELSE 0 END >= 0.8
+     AND CASE WHEN len(lines) > 0 THEN (len(lines) - len(list_distinct(lines))) * 1.0 / len(lines) ELSE 0 END <= 0.3
+     AND CASE WHEN len(paras) > 0 THEN (len(paras) - len(list_distinct(paras))) * 1.0 / len(paras) ELSE 0 END <= 0.3
+     AND CASE WHEN list_aggregate(list_transform(lines, x -> length(x)), 'sum') > 0
+         THEN list_aggregate(list_transform(lines, x -> CASE WHEN len(list_filter(lines, y -> y = x)) > 1 THEN length(x) ELSE 0 END), 'sum') * 1.0
+              / list_aggregate(list_transform(lines, x -> length(x)), 'sum')
+         ELSE 0 END <= 0.2
+     AND CASE WHEN list_aggregate(list_transform(paras, x -> length(x)), 'sum') > 0
+         THEN list_aggregate(list_transform(paras, x -> CASE WHEN len(list_filter(paras, y -> y = x)) > 1 THEN length(x) ELSE 0 END), 'sum') * 1.0
+              / list_aggregate(list_transform(paras, x -> length(x)), 'sum')
+         ELSE 0 END <= 0.2) AS gopher_keep,
+    (len(list_filter(regexp_split_to_array(text, '[.!?]'), s -> trim(s) <> '')) >= 3
+     AND NOT contains(lower(text), 'lorem ipsum')
+     AND NOT contains(text, '{')) AS c4_keep
+  FROM f
+)
+SELECT lang, source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN gopher_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_keep,
+  CAST(sum(CASE WHEN c4_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_c4_keep,
+  CAST(sum(CASE WHEN gopher_keep AND c4_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+  ROUND(avg(n_words), 6) AS avg_words
+FROM r GROUP BY lang, source
 """,
     }

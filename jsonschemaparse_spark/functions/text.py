@@ -677,3 +677,37 @@ def vocabulary(df: DataFrame, text_col: str = "text", size: int = 1000,
         "token",
         "n",
     )
+
+
+def quality_report(df: DataFrame, group_cols=("lang", "source"),
+                   text_col: str = "text",
+                   badwords: "list[str] | None" = None,
+                   char_fraction_max_items: int = 10_000) -> DataFrame:
+    """Per-group corpus quality report: the monitoring view a production
+    cleaning run ships to its metrics table — gate pass rates and size
+    stats per (lang, source) slice, from ONE fused-gate scan plus one
+    group-sized shuffle.
+
+    Columns: n_docs, n_gopher_keep, n_c4_keep, n_keep (the fused
+    conjunction), avg_words. Only integer-derived aggregates on purpose:
+    count/sum of flags and the exactly-representable n_words sum make
+    the DuckDB twin exact (averaging rounded per-doc doubles would
+    accumulate ulp drift).
+
+    Scale shape: rides the same single projection as quality_flags
+    (no second scan); the shuffle carries one partial-agg row per
+    (task, group) — map-side combined, bounded by the group
+    cardinality, not the corpus."""
+    flagged = quality_flags(df, text_col, gopher=True, c4=True,
+                            badwords=badwords,
+                            char_fraction_max_items=char_fraction_max_items)
+    return (
+        flagged.groupBy(*[F.col(c) for c in group_cols])
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("gopher_keep").cast("long")).alias("n_gopher_keep"),
+            F.sum(F.col("c4_keep").cast("long")).alias("n_c4_keep"),
+            F.sum(F.col("quality_keep").cast("long")).alias("n_keep"),
+            F.round(F.avg("n_words"), 6).alias("avg_words"),
+        )
+    )

@@ -1643,3 +1643,37 @@ def test_sq8_topk_matches_float_topk_on_separated_corpus(spark):
     a = [r["vec_id"] for r in brute_force_topk(df, query, k=4).collect()]
     b = [r["vec_id"] for r in brute_force_topk(qdf, query, k=4).collect()]
     assert a == b
+
+
+def test_quality_report_single_scan_and_counts(spark):
+    """quality_report (r6): grouped gate pass rates from ONE fused scan
+    (no second FileScan/Generate; one group-keyed Exchange), counts
+    reconcile with quality_flags row-by-row."""
+    from jsonschemaparse_spark.functions.text import (
+        quality_flags,
+        quality_report,
+    )
+
+    good = ("A perfectly reasonable document sentence with many words. "
+            * 10 + "It closes with proper sentences. One more here. Done!")
+    rows = [(i, good + f" T{i}.", "en", "web") for i in range(4)]
+    rows += [(10, "- bullets\n- only", "en", "web"),
+             (11, "function f() { }" + good, "de", "crawl"),
+             (12, good + " Tail.", "de", "crawl")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, "
+                                     "lang string, source string")
+    rep = {(r["lang"], r["source"]): r
+           for r in quality_report(df).collect()}
+    flags = quality_flags(df).collect()
+    for key in rep:
+        sub = [f for f in flags if (f["lang"], f["source"]) == key]
+        assert rep[key]["n_docs"] == len(sub)
+        assert rep[key]["n_gopher_keep"] == sum(f["gopher_keep"] for f in sub)
+        assert rep[key]["n_c4_keep"] == sum(f["c4_keep"] for f in sub)
+        assert rep[key]["n_keep"] == sum(f["quality_keep"] for f in sub)
+    assert rep[("en", "web")]["n_gopher_keep"] == 4   # bullets doc gated
+    assert rep[("de", "crawl")]["n_c4_keep"] == 1     # curly-brace doc gated
+
+    plan = quality_report(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1                 # one group shuffle
+    assert "EvalPython" not in plan
