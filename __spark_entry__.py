@@ -980,6 +980,42 @@ def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_report(_docs(spark, sf_dir))
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (functions/tokenizer.py): one word_counts
+    corpus scan + the driver-side indexed merge loop. Exact integer
+    counts + deterministic tie-breaks make the merge table a fixed,
+    parallelism-independent artifact of the corpus (pinned local[8] ==
+    local[32] in tests/test_tokenizer.py), so the oracle ships it as a
+    golden VALUES table — the ann_ivf_partial convention (training is
+    iterative, not SQL-expressible)."""
+    from jsonschemaparse_spark.functions.tokenizer import train_bpe
+
+    m = train_bpe(_docs(spark, sf_dir), n_merges=40, min_count=2)
+    return m.merges_df(spark).select(
+        "rank",
+        F.col("left").alias("left_sym"),
+        F.col("right").alias("right_sym"),
+    )
+
+
+def q_bpe_tokens_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bpe_encode over a pinned doc subset with the sf-trained model:
+    (doc_id, bpe_text, n_bpe). Encoding is a pure zero-shuffle map
+    (plan-pinned in tests); the golden rows double as a decode check —
+    replace('</w>', ' ') of bpe_text round-trips the normalized text
+    (pinned corpus-wide in tests/test_tokenizer.py)."""
+    from jsonschemaparse_spark.functions.tokenizer import bpe_encode, train_bpe
+
+    d = _docs(spark, sf_dir)
+    m = train_bpe(d, n_merges=40, min_count=2)
+    enc = bpe_encode(d.filter(F.col("doc_id") < 8), m)
+    return enc.select(
+        "doc_id",
+        F.concat_ws(" ", "bpe_tokens").alias("bpe_text"),
+        F.size("bpe_tokens").alias("n_bpe"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_documents": q_validate_documents,
@@ -1043,6 +1079,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_buckets": q_lm_buckets,
         "quantized_embeddings": q_quantized_embeddings,
         "quality_report": q_quality_report,
+        "bpe_merges": q_bpe_merges,
+        "bpe_tokens_sample": q_bpe_tokens_sample,
     }
 
 
@@ -2515,5 +2553,66 @@ SELECT lang, source,
   CAST(sum(CASE WHEN gopher_keep AND c4_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
   ROUND(avg(n_words), 6) AS avg_words
 FROM r GROUP BY lang, source
+""",
+        # Golden snapshots, NOT SQL re-derivations (the ann_ivf_partial
+        # convention): BPE training is an iterative merge loop, but its
+        # output on a fixed corpus + params is a fixed table — exact
+        # integer counts, deterministic tie-breaks, parallelism-
+        # independence pinned local[8] == local[32] in tests.
+        "bpe_merges": """
+SELECT CAST(rank AS BIGINT) AS rank, left_sym, right_sym
+FROM (VALUES (0, 'e', 'r</w>'),
+             (1, 'o', 'w</w>'),
+             (2, 't', 'o'),
+             (3, 'a', 't'),
+             (4, 'l', 'u'),
+             (5, 'a', 's'),
+             (6, 'i', 'n'),
+             (7, 'e', 'r'),
+             (8, 'o', 'r'),
+             (9, 'a', 'r'),
+             (10, 'p', 'ar'),
+             (11, 'i', 'n</w>'),
+             (12, 'j', 'o'),
+             (13, 'jo', 'in</w>'),
+             (14, 'as', 'h</w>'),
+             (15, 'h', 'ash</w>'),
+             (16, 'r', 'ow</w>'),
+             (17, 'at', 'c'),
+             (18, 'atc', 'h</w>'),
+             (19, 'b', 'atch</w>'),
+             (20, 'a', 'n</w>'),
+             (21, 'c', 'an</w>'),
+             (22, 's', 'can</w>'),
+             (23, 'c', 'o'),
+             (24, 'c', 'u'),
+             (25, 'co', 'lu'),
+             (26, 'colu', 'm'),
+             (27, 'colum', 'n</w>'),
+             (28, 'cu', 's'),
+             (29, 'cus', 'to'),
+             (30, 'custo', 'm'),
+             (31, 'custom', 'er</w>'),
+             (32, 'f', 'i'),
+             (33, 'fi', 'l'),
+             (34, 'fil', 't'),
+             (35, 'filt', 'er</w>'),
+             (36, 'a', 'l'),
+             (37, 'al', 'l</w>'),
+             (38, 'm', 'all</w>'),
+             (39, 's', 'mall</w>')) AS t(rank, left_sym, right_sym)
+""",
+        "bpe_tokens_sample": """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, bpe_text,
+       CAST(n_bpe AS INTEGER) AS n_bpe
+FROM (VALUES
+  (0, 'k e y</w> a g g</w> row</w> scan</w> s l ow</w> f as t</w> t a b l e</w> v a lu e</w> par t</w> hash</w> v a lu e</w> t a b l e</w> par t</w> a</w> row</w> f as t</w> m er g e</w> batch</w> par t</w> v a lu e</w> f as t</w> s par k</w> a</w> a</w> t h e</w> l in e</w> s or t</w> t a b l e</w> w in d ow</w> t a b l e</w> t a b l e</w> k e y</w>', 92),
+  (1, 'batch</w> w in d ow</w> s par k</w> or d er</w> d at a</w> column</w> a g g</w> join</w> small</w> l in e</w> customer</w> q u er y</w> l in e</w> v a lu e</w> a</w> t a b l e</w> customer</w> f as t</w> k e y</w> scan</w> q u er y</w> b i g</w> t a b l e</w> t a b l e</w> par t</w> a g g</w> or d er</w> scan</w> s t r e a m</w> f as t</w> or d er</w> g r o u p</w> v a lu e</w> s or t</w> column</w> q u er y</w> b i g</w> q u er y</w> v a lu e</w> customer</w> s t r e a m</w> w in d ow</w> s t r e a m</w> s or t</w> q u er y</w> l in e</w> w in d ow</w> batch</w> customer</w> join</w> m er g e</w> v a lu e</w> s par k</w> par t</w> filter</w> q u er y</w> k e y</w> scan</w> s or t</w> a</w> scan</w> s par k</w> f as t</w> s or t</w> k e y</w> a g g</w> q u er y</w> t h e</w> g r o u p</w> l in e</w> t a b l e</w> or d er</w>', 214),
+  (2, 'small</w> f as t</w> s l ow</w> filter</w> v a lu e</w> small</w> v a lu e</w> t a b l e</w> t h e</w> par t</w> d at a</w> w in d ow</w> t h e</w> row</w> a</w> w in d ow</w> d at a</w> a</w> scan</w> g r o u p</w> b i g</w> v e c to r</w> t a b l e</w> f as t</w> batch</w> batch</w> a g g</w> w in d ow</w> customer</w> l in e</w> s l ow</w> t a b l e</w> filter</w> scan</w> scan</w> s l ow</w> small</w> g r o u p</w> f as t</w> column</w> scan</w> d at a</w> g r o u p</w> s par k</w> v a lu e</w>', 122),
+  (3, 'w in d ow</w> m er g e</w> s par k</w> m er g e</w> batch</w> t a b l e</w> a</w> b i g</w> a</w> join</w> batch</w> t a b l e</w> w in d ow</w> b i g</w> t h e</w> join</w> l in e</w> a g g</w> small</w> s l ow</w> small</w> s t r e a m</w> customer</w> g r o u p</w> s par k</w> d at a</w> v e c to r</w>', 78),
+  (4, 'd at a</w> q u er y</w> small</w> row</w> s l ow</w> row</w> d at a</w> s t r e a m</w> filter</w> small</w> s or t</w> hash</w> s t r e a m</w> batch</w> b i g</w> b i g</w> g r o u p</w> or d er</w> column</w> par t</w> t a b l e</w> s t r e a m</w> g r o u p</w> t a b l e</w> join</w> batch</w> join</w> w in d ow</w> w in d ow</w> f as t</w> a g g</w> l in e</w> or d er</w> g r o u p</w> s par k</w> w in d ow</w> par t</w> a g g</w> t h e</w> column</w> l in e</w> t h e</w> d at a</w> row</w> customer</w>', 128),
+  (5, 'a g g</w> t a b l e</w> s par k</w> hash</w> s or t</w> k e y</w> v e c to r</w> f as t</w> join</w> v a lu e</w> d at a</w> a g g</w> q u er y</w> f as t</w> w in d ow</w> batch</w> filter</w> q u er y</w> t h e</w> g r o u p</w> v e c to r</w> l in e</w> a g g</w> v e c to r</w> l in e</w> hash</w> a g g</w> q u er y</w> column</w> batch</w> customer</w> l in e</w> column</w> small</w> s t r e a m</w> join</w> m er g e</w> scan</w> batch</w> s l ow</w> hash</w> d at a</w> s or t</w> column</w> l in e</w> b i g</w> g r o u p</w> s t r e a m</w> small</w> s t r e a m</w> or d er</w> small</w> k e y</w> scan</w> g r o u p</w> l in e</w>', 161),
+  (6, 'a g g</w> small</w> scan</w> t a b l e</w> g r o u p</w> scan</w> or d er</w> row</w> m er g e</w> scan</w> par t</w> hash</w> scan</w> g r o u p</w> f as t</w>', 37),
+  (7, 'batch</w> w in d ow</w> v e c to r</w> hash</w> f as t</w> par t</w> w in d ow</w> t h e</w> s t r e a m</w> k e y</w> column</w> batch</w> filter</w> m er g e</w> filter</w> k e y</w> par t</w> hash</w> customer</w> scan</w> l in e</w> g r o u p</w> scan</w> f as t</w> s par k</w> scan</w> v e c to r</w> or d er</w> s l ow</w> small</w> d at a</w> column</w> scan</w> filter</w> d at a</w> join</w> small</w> s l ow</w> t h e</w> join</w> s or t</w> d at a</w> v e c to r</w> row</w> customer</w> join</w> v e c to r</w> t h e</w> s l ow</w> or d er</w> a g g</w> or d er</w> m er g e</w> hash</w> d at a</w> a g g</w> l in e</w> v a lu e</w> scan</w> scan</w> s l ow</w> join</w> b i g</w> or d er</w> scan</w> customer</w> scan</w> or d er</w> t h e</w> customer</w> k e y</w> s l ow</w>', 174)) AS t(doc_id, bpe_text, n_bpe)
 """,
     }

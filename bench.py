@@ -369,6 +369,18 @@ def main() -> None:
 
     bench("lm_perplexity", lm_bench)
 
+    # BPE: train once outside the timed region (model is a published
+    # artifact, the lm_perplexity convention), encode the corpus per pass
+    from jsonschemaparse_spark.functions.tokenizer import bpe_encode, train_bpe
+
+    _bpe = train_bpe(_lm_docs, n_merges=200, min_count=2)
+
+    def bpe_bench():
+        out = bpe_encode(_lm_docs, _bpe)
+        out.select(F.sum(F.size("bpe_tokens"))).collect()
+
+    bench("bpe_encode", bpe_bench)
+
     # stats profile
     def stats():
         from jsonschemaparse_spark.functions.stats import column_profile
