@@ -980,6 +980,17 @@ def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_report(_docs(spark, sf_dir))
 
 
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 TF-IDF keywords (functions/tfidf.py): one token
+    explode feeds both the (doc, token) counts and the vocab-bounded df
+    table (broadcast back); sklearn smooth idf; 6dp rounding = the
+    oracle-exact boundary for the single ln(). Deterministic tie-break
+    (tfidf desc, token asc) on both engines."""
+    from jsonschemaparse_spark.functions.tfidf import top_keywords
+
+    return top_keywords(_docs(spark, sf_dir), k=3, min_df=2)
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training (functions/tokenizer.py): one word_counts
     corpus scan + the driver-side indexed merge loop. Exact integer
@@ -1081,6 +1092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_report": q_quality_report,
         "bpe_merges": q_bpe_merges,
         "bpe_tokens_sample": q_bpe_tokens_sample,
+        "doc_keywords": q_doc_keywords,
     }
 
 
@@ -2553,6 +2565,36 @@ SELECT lang, source,
   CAST(sum(CASE WHEN gopher_keep AND c4_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
   ROUND(avg(n_words), 6) AS avg_words
 FROM r GROUP BY lang, source
+""",
+        # tf = raw per-doc term count; df = docs containing the term
+        # (derived from the per-doc counts, no DISTINCT); smooth idf
+        # ln((1+N)/(1+df)) + 1; 6dp rounding both sides absorbs ln ulp
+        # differences (the lm_perplexity convention). Rank over the
+        # ROUNDED score with the token-asc tie-break on both engines.
+        "doc_keywords": f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter({_WORDS}, w -> w <> '')) AS token
+  FROM documents
+),
+tc AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (
+  SELECT token, count(*) AS df FROM tc GROUP BY 1 HAVING count(*) >= 2
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+s AS (
+  SELECT tc.doc_id, tc.token, tc.tf, dfreq.df,
+         round(tc.tf * (ln((1.0 + n.n_docs) / (1.0 + dfreq.df)) + 1.0), 6)
+           AS tfidf
+  FROM tc JOIN dfreq USING (token), n
+),
+r AS (
+  SELECT doc_id, token, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, token ASC) AS rank
+  FROM s
+)
+SELECT doc_id, CAST(rank AS INTEGER) AS rank, token, tfidf
+FROM r WHERE rank <= 3
 """,
         # Golden snapshots, NOT SQL re-derivations (the ann_ivf_partial
         # convention): BPE training is an iterative merge loop, but its

@@ -381,6 +381,17 @@ def main() -> None:
 
     bench("bpe_encode", bpe_bench)
 
+    # TF-IDF keyword extraction: explode + (doc, token) agg + broadcast
+    # df join + per-doc window
+    def keywords_bench():
+        from jsonschemaparse_spark.functions.tfidf import top_keywords
+
+        df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        out = top_keywords(df, k=3, min_df=2)
+        out.select(F.count(F.lit(1)), F.sum("tfidf")).collect()
+
+    bench("doc_keywords", keywords_bench)
+
     # stats profile
     def stats():
         from jsonschemaparse_spark.functions.stats import column_profile
