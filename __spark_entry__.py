@@ -980,6 +980,35 @@ def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_report(_docs(spark, sf_dir))
 
 
+def q_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted index (functions/index.py): postings row for
+    one term — (doc, positions, n). Build is one tokenize pass with the
+    token array generator-bound; positions are array_sort-pinned so the
+    index is parallelism-independent."""
+    from jsonschemaparse_spark.functions.index import (
+        build_inverted_index,
+        search_term,
+    )
+
+    idx = build_inverted_index(_docs(spark, sf_dir))
+    return search_term(idx, "customer").select(
+        "doc", F.col("positions").cast("array<int>").alias("positions"),
+        F.col("n").cast("int").alias("n"))
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase positional merge over the inverted index: anchor on
+    the first term, shift-intersect each later term's positions —
+    per-doc arrays, pure codegen, no text rescan."""
+    from jsonschemaparse_spark.functions.index import (
+        build_inverted_index,
+        search_phrase,
+    )
+
+    idx = build_inverted_index(_docs(spark, sf_dir))
+    return search_phrase(idx, "fast key")
+
+
 def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc top-3 TF-IDF keywords (functions/tfidf.py): one token
     explode feeds both the (doc, token) counts and the vocab-bounded df
@@ -1093,6 +1122,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "bpe_tokens_sample": q_bpe_tokens_sample,
         "doc_keywords": q_doc_keywords,
+        "index_postings": q_index_postings,
+        "phrase_search": q_phrase_search,
     }
 
 
@@ -2565,6 +2596,45 @@ SELECT lang, source,
   CAST(sum(CASE WHEN gopher_keep AND c4_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
   ROUND(avg(n_words), 6) AS avg_words
 FROM r GROUP BY lang, source
+""",
+        # positional index twins: words are the _NORM tokens; positions
+        # are 0-based token offsets (generate_series is 1-based, hence
+        # the i-1). Fully algorithmic — no snapshot.
+        "index_postings": f"""
+WITH w AS (
+  SELECT doc_id, list_filter({_WORDS}, x -> x <> '') AS words
+  FROM documents
+),
+p AS (
+  SELECT doc_id AS doc,
+         list_filter(list_transform(generate_series(1, len(words)),
+                                    i -> CASE WHEN words[i] = 'customer'
+                                              THEN CAST(i - 1 AS INTEGER)
+                                              END),
+                     x -> x IS NOT NULL) AS positions
+  FROM w
+)
+SELECT doc, positions, CAST(len(positions) AS INTEGER) AS n
+FROM p WHERE len(positions) > 0
+""",
+        "phrase_search": f"""
+WITH w AS (
+  SELECT doc_id, list_filter({_WORDS}, x -> x <> '') AS words
+  FROM documents
+),
+p AS (
+  SELECT doc_id AS doc,
+         list_filter(list_transform(generate_series(1, len(words) - 1),
+                                    i -> CASE WHEN words[i] = 'fast'
+                                               AND words[i+1] = 'key'
+                                              THEN CAST(i - 1 AS INTEGER)
+                                              END),
+                     x -> x IS NOT NULL) AS starts
+  FROM w WHERE len(words) >= 2
+)
+SELECT doc, CAST(len(starts) AS INTEGER) AS n_matches,
+       CAST(list_min(starts) AS INTEGER) AS first_pos
+FROM p WHERE len(starts) > 0
 """,
         # tf = raw per-doc term count; df = docs containing the term
         # (derived from the per-doc counts, no DISTINCT); smooth idf

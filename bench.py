@@ -392,6 +392,18 @@ def main() -> None:
 
     bench("doc_keywords", keywords_bench)
 
+    # positional inverted index build (the corpus-scan-bound op; a
+    # production run materializes this bucketed by token, searches are
+    # then partition-pruned ms-scale lookups)
+    def index_bench():
+        from jsonschemaparse_spark.functions.index import build_inverted_index
+
+        df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        idx = build_inverted_index(df, max_postings=25000)
+        idx.postings.select(F.count(F.lit(1)), F.sum("n")).collect()
+
+    bench("inverted_index", index_bench)
+
     # stats profile
     def stats():
         from jsonschemaparse_spark.functions.stats import column_profile

@@ -1,0 +1,168 @@
+"""Positional inverted index + boolean/phrase search (the corpus audit
+path: "which documents contain this exact phrase" — contamination
+checks, takedown sweeps, duplicate-context debugging — without a full
+text rescan per question).
+
+The reference (awwright/jsonschemaparse, a single-document JSON
+validator) has no counterpart; this sits in the repo's
+LLM-training-data tier next to decontaminate (which answers the same
+question for a FIXED benchmark set at clean time; the index answers it
+for ad-hoc queries after the fact).
+
+Layout: one posting row per (token, doc, positions:array<int>) — the
+classic positional index, but as a plain DataFrame meant to be WRITTEN
+PARTITIONED/BUCKETED BY token so a term lookup is a partition-pruned
+scan, not a corpus scan (the ivf_index materialization convention:
+an unmaterialized index re-runs the tokenize per query — the r5
+IVF lesson, measured there at 43 s/probe).
+
+Scale shape (the 100-TB argument):
+- build is ONE tokenize pass: explode with position (posexplode
+  semantics via the generator — the token array is bound ONCE inside
+  the generator, the r5 CollapseProject/Generate pitfall), then a
+  (token, doc) map-side-combined collect_list of positions. Shuffle
+  keys carry the doc id at no point — they are (token, doc) pairs, so
+  volume is corpus-token-bounded but each reducer key is one doc's
+  occurrences of one token (no hot single key).
+- stop-word-class tokens explode posting COUNT, not key size; a
+  max_postings cap drops them into a named overflow view (the engine's
+  no-silent-caps contract — the minhash/ngram convention) because a
+  term that appears in half the corpus is useless as a lookup key
+  anyway.
+- phrase search touches ONLY the postings of the phrase's terms
+  (partition-pruned when materialized): the rarest term anchors,
+  each subsequent term joins on (doc) with a positions intersect at
+  offset +i — an array_intersect on two small per-doc arrays, zero
+  Python. Document hydration is a final semi-join back to the corpus
+  by doc id.
+
+NULL convention: keyed op — NULL/empty text emits no postings."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import normalized_text
+
+
+def _tokens(text_col):
+    return F.filter(
+        F.split(F.coalesce(normalized_text(text_col), F.lit("")), " "),
+        lambda t: t != "")
+
+
+@dataclass
+class InvertedIndex:
+    """`postings` (token, doc, positions array<int>, n int) and
+    `overflow` (token, n_docs) — terms whose document frequency
+    exceeded max_postings, excluded from postings but NOT silent."""
+
+    postings: DataFrame
+    overflow: DataFrame
+
+
+def build_inverted_index(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    *, max_postings: int | None = None,
+) -> InvertedIndex:
+    """One tokenize pass -> (token, doc, positions). Positions are
+    0-based token offsets in the normalized token stream, sorted
+    ascending (collect_list order is non-deterministic across tasks;
+    array_sort pins it so the index is parallelism-independent).
+
+    max_postings: terms appearing in more than this many documents go
+    to `overflow` instead (stop-word postings dominate index size at
+    corpus scale; a production run sets this and keeps the overflow
+    view next to the index). Write `postings` partitioned/bucketed by
+    token — lookups are then partition-pruned scans."""
+    pos_tok = F.element_at(
+        F.transform(
+            F.array(_tokens(F.col(text_col))),
+            lambda w: F.when(
+                F.size(w) > 0,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(w) - 1),
+                    lambda i: F.struct(
+                        i.cast("int").alias("pos"),
+                        F.element_at(w, i + 1).alias("token")),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<pos:int,token:string>>")),
+        ),
+        1,
+    )
+    exploded = (
+        df.select(F.col(id_col).alias("doc"), F.explode(pos_tok).alias("pt"))
+        .select("doc", F.col("pt.pos").alias("pos"),
+                F.col("pt.token").alias("token"))
+    )
+    postings = (
+        exploded.groupBy("token", "doc")
+        .agg(F.array_sort(F.collect_list("pos")).alias("positions"))
+        .withColumn("n", F.size("positions"))
+    )
+    if max_postings is None:
+        empty = postings.sparkSession.createDataFrame(
+            [], "token string, n_docs long")
+        return InvertedIndex(postings=postings, overflow=empty)
+    docfreq = postings.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_docs"))
+    hot = docfreq.filter(F.col("n_docs") > max_postings)
+    kept = postings.join(F.broadcast(hot.select("token")), "token",
+                         "left_anti")
+    return InvertedIndex(postings=kept, overflow=hot)
+
+
+def search_term(index: InvertedIndex, term: str) -> DataFrame:
+    """(doc, positions, n) for one term — a partition-pruned filter on
+    the materialized postings."""
+    return (
+        index.postings.filter(F.col("token") == F.lit(term.lower()))
+        .select("doc", "positions", "n")
+    )
+
+
+def search_all(index: InvertedIndex, terms: "list[str]") -> DataFrame:
+    """Boolean AND over terms: docs containing every term. Successive
+    (doc)-keyed semi-joins over per-term postings — each input is one
+    term's posting list, never the corpus."""
+    if not terms:
+        raise ValueError("search_all needs at least one term")
+    out = search_term(index, terms[0]).select("doc")
+    for t in terms[1:]:
+        out = out.join(search_term(index, t).select("doc"), "doc",
+                       "left_semi")
+    return out
+
+
+def search_phrase(index: InvertedIndex, phrase: str) -> DataFrame:
+    """Exact phrase match over normalized tokens: (doc, n_matches,
+    first_pos). Anchors on the phrase's first term, then for term i
+    intersects positions shifted by -i (array_transform + intersect on
+    per-doc arrays, pure codegen) — the classic positional-merge, with
+    per-doc work bounded by the term's in-doc frequency."""
+    terms = [t for t in
+             (phrase or "").lower().strip().split() if t != ""]
+    if not terms:
+        raise ValueError("search_phrase needs a non-empty phrase")
+    cur = search_term(index, terms[0]).select(
+        "doc", F.col("positions").alias("starts"))
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = search_term(index, t).select(
+            "doc",
+            F.transform(F.col("positions"),
+                        lambda p: p - F.lit(i)).alias("_shift"))
+        cur = (
+            cur.join(nxt, "doc")
+            .select("doc",
+                    F.array_intersect("starts", "_shift").alias("starts"))
+            .filter(F.size("starts") > 0)
+        )
+    return cur.select(
+        "doc",
+        F.size("starts").cast("int").alias("n_matches"),
+        F.array_min("starts").cast("int").alias("first_pos"),
+    )
