@@ -332,3 +332,40 @@ def test_streaming_normalize_stage_matches_batch(spark, tmp_path):
     finally:
         q.stop()
     assert got == [0, 1, 101]
+
+
+def test_streaming_bpe_encode_matches_batch(spark, tmp_path):
+    """bpe_encode is a stateless Arrow projection (broadcast rank
+    table), so it runs unchanged on a stream: token arrays per doc_id
+    equal the batch encoding of the same corpus."""
+    from jsonschemaparse_spark.functions.tokenizer import (
+        BpeModel,
+        bpe_encode,
+    )
+
+    t0 = datetime.datetime(2026, 8, 18, 9, 0, 0)
+    model = BpeModel(merges=[("t", "h"), ("th", "e</w>"), ("e", "r</w>")])
+    batch1 = [(0, t0, "the weather"), (1, t0, "other than the")]
+    batch2 = [(2, t0 + datetime.timedelta(minutes=1), "ether the")]
+
+    src = str(tmp_path / "src_bpe")
+    _mk_batch(spark, batch1).coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        "doc_id long, warc_ts timestamp, text string").parquet(src)
+    q = (bpe_encode(stream, model).select("doc_id", "bpe_tokens")
+         .writeStream.format("memory")
+         .queryName("bpe_sink").outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        _mk_batch(spark, batch2).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = {r["doc_id"]: list(r["bpe_tokens"]) for r in
+               spark.sql("select * from bpe_sink").collect()}
+    finally:
+        q.stop()
+
+    all_rows = _mk_batch(spark, batch1 + batch2)
+    want = {r["doc_id"]: list(r["bpe_tokens"]) for r in
+            bpe_encode(all_rows, model).collect()}
+    assert got == want and set(got) == {0, 1, 2}
