@@ -980,6 +980,21 @@ def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_report(_docs(spark, sf_dir))
 
 
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted mixture sample (alpha=0.5, the T5 recipe):
+    rates n_s^0.5-proportional from one group-count job, applied as the
+    deterministic hash filter. The twin re-derives the rates in SQL —
+    exact because every step (integer counts, sqrt, sorted-order fold,
+    mul/div/min/trunc) is bit-identical across engines at alpha=0.5
+    (functions/sampling.py temperature_rates)."""
+    from jsonschemaparse_spark.functions.sampling import temperature_mixture
+
+    d = _docs(spark, sf_dir)
+    return temperature_mixture(
+        d, "lang", "doc_id", alpha=0.5, target_fraction=0.35,
+    ).select("doc_id", "lang")
+
+
 def q_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional inverted index (functions/index.py): postings row for
     one term — (doc, positions, n). Build is one tokenize pass with the
@@ -1124,6 +1139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keywords": q_doc_keywords,
         "index_postings": q_index_postings,
         "phrase_search": q_phrase_search,
+        "temperature_mixture": q_temperature_mixture,
     }
 
 
@@ -2596,6 +2612,34 @@ SELECT lang, source,
   CAST(sum(CASE WHEN gopher_keep AND c4_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
   ROUND(avg(n_words), 6) AS avg_words
 FROM r GROUP BY lang, source
+""",
+        # temperature mixture: rates re-derived algorithmically —
+        # alpha=0.5 keeps every step exactly rounded (sqrt, sorted-order
+        # left fold, mul/div/min/trunc), so the per-stratum thresholds
+        # are bit-identical to the engine's threshold_hex(rate) strings.
+        "temperature_mixture": """
+WITH c AS (
+  SELECT lang, count(*) AS n FROM documents
+  WHERE lang IS NOT NULL GROUP BY lang
+),
+tot AS (SELECT sum(n) AS n_total FROM c),
+w AS (
+  SELECT list_aggregate(list(sqrt(CAST(n AS DOUBLE)) ORDER BY lang),
+                        'sum') AS wsum
+  FROM c
+),
+r AS (
+  SELECT lang,
+         least(1.0, (0.35 * CAST(tot.n_total AS DOUBLE))
+                    * (sqrt(CAST(n AS DOUBLE)) / w.wsum)
+                    / CAST(n AS DOUBLE)) AS rate
+  FROM c, tot, w
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN r ON d.lang = r.lang
+WHERE r.rate >= 1.0
+   OR substr(md5(CAST(d.doc_id AS VARCHAR) || ':0'), 1, 8)
+      < lpad(lower(to_hex(CAST(trunc(r.rate * 4294967296.0) AS BIGINT))), 8, '0')
 """,
         # positional index twins: words are the _NORM tokens; positions
         # are 0-based token offsets (generate_series is 1-based, hence

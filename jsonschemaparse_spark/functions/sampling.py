@@ -94,6 +94,57 @@ def train_test_split(df: DataFrame, key_col: str, test_fraction: float,
                F.lit("test")).otherwise(F.lit("train")))
 
 
+def temperature_rates(df: DataFrame, strata_col: str, *,
+                      alpha: float = 0.5,
+                      target_fraction: float) -> dict[str, float]:
+    """Temperature-based mixture rates (the T5/mT5/LLaMA multi-source
+    recipe): source s gets sampling share proportional to n_s^alpha —
+    alpha < 1 flattens the natural distribution so giant sources stop
+    drowning small ones. Returns {stratum: keep_rate} such that the
+    expected kept total is `target_fraction` of the corpus and kept
+    counts are proportional to n_s^alpha (capped at 1.0: this engine
+    samples WITHOUT replacement; true upsampling of tiny sources is a
+    repetition decision for the training loader, not the corpus build
+    — rates that hit the cap leave the surplus in the other sources'
+    expected shares undistributed, reported by the caller comparing
+    sum(rate*n) to target).
+
+    One stratum-bounded group-count job; everything else is driver
+    arithmetic. Determinism contract (what makes the DuckDB twin exact
+    at alpha=0.5): counts are exact integers; sqrt is IEEE
+    correctly-rounded; the weight sum folds in sorted-stratum order;
+    each subsequent op (mul/div/min/trunc) is exactly rounded — so the
+    derived thresholds are bit-identical across engines. Other alpha
+    values use pow(), which is NOT correctly-rounded on every libm —
+    fine for production, but pin oracles at alpha=0.5."""
+    rows = df.groupBy(strata_col).count().collect()
+    counts = sorted((r[strata_col], int(r["count"])) for r in rows
+                    if r[strata_col] is not None)
+    n_total = sum(n for _, n in counts)
+    if n_total == 0:
+        return {}
+    target = target_fraction * float(n_total)
+    wsum = 0.0
+    for _, n in counts:  # left fold in sorted order — mirrored in SQL
+        wsum += float(n) ** alpha
+    rates: dict[str, float] = {}
+    for s, n in counts:
+        share = (float(n) ** alpha) / wsum
+        rates[s] = min(1.0, target * share / float(n))
+    return rates
+
+
+def temperature_mixture(df: DataFrame, strata_col: str, key_col: str, *,
+                        alpha: float = 0.5, target_fraction: float,
+                        seed: int = 0) -> DataFrame:
+    """Deterministic temperature-weighted corpus sample: rates from
+    `temperature_rates`, applied as the usual single narrow hash
+    Filter (stratified_sample). Unlisted/NULL strata drop."""
+    rates = temperature_rates(df, strata_col, alpha=alpha,
+                              target_fraction=target_fraction)
+    return stratified_sample(df, rates, strata_col, key_col, seed=seed)
+
+
 def sample_oracle_sql(key_expr: str, fraction: float, seed: int = 0) -> str:
     """DuckDB boolean twin of hash_keep — built from the same threshold
     so engine and oracle cannot drift."""

@@ -120,3 +120,61 @@ def test_narrow_plan_no_shuffle(spark, documents):
                               "doc_id")
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_temperature_rates_flatten_and_cap(spark):
+    from jsonschemaparse_spark.functions.sampling import temperature_rates
+
+    rows = ([("big", i) for i in range(900)]
+            + [("small", i) for i in range(100)])
+    df = spark.createDataFrame(rows, "src string, k long")
+    rates = temperature_rates(df, "src", alpha=0.5, target_fraction=0.5)
+    # alpha=0.5 shares: sqrt(900)=30, sqrt(100)=10 -> 3:1 of 500 target
+    # big: 375/900, small: 125/100 -> capped at 1.0
+    assert rates["small"] == 1.0
+    assert abs(rates["big"] - 375.0 / 900.0) < 1e-12
+    # alpha=1 reproduces the natural distribution (uniform rate)
+    r1 = temperature_rates(df, "src", alpha=1.0, target_fraction=0.5)
+    assert abs(r1["big"] - 0.5) < 1e-12 and abs(r1["small"] - 0.5) < 1e-12
+
+
+def test_temperature_mixture_kept_set_deterministic(spark, documents):
+    from jsonschemaparse_spark.functions.sampling import temperature_mixture
+
+    a = temperature_mixture(documents, "lang", "doc_id", alpha=0.5,
+                            target_fraction=0.3)
+    b = temperature_mixture(documents.repartition(17), "lang", "doc_id",
+                            alpha=0.5, target_fraction=0.3)
+    ka = {r["doc_id"] for r in a.select("doc_id").collect()}
+    kb = {r["doc_id"] for r in b.select("doc_id").collect()}
+    assert ka == kb and len(ka) > 0
+
+
+def test_temperature_mixture_hits_target_and_flattens(spark, documents):
+    from pyspark.sql import functions as F
+    from jsonschemaparse_spark.functions.sampling import temperature_mixture
+
+    n = documents.count()
+    kept = temperature_mixture(documents, "lang", "doc_id", alpha=0.25,
+                               target_fraction=0.4)
+    k = kept.count()
+    assert abs(k - 0.4 * n) < 0.05 * n
+    # flattening: the dominant lang's kept share < its natural share
+    nat = documents.groupBy("lang").count().orderBy(F.desc("count")).first()
+    kept_dom = kept.filter(F.col("lang") == nat["lang"]).count()
+    assert kept_dom / k < nat["count"] / n
+
+
+def test_temperature_rates_empty_and_null_strata(spark):
+    from jsonschemaparse_spark.functions.sampling import (
+        temperature_mixture,
+        temperature_rates,
+    )
+
+    empty = spark.createDataFrame([], "src string, k long")
+    assert temperature_rates(empty, "src", target_fraction=0.5) == {}
+    nulls = spark.createDataFrame(
+        [(None, 1), ("a", 2), ("a", 3)], "src string, k long")
+    # NULL strata excluded from rates and dropped by the filter
+    out = temperature_mixture(nulls, "src", "k", target_fraction=1.0)
+    assert {r["src"] for r in out.collect()} == {"a"}
