@@ -37,6 +37,17 @@ def normalized_text(text: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
 
 
+def norm_tokens(text: Column) -> Column:
+    """The engine-wide token array: _NORM (lowercased, whitespace-
+    collapsed) split on single spaces, empties dropped; NULL text gives
+    an empty array. ONE definition — lm/tfidf/index/tokenizer all
+    import this so the token convention cannot desynchronize across the
+    tier (r6 review finding: three byte-identical private copies)."""
+    return F.filter(
+        F.split(F.coalesce(normalized_text(text), F.lit("")), " "),
+        lambda t: t != "")
+
+
 def content_key(text: Column) -> Column:
     """Portable exact-dup key: md5 hex of normalized utf-8 bytes. NULL
     text keys like empty text (r5 third review #3: a NULL key would fall

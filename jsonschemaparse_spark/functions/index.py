@@ -30,11 +30,13 @@ Scale shape (the 100-TB argument):
   term that appears in half the corpus is useless as a lookup key
   anyway.
 - phrase search touches ONLY the postings of the phrase's terms
-  (partition-pruned when materialized): the rarest term anchors,
-  each subsequent term joins on (doc) with a positions intersect at
-  offset +i — an array_intersect on two small per-doc arrays, zero
-  Python. Document hydration is a final semi-join back to the corpus
-  by doc id.
+  (partition-pruned when materialized): an anchor term seeds the
+  candidate starts (anchor='rarest' picks the lowest-df term at the
+  cost of one small df probe — the production choice on a
+  materialized index), each other term joins on (doc) with a
+  positions intersect at offset -i — an array_intersect on two small
+  per-doc arrays, zero Python. Document hydration is a final
+  semi-join back to the corpus by doc id.
 
 NULL convention: keyed op — NULL/empty text emits no postings."""
 
@@ -45,13 +47,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import normalized_text
-
-
-def _tokens(text_col):
-    return F.filter(
-        F.split(F.coalesce(normalized_text(text_col), F.lit("")), " "),
-        lambda t: t != "")
+from .dedup import norm_tokens as _tokens
 
 
 @dataclass
@@ -116,11 +112,36 @@ def build_inverted_index(
     return InvertedIndex(postings=kept, overflow=hot)
 
 
+def _reject_overflow_terms(index: InvertedIndex, terms: "list[str]") -> None:
+    """A term evicted by max_postings has NO postings — searching it
+    would return empty and read as 'phrase absent' (a silent false
+    negative, the exact failure the no-silent-caps rule exists to
+    prevent; r6 review). The hot-term set is collected ONCE per index
+    and cached (it is small by construction — bounded by
+    corpus_tokens / max_postings); on an unmaterialized index that
+    first collection costs the tokenize pass, on the materialized
+    production shape it is a read of the published overflow table."""
+    cached = getattr(index, "_hot_terms", None)
+    if cached is None:
+        cached = frozenset(
+            r["token"] for r in index.overflow.select("token").collect())
+        index._hot_terms = cached
+    hot = [t for t in terms if t in cached]
+    if hot:
+        raise ValueError(
+            f"term(s) {sorted(hot)} were dropped from the index by "
+            "max_postings (see InvertedIndex.overflow); a search "
+            "containing them cannot be answered from postings")
+
+
 def search_term(index: InvertedIndex, term: str) -> DataFrame:
     """(doc, positions, n) for one term — a partition-pruned filter on
-    the materialized postings."""
+    the materialized postings. Raises if the term was capped into the
+    overflow view."""
+    t = term.lower()
+    _reject_overflow_terms(index, [t])
     return (
-        index.postings.filter(F.col("token") == F.lit(term.lower()))
+        index.postings.filter(F.col("token") == F.lit(t))
         .select("doc", "positions", "n")
     )
 
@@ -131,30 +152,65 @@ def search_all(index: InvertedIndex, terms: "list[str]") -> DataFrame:
     term's posting list, never the corpus."""
     if not terms:
         raise ValueError("search_all needs at least one term")
-    out = search_term(index, terms[0]).select("doc")
-    for t in terms[1:]:
-        out = out.join(search_term(index, t).select("doc"), "doc",
-                       "left_semi")
+    lowered = [t.lower() for t in terms]
+    _reject_overflow_terms(index, lowered)
+    out = index.postings.filter(
+        F.col("token") == F.lit(lowered[0])).select("doc")
+    for t in lowered[1:]:
+        out = out.join(
+            index.postings.filter(F.col("token") == F.lit(t))
+            .select("doc"),
+            "doc", "left_semi")
     return out
 
 
-def search_phrase(index: InvertedIndex, phrase: str) -> DataFrame:
+def search_phrase(index: InvertedIndex, phrase: str,
+                  *, anchor: str = "first") -> DataFrame:
     """Exact phrase match over normalized tokens: (doc, n_matches,
-    first_pos). Anchors on the phrase's first term, then for term i
-    intersects positions shifted by -i (array_transform + intersect on
-    per-doc arrays, pure codegen) — the classic positional-merge, with
-    per-doc work bounded by the term's in-doc frequency."""
+    first_pos). For each term i the candidate phrase-start set is its
+    positions shifted by -i; the anchor term seeds the set and every
+    other term intersects it (array ops on per-doc lists, pure
+    codegen) — the classic positional merge.
+
+    anchor: 'first' (default) seeds with the phrase's first term — no
+    extra job. 'rarest' runs one small aggregate over the phrase
+    terms' postings and seeds with the lowest-df term, so a phrase
+    like 'the zyzzyx protocol' joins from the handful of zyzzyx docs
+    instead of dragging every 'the' posting through the first join —
+    the production choice on a MATERIALIZED index, where that df probe
+    is a partition-pruned lookup (on an unmaterialized index it costs
+    an extra tokenize pass; hence not the default)."""
     terms = [t for t in
              (phrase or "").lower().strip().split() if t != ""]
     if not terms:
         raise ValueError("search_phrase needs a non-empty phrase")
-    cur = search_term(index, terms[0]).select(
-        "doc", F.col("positions").alias("starts"))
-    for i, t in enumerate(terms[1:], start=1):
-        nxt = search_term(index, t).select(
-            "doc",
-            F.transform(F.col("positions"),
-                        lambda p: p - F.lit(i)).alias("_shift"))
+    _reject_overflow_terms(index, terms)
+    order = list(range(len(terms)))
+    if anchor == "rarest":
+        dfs = {r["token"]: r["n_docs"] for r in
+               index.postings.filter(F.col("token").isin(terms))
+               .groupBy("token")
+               .agg(F.count(F.lit(1)).alias("n_docs")).collect()}
+        # a term with no postings at all -> phrase cannot match
+        if any(t not in dfs for t in terms):
+            spark = index.postings.sparkSession
+            return spark.createDataFrame(
+                [], "doc long, n_matches int, first_pos int")
+        order.sort(key=lambda i: (dfs[terms[i]], i))
+    elif anchor != "first":
+        raise ValueError("anchor must be 'first' or 'rarest'")
+
+    def _starts(i: int) -> DataFrame:
+        return (
+            index.postings.filter(F.col("token") == F.lit(terms[i]))
+            .select("doc",
+                    F.transform(F.col("positions"),
+                                lambda p: p - F.lit(i)).alias("starts"))
+        )
+
+    cur = _starts(order[0])
+    for i in order[1:]:
+        nxt = _starts(i).withColumnRenamed("starts", "_shift")
         cur = (
             cur.join(nxt, "doc")
             .select("doc",

@@ -48,13 +48,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import normalized_text
-
-
-def _tokens(text_col: Column) -> Column:
-    return F.filter(
-        F.split(F.coalesce(normalized_text(text_col), F.lit("")), " "),
-        lambda t: t != "")
+from .dedup import norm_tokens as _tokens
 
 
 def _bigram_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

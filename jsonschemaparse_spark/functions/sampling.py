@@ -124,12 +124,25 @@ def temperature_rates(df: DataFrame, strata_col: str, *,
     if n_total == 0:
         return {}
     target = target_fraction * float(n_total)
+
+    # alpha == 0.5 MUST use sqrt, not pow: sqrt is IEEE
+    # correctly-rounded everywhere, pow(x, 0.5) is not on every libm —
+    # and the bit-identical-twin contract depends on it (r6 review)
+    if alpha == 0.5:
+        import math
+
+        def _w(n: int) -> float:
+            return math.sqrt(float(n))
+    else:
+        def _w(n: int) -> float:
+            return float(n) ** alpha
+
     wsum = 0.0
     for _, n in counts:  # left fold in sorted order — mirrored in SQL
-        wsum += float(n) ** alpha
+        wsum += _w(n)
     rates: dict[str, float] = {}
     for s, n in counts:
-        share = (float(n) ** alpha) / wsum
+        share = _w(n) / wsum
         rates[s] = min(1.0, target * share / float(n))
     return rates
 

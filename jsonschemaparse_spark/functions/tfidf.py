@@ -41,13 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import normalized_text
-
-
-def _tokens(text_col):
-    return F.filter(
-        F.split(F.coalesce(normalized_text(text_col), F.lit("")), " "),
-        lambda t: t != "")
+from .dedup import norm_tokens as _tokens
 
 
 def term_counts(df: DataFrame, id_col: str = "doc_id",

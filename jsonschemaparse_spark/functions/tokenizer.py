@@ -55,6 +55,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .dedup import norm_tokens
 from .text import word_counts
 
 EOW = "</w>"
@@ -142,6 +143,12 @@ def train_bpe(
             s = pair_words.setdefault((a, b), set())
             if sign > 0:
                 s.add(i)
+            else:
+                # full retraction keeps the sets exact, so each merge
+                # touches only words that STILL contain the pair (r6
+                # review: supersets were correct but re-processed
+                # stale words on every later merge)
+                s.discard(i)
 
     for i in range(len(words)):
         _add_word(i, +1)
@@ -208,30 +215,50 @@ def bpe_encode(
     out_col: str = "bpe_tokens",
 ) -> DataFrame:
     """Adds `out_col`: array<string> of BPE tokens for the normalized
-    text. Pure map (zero shuffle); merge ranks broadcast once per
-    executor; per-batch word-type memoization. Decoding invariant:
-    ''.join(tokens).replace(EOW, ' ').strip() == normalized text."""
+    text. Pure map (zero shuffle); merge ranks broadcast ONCE per
+    (model, SparkContext) and reused across calls (r6 review: a fresh
+    broadcast per call accumulates blocks over a long session);
+    per-batch word-type memoization.
+
+    The word split happens JVM-SIDE (norm_tokens — the engine-wide
+    convention) and the UDF receives the token ARRAY, so Python never
+    re-tokenizes: Python str.split()/str.lower() disagree with the
+    Java regex/locale on NBSP-class whitespace and Unicode-special
+    casing (r6 review), and training (word_counts) is JVM-tokenized —
+    encode must see byte-identical words.
+
+    Decoding invariant: ''.join(tokens).replace(EOW, ' ').strip() ==
+    normalized text, PROVIDED the corpus does not contain the literal
+    marker string '</w>' inside a word (the standard Sennrich-marker
+    caveat: encoding is always sound — merges never cross word
+    boundaries — but decode splits on every marker occurrence; pinned
+    in tests/test_tokenizer.py)."""
     import pandas as pd
 
     sc = df.sparkSession.sparkContext
-    bc = sc.broadcast(model.ranks())
+    cached = getattr(model, "_bc_cache", None)
+    if cached is not None and cached[0] == sc.applicationId:
+        bc = cached[1]
+    else:
+        bc = sc.broadcast(model.ranks())
+        model._bc_cache = (sc.applicationId, bc)
 
     @F.pandas_udf("array<string>")
-    def _enc(texts):  # pd.Series -> pd.Series
+    def _enc(word_arrays):  # pd.Series[list[str]] -> pd.Series
         ranks = bc.value
         memo: dict = {}
         out = []
-        for t in texts:
-            if t is None:
+        for words in word_arrays:
+            if words is None:
                 out.append([])
                 continue
             toks: "list[str]" = []
-            for w in t.lower().split():
+            for w in words:
                 toks.extend(_encode_word(w, ranks, memo))
             out.append(toks)
         return pd.Series(out)
 
-    return df.withColumn(out_col, _enc(F.col(text_col)))
+    return df.withColumn(out_col, _enc(norm_tokens(F.col(text_col))))
 
 
 def bpe_decode_col(tokens_col):

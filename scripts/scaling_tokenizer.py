@@ -129,6 +129,9 @@ def main() -> None:
         assert n_rows == n, n_rows
         assert n_rt == n, (n_rt, n)
         bpe_shuffle = wr1 - wr0
+        # zero-shuffle is a CONTRACT, not a statistic (r6 review):
+        # tolerate only broadcast bookkeeping
+        assert bpe_shuffle < 1_000_000, bpe_shuffle
 
         # --- index BUILD (materialized: count+sum action over the full
         # postings — without this, Catalyst pushes the search term
@@ -137,7 +140,7 @@ def main() -> None:
         # price the build) ---
         rd0, wr0 = _shuffle_totals(spark)
         t0 = time.perf_counter()
-        idx = build_inverted_index(docs, max_postings=n)  # no cap drops
+        idx = build_inverted_index(docs)  # uncapped: no overflow stage
         n_postings, n_positions = idx.postings.select(
             F.count(F.lit(1)), F.sum("n")).first()
         idx_wall = time.perf_counter() - t0

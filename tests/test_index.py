@@ -97,3 +97,32 @@ def test_search_inputs_validated(idx):
         search_all(idx, [])
     with pytest.raises(ValueError):
         search_phrase(idx, "   ")
+
+
+def test_search_rejects_overflow_terms_loudly(spark):
+    idx = build_inverted_index(_corpus(spark, [
+        "stop a", "stop b", "stop c", "rare stop"]), max_postings=3)
+    with pytest.raises(ValueError, match="stop"):
+        search_term(idx, "stop")
+    with pytest.raises(ValueError, match="max_postings"):
+        search_phrase(idx, "rare stop")
+    with pytest.raises(ValueError, match="stop"):
+        search_all(idx, ["rare", "STOP"])
+    # hot-term set cached once on the index object
+    assert isinstance(idx._hot_terms, frozenset)
+
+
+def test_search_phrase_rarest_anchor_same_result(idx):
+    first = {(r["doc"], r["n_matches"], r["first_pos"])
+             for r in search_phrase(idx, "on the mat").collect()}
+    rare = {(r["doc"], r["n_matches"], r["first_pos"])
+            for r in search_phrase(idx, "on the mat",
+                                   anchor="rarest").collect()}
+    assert first == rare and len(first) == 2
+
+
+def test_search_phrase_rarest_missing_term_empty(idx):
+    out = search_phrase(idx, "cat zzznope", anchor="rarest")
+    assert out.count() == 0
+    with pytest.raises(ValueError):
+        search_phrase(idx, "cat sat", anchor="bogus")

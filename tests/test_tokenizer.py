@@ -124,3 +124,39 @@ def test_encode_plan_zero_shuffle_one_arrow(spark, documents):
     plan = enc._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert plan.count("ArrowEvalPython") == 1
+
+
+def test_encode_tokenizes_jvm_side_nbsp(spark):
+    # NBSP is NOT Java-\s whitespace: the engine's norm_tokens keeps
+    # 'foo bar' as ONE word, and encode must see exactly that
+    # (Python str.split() would split it — the r6 review divergence)
+    df = spark.createDataFrame([(0, "foo bar")],
+                               "doc_id long, text string")
+    m = BpeModel(merges=[])
+    toks = bpe_encode(df, m).first()["bpe_tokens"]
+    joined = "".join(toks)
+    assert joined == "foo bar" + EOW
+    # and the decode round-trip holds on the same row
+    row = bpe_encode(df, m).select(
+        bpe_decode_col(F.col("bpe_tokens")).alias("d")).first()
+    assert row["d"] == "foo bar"
+
+
+def test_decode_marker_collision_documented(spark):
+    # the documented Sennrich-marker caveat: encoding stays sound for
+    # text containing the literal '</w>', only bpe_decode_col mis-splits
+    df = spark.createDataFrame([(0, "a</w>b")], "doc_id long, text string")
+    m = BpeModel(merges=[])
+    enc = bpe_encode(df, m)
+    toks = enc.first()["bpe_tokens"]
+    assert "".join(toks) == "a</w>b" + EOW  # encoding exact
+    d = enc.select(bpe_decode_col(F.col("bpe_tokens")).alias("d")).first()["d"]
+    assert d == "a b"  # decode splits on the embedded marker — pinned
+
+
+def test_encode_broadcast_reused_across_calls(spark, documents):
+    m = train_bpe(documents.limit(50), n_merges=5, min_count=1)
+    bpe_encode(documents.limit(5), m).collect()
+    bc1 = m._bc_cache
+    bpe_encode(documents.limit(5), m).collect()
+    assert m._bc_cache is bc1  # same (appId, broadcast) tuple object
