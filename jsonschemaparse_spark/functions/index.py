@@ -112,6 +112,39 @@ def build_inverted_index(
     return InvertedIndex(postings=kept, overflow=hot)
 
 
+def materialize_index(index: InvertedIndex, table: str, *,
+                      n_buckets: int = 64) -> InvertedIndex:
+    """Write the postings as a token-bucketed (and bucket-sorted)
+    managed table plus `<table>_overflow`, and return an InvertedIndex
+    reading from them — the production shape: a term lookup then scans
+    1 of n_buckets file groups instead of re-tokenizing the corpus per
+    query (the r5 unmaterialized-IVF lesson, re-measured for this
+    index in SCALING.md round-6: ~17-28 s/phrase at 5M docs
+    unmaterialized).
+
+    PITFALL (pinned in tests/test_index.py): bucket PRUNING on a pure
+    filter-lookup requires
+    `spark.sql.sources.bucketing.autoBucketedScan.enabled=false` —
+    otherwise the DisableUnnecessaryBucketedScan rule sees no
+    join/aggregate needing the distribution, reads the table as
+    un-bucketed ("Bucketed: false (disabled by query planner)"), and
+    the lookup scans every bucket. With the conf off, the plan shows
+    `SelectedBucketsCount: 1 out of N`. Set it in the session that
+    serves searches; leave it default for build/join workloads.
+
+    Sizing: n_buckets ~ postings_bytes / 256 MB at the target scale
+    (plans/bucketing.py guidance)."""
+    from ..plans.bucketing import drop_table_and_location, write_bucketed
+
+    spark = index.postings.sparkSession
+    write_bucketed(index.postings, table, "token", n_buckets)
+    overflow_table = f"{table}_overflow"
+    drop_table_and_location(spark, overflow_table)
+    index.overflow.write.mode("overwrite").saveAsTable(overflow_table)
+    return InvertedIndex(postings=spark.table(table),
+                         overflow=spark.table(overflow_table))
+
+
 def _reject_overflow_terms(index: InvertedIndex, terms: "list[str]") -> None:
     """A term evicted by max_postings has NO postings — searching it
     would return empty and read as 'phrase absent' (a silent false

@@ -23,21 +23,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def write_bucketed(df: DataFrame, table: str, key: str, n_buckets: int,
-                   sort: bool = True) -> None:
-    """Persist as a bucketed (optionally bucket-sorted) managed table.
-    Sorting within buckets additionally enables exchange-AND-sort-free
-    sort-merge joins.
-
-    Idempotent across sessions: a non-Hive catalog is in-memory, so a
-    fresh session can find the managed-table LOCATION on disk without the
-    table being in the catalog — overwrite then fails with
-    LOCATION_ALREADY_EXISTS. Drop both the catalog entry and any orphaned
-    location first."""
+def drop_table_and_location(spark: SparkSession, table: str) -> None:
+    """Idempotent managed-table cleanup: a non-Hive catalog is
+    in-memory, so a fresh session can find the managed-table LOCATION
+    on disk without the table being in the catalog — overwrite then
+    fails with LOCATION_ALREADY_EXISTS. Drop both the catalog entry
+    and any orphaned location."""
     import shutil
     from pathlib import Path
 
-    spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     wh = Path(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
               .removeprefix("file:"))
@@ -45,6 +39,15 @@ def write_bucketed(df: DataFrame, table: str, key: str, n_buckets: int,
     # db-qualified names live under <warehouse>/<db>.db/<table>
     loc = wh / parts[-1] if len(parts) == 1 else wh / f"{parts[-2]}.db" / parts[-1]
     shutil.rmtree(loc, ignore_errors=True)
+
+
+def write_bucketed(df: DataFrame, table: str, key: str, n_buckets: int,
+                   sort: bool = True) -> None:
+    """Persist as a bucketed (optionally bucket-sorted) managed table.
+    Sorting within buckets additionally enables exchange-AND-sort-free
+    sort-merge joins."""
+    spark = df.sparkSession
+    drop_table_and_location(spark, table)
     w = df.write.mode("overwrite").bucketBy(n_buckets, key)
     if sort:
         w = w.sortBy(key)

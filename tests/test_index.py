@@ -126,3 +126,36 @@ def test_search_phrase_rarest_missing_term_empty(idx):
     assert out.count() == 0
     with pytest.raises(ValueError):
         search_phrase(idx, "cat sat", anchor="bogus")
+
+
+def test_materialize_index_bucket_pruned_lookup(spark):
+    from jsonschemaparse_spark.functions.index import materialize_index
+
+    base = build_inverted_index(_corpus(spark, [
+        "the cat sat", "dog ran far", "cat naps"]), max_postings=2)
+    mat = materialize_index(base, "jsp_test_posting_idx", n_buckets=8)
+    # same results through the materialized table
+    assert {r["doc"] for r in search_term(mat, "cat").collect()} == {0, 2}
+    # overflow survives materialization and still rejects loudly
+    assert {r["token"] for r in mat.overflow.collect()} == \
+        {r["token"] for r in base.overflow.collect()}
+    # bucket pruning PITFALL: with autoBucketedScan (default on) the
+    # planner un-buckets a pure filter scan and reads every bucket...
+    conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    plan = (search_term(mat, "cat")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Bucketed: false (disabled by query planner)" in plan
+    old = spark.conf.get(conf)
+    try:
+        # ...with it off, the term lookup reads ONE bucket of 8
+        spark.conf.set(conf, "false")
+        plan = (search_term(mat, "cat")
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "SelectedBucketsCount: 1 out of 8" in plan
+    finally:
+        spark.conf.set(conf, old)
+    # re-materializing over the same name is idempotent
+    mat2 = materialize_index(base, "jsp_test_posting_idx", n_buckets=8)
+    assert search_term(mat2, "cat").count() == 2
+    spark.sql("DROP TABLE IF EXISTS jsp_test_posting_idx")
+    spark.sql("DROP TABLE IF EXISTS jsp_test_posting_idx_overflow")
