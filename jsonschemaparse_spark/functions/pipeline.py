@@ -108,6 +108,10 @@ def clean_corpus(
     normalize_kw: "dict | None" = None,
     lm=None,
     lm_max_log2_ppl: "float | None" = None,
+    mixture_strata: "str | None" = None,
+    mixture_target_fraction: "float | None" = None,
+    mixture_alpha: float = 0.5,
+    mixture_seed: int = 0,
 ) -> CleanCorpusResult:
     """Apply the canonical cleaning stages in order; returns the surviving
     rows (original columns only), the stages applied, the persisted
@@ -160,13 +164,25 @@ def clean_corpus(
                       last means the regex chain runs only on kept docs).
                       Rewriting stage: NULL text stays NULL, no rows
                       dropped, no new shuffle (one more projection)
+      7. mixture      (mixture_strata + mixture_target_fraction set)
+                      temperature-weighted corpus assembly LAST — rates
+                      from sampling.temperature_rates over the CLEANED
+                      survivors (the mix you ship is the mix of what
+                      survived cleaning, not of the raw crawl), applied
+                      as the deterministic hash filter keyed on id_col.
+                      Batch-only: deriving rates runs one group-count
+                      job over the survivors (the frame is persisted
+                      first so the prefix computes once); composition
+                      identity clean_corpus(mixture...) ==
+                      temperature_mixture(clean_corpus(...)) is pinned
 
     observe_funnel: attaches `.observe()` accumulators (n_input,
     n_after_snapshot when seen_df is set,
     n_after_exact, n_after_gopher / n_after_c4 / n_after_classifier as
     applicable, the
-    minhash bucket-overflow counters when near-dup is on, and
-    n_pii_docs when pii_redact is on) so the first
+    minhash bucket-overflow counters when near-dup is on, n_pii_docs
+    when pii_redact is on, and n_after_mixture when the mixture stage
+    is on) so the first
     action on `cleaned` also yields the funnel — the production shape:
     one pass over the corpus, counts for free. Read them via
     result.funnel_counts(). The overflow counters surface what the LSH
@@ -311,6 +327,28 @@ def clean_corpus(
                 F.sum(F.when(F.col("_jsp_red") != F.col(text_col), 1)),
                 F.lit(0)).alias("n_pii_docs"))
         out = red.withColumn(text_col, F.col("_jsp_red")).select(*cols)
+    if mixture_target_fraction is not None:
+        if mixture_strata is None:
+            raise ValueError(
+                "mixture_target_fraction requires mixture_strata")
+        from .sampling import temperature_mixture
+
+        stages.append("mixture")
+        # rate derivation is an ACTION over the cleaned survivors;
+        # persist so the cleaning prefix computes once (rates job) and
+        # is reused by the final filter. Reuse the near-dup cache slot
+        # when that stage already persisted upstream.
+        if cached is None:
+            out = out.persist()
+            cached = out
+        out = temperature_mixture(
+            out, mixture_strata, id_col, alpha=mixture_alpha,
+            target_fraction=mixture_target_fraction, seed=mixture_seed)
+        if observe_funnel:
+            obs_m = Observation()
+            funnel["mixture"] = obs_m
+            out = out.observe(
+                obs_m, F.count(F.lit(1)).alias("n_after_mixture"))
     return CleanCorpusResult(cleaned=out, stages=stages, cached=cached,
                              funnel=funnel)
 

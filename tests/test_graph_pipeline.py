@@ -437,3 +437,37 @@ def test_clean_corpus_lm_gate(spark):
 
     with pytest.raises(ValueError, match="BigramLM"):
         clean_corpus(batch, gopher=False, c4=False, lm_max_log2_ppl=1.0)
+
+
+def test_clean_corpus_mixture_stage_composition_identity(spark, documents):
+    """Stage 7: clean_corpus(mixture...) == temperature_mixture over the
+    cleaned survivors — same rates (derived from the same frame), same
+    seed, same kept set. Funnel carries n_after_mixture."""
+    from jsonschemaparse_spark.functions.pipeline import clean_corpus
+    from jsonschemaparse_spark.functions.sampling import temperature_mixture
+
+    base = clean_corpus(documents, gopher=False, c4=False)
+    want = {r["doc_id"] for r in temperature_mixture(
+        base.cleaned, "lang", "doc_id", alpha=0.5, target_fraction=0.4,
+    ).select("doc_id").collect()}
+
+    res = clean_corpus(documents, gopher=False, c4=False,
+                       mixture_strata="lang",
+                       mixture_target_fraction=0.4,
+                       observe_funnel=True)
+    got = {r["doc_id"] for r in res.cleaned.select("doc_id").collect()}
+    assert got == want and len(got) > 0
+    counts = res.funnel_counts()
+    assert counts["n_after_mixture"] == len(got)
+    assert "mixture" in res.stages
+    assert res.cached is not None  # rates job persisted the prefix
+    res.unpersist()
+
+
+def test_clean_corpus_mixture_requires_strata(spark, documents):
+    import pytest as _pytest
+
+    from jsonschemaparse_spark.functions.pipeline import clean_corpus
+
+    with _pytest.raises(ValueError, match="mixture_strata"):
+        clean_corpus(documents, mixture_target_fraction=0.5)
