@@ -980,6 +980,33 @@ def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_report(_docs(spark, sf_dir))
 
 
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment (quote/partial-copy detection):
+    clone fragments of real docs so small-in-big pairs exist, then find
+    every pair where either direction >= 0.9. Same shingle-keyed
+    co-occurrence core as the Jaccard tier."""
+    from jsonschemaparse_spark.functions.dedup import ngram_containment_pairs
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    frags = (
+        d.filter(F.col("doc_id") < 40)
+        .select((F.col("doc_id") + 100000).alias("doc_id"),
+                F.array_join(F.slice(F.split(F.col("text"), r"\s+"), 1, 12),
+                             " ").alias("text"))
+    )
+    corpus = d.select("doc_id", "text").unionByName(frags)
+    return ngram_containment_pairs(corpus, "doc_id", threshold=0.9)
+
+
+def q_group_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-lang inspection sample: 3 docs per lang by
+    md5(doc_id:0) hash order — the same rows on every run/layout."""
+    from jsonschemaparse_spark.functions.sampling import group_samples
+
+    return group_samples(_docs(spark, sf_dir), "lang", "doc_id", k=3) \
+        .select("lang", "sample_rank", "doc_id")
+
+
 def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-weighted mixture sample (alpha=0.5, the T5 recipe):
     rates n_s^0.5-proportional from one group-count job, applied as the
@@ -1140,6 +1167,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_postings": q_index_postings,
         "phrase_search": q_phrase_search,
         "temperature_mixture": q_temperature_mixture,
+        "ngram_containment": q_ngram_containment,
+        "group_samples": q_group_samples,
     }
 
 
@@ -2612,6 +2641,47 @@ SELECT lang, source,
   CAST(sum(CASE WHEN gopher_keep AND c4_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
   ROUND(avg(n_words), 6) AS avg_words
 FROM r GROUP BY lang, source
+""",
+        # containment: same corpus synthesis (first-12-raw-token
+        # fragments of docs < 40 cloned at +100000), distinct-3-shingle
+        # sets with the whole-text fallback (the _SHINGLES convention),
+        # both directions rounded 6dp; pairs need >= 1 shared shingle
+        # (threshold 0.9 subsumes it)
+        "ngram_containment": f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT doc_id + 100000,
+         array_to_string(regexp_split_to_array(text, '\\s+')[1:12], ' ')
+  FROM documents WHERE doc_id < 40
+),
+s AS (SELECT doc_id, {_SHINGLES} AS sh FROM corpus),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.sh, b.sh)) AS inter,
+         len(a.sh) AS na, len(b.sh) AS nb
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       round(inter * 1.0 / na, 6) AS containment_a_in_b,
+       round(inter * 1.0 / nb, 6) AS containment_b_in_a
+FROM p
+WHERE round(inter * 1.0 / na, 6) >= 0.9
+   OR round(inter * 1.0 / nb, 6) >= 0.9
+""",
+        # group samples: identical hash-prefix order (8 hex chars, then
+        # key) on both engines
+        "group_samples": """
+WITH r AS (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 8),
+                    doc_id) AS sample_rank
+  FROM documents
+)
+SELECT lang, CAST(sample_rank AS INTEGER) AS sample_rank, doc_id
+FROM r WHERE sample_rank <= 3
 """,
         # temperature mixture: rates re-derived algorithmically —
         # alpha=0.5 keeps every step exactly rounded (sqrt, sorted-order

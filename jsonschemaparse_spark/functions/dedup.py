@@ -634,6 +634,19 @@ def ngram_jaccard_pairs(
     reported jaccard becomes a LOWER BOUND and pairs that co-occur ONLY in
     hot shingles are dropped — for dedup this is the conservative
     direction (hot shingles carry no discriminative signal)."""
+    co = _ngram_copair_counts(df, id_col, text_col, k, max_posting_len)
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return co.select("id_a", "id_b", F.round(jac, 6).alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def _ngram_copair_counts(
+    df: DataFrame, id_col: str, text_col: str, k: int,
+    max_posting_len: int | None,
+) -> DataFrame:
+    """Shared co-occurrence core of the n-gram pair metrics: (id_a,
+    id_b, inter, na, nb) for pairs sharing >= 1 (non-capped) shingle."""
     sh = _ngram_postings(df, id_col, text_col, k)
     if max_posting_len is not None:
         ok = (
@@ -644,15 +657,46 @@ def ngram_jaccard_pairs(
         )
         sh = sh.join(ok, "sh", "left_semi")
     l, r = sh.alias("l"), sh.alias("r")
-    co = (
+    return (
         l.join(r, (F.col("l.sh") == F.col("r.sh")) & (F.col("l.doc") < F.col("r.doc")))
         .groupBy(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"),
              F.first("l.n_sh").alias("na"), F.first("r.n_sh").alias("nb"))
     )
-    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
-    return co.select("id_a", "id_b", F.round(jac, 6).alias("jaccard")).filter(
-        F.col("jaccard") >= threshold
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+    max_posting_len: int | None = None,
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT — the quote/partial-copy detector
+    Jaccard misses: a 50-shingle doc fully embedded in a 5000-shingle
+    doc scores jaccard ~0.01 but containment 1.0. Emits (id_a, id_b,
+    containment_a_in_b = |A∩B|/|A|, containment_b_in_a = |A∩B|/|B|)
+    for pairs where EITHER direction reaches `threshold` (distinct
+    shingle sets, the Broder 1997 resemblance/containment pair).
+
+    Same co-occurrence core and scale shape as ngram_jaccard_pairs
+    (shingle-keyed shuffle, posting-cap overflow contract — under
+    max_posting_len the intersection omits hot shingles, so both
+    containments are LOWER bounds, the conservative direction).
+    Single-shingle NULL/short docs: |A| >= 1 always (the whole-text
+    fallback shingle), so no division by zero."""
+    co = _ngram_copair_counts(df, id_col, text_col, k, max_posting_len)
+    c_ab = F.col("inter") / F.col("na")
+    c_ba = F.col("inter") / F.col("nb")
+    return (
+        co.select(
+            "id_a", "id_b",
+            F.round(c_ab, 6).alias("containment_a_in_b"),
+            F.round(c_ba, 6).alias("containment_b_in_a"),
+        )
+        .filter((F.col("containment_a_in_b") >= threshold)
+                | (F.col("containment_b_in_a") >= threshold))
     )
 
 

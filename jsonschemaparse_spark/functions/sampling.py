@@ -158,6 +158,33 @@ def temperature_mixture(df: DataFrame, strata_col: str, key_col: str, *,
     return stratified_sample(df, rates, strata_col, key_col, seed=seed)
 
 
+def group_samples(df: DataFrame, strata_col: str, key_col: str, *,
+                  k: int = 10, seed: int = 0) -> DataFrame:
+    """Deterministic per-group inspection sample (the corpus-QA view:
+    'show me k docs from every (lang, source) slice'): df + `sample_rank`
+    (1..k) for the k rows per stratum with the smallest md5(key:seed) —
+    a uniform draw that is a pure function of (key, seed), so the same
+    rows come back on every run, every cluster size, every layout (the
+    module's hash-sampling contract, extended to per-group top-k).
+
+    Cost shape: one window per stratum (rank over the group's rows).
+    For corpus-scale strata, pre-thin first — the composition
+    group_samples(deterministic_sample(df, f, key), ...) keeps the SAME
+    final rows whenever f retains >= k rows per stratum, because
+    hash-order prefixes are stable under hash-threshold filtering (both
+    order by the same md5)."""
+    from pyspark.sql import Window
+
+    h = _hash8(F.col(key_col), seed)
+    w = Window.partitionBy(strata_col).orderBy(
+        h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+        .withColumn("sample_rank", F.col("sample_rank").cast("int"))
+    )
+
+
 def sample_oracle_sql(key_expr: str, fraction: float, seed: int = 0) -> str:
     """DuckDB boolean twin of hash_keep — built from the same threshold
     so engine and oracle cannot drift."""

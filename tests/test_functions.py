@@ -1677,3 +1677,37 @@ def test_quality_report_single_scan_and_counts(spark):
     plan = quality_report(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1                 # one group shuffle
     assert "EvalPython" not in plan
+
+
+def test_ngram_containment_detects_quote(spark):
+    from jsonschemaparse_spark.functions.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    big = " ".join(f"w{i}" for i in range(200))
+    frag = " ".join(f"w{i}" for i in range(40, 52))  # 12 words of big
+    df = spark.createDataFrame(
+        [(1, big), (2, frag), (3, "totally different words here")],
+        "doc_id long, text string")
+    rows = ngram_containment_pairs(df, "doc_id", threshold=0.9).collect()
+    assert [(r["id_a"], r["id_b"]) for r in rows] == [(1, 2)]
+    r = rows[0]
+    # all 10 fragment shingles appear in big: b-in-a direction = 1.0
+    assert r["containment_b_in_a"] == 1.0
+    assert r["containment_a_in_b"] == round(10 / 198, 6)
+    # jaccard misses the same pair at any usable threshold
+    jac = ngram_jaccard_pairs(df, "doc_id", threshold=0.5)
+    assert jac.count() == 0
+
+
+def test_ngram_containment_respects_posting_cap(spark):
+    from jsonschemaparse_spark.functions.dedup import ngram_containment_pairs
+
+    # same 3 shingles in 4 docs -> posting len 4 > cap 3: pairs vanish
+    t = "alpha beta gamma delta epsilon"
+    df = spark.createDataFrame(
+        [(i, t) for i in range(4)], "doc_id long, text string")
+    assert ngram_containment_pairs(df, "doc_id", threshold=0.1,
+                                   max_posting_len=3).count() == 0
+    assert ngram_containment_pairs(df, "doc_id", threshold=0.1).count() == 6

@@ -178,3 +178,39 @@ def test_temperature_rates_empty_and_null_strata(spark):
     # NULL strata excluded from rates and dropped by the filter
     out = temperature_mixture(nulls, "src", "k", target_fraction=1.0)
     assert {r["src"] for r in out.collect()} == {"a"}
+
+
+def test_group_samples_deterministic_and_bounded(spark, documents):
+    from pyspark.sql import functions as F
+    from jsonschemaparse_spark.functions.sampling import group_samples
+
+    a = group_samples(documents, "lang", "doc_id", k=3)
+    b = group_samples(documents.repartition(11), "lang", "doc_id", k=3)
+    sa = {(r["lang"], r["sample_rank"], r["doc_id"]) for r in
+          a.select("lang", "sample_rank", "doc_id").collect()}
+    sb = {(r["lang"], r["sample_rank"], r["doc_id"]) for r in
+          b.select("lang", "sample_rank", "doc_id").collect()}
+    assert sa == sb
+    per = a.groupBy("lang").count().collect()
+    assert all(r["count"] <= 3 for r in per) and len(per) >= 2
+    # schema preserved + rank column appended
+    assert set(a.columns) == set(documents.columns) | {"sample_rank"}
+
+
+def test_group_samples_prefix_stable_under_prethinning(spark, documents):
+    """The documented composition: pre-thinning with the SAME keyed hash
+    keeps the same final top-k whenever >= k rows per stratum survive
+    (hash-order prefixes are stable under hash-threshold filtering)."""
+    from jsonschemaparse_spark.functions.sampling import (
+        deterministic_sample,
+        group_samples,
+    )
+
+    full = {(r["lang"], r["doc_id"]) for r in
+            group_samples(documents, "lang", "doc_id", k=2)
+            .select("lang", "doc_id").collect()}
+    thin = {(r["lang"], r["doc_id"]) for r in
+            group_samples(deterministic_sample(documents, 0.5, "doc_id"),
+                          "lang", "doc_id", k=2)
+            .select("lang", "doc_id").collect()}
+    assert full == thin
