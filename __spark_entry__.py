@@ -980,6 +980,36 @@ def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_report(_docs(spark, sf_dir))
 
 
+def _paragraph_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic paragraph corpus (the shipped documents are
+    single-line): shared intro (hot in every doc), the unique body, a
+    25-char body prefix (collides across docs only when prefixes
+    genuinely repeat — the twin computes the same), and one of two
+    footers (each hot in ~half the docs)."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    t = F.concat(
+        F.lit("shared intro paragraph\n\n"),
+        F.col("text"),
+        F.lit("\n\n"), F.substring("text", 1, 25),
+        F.lit("\n\n"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("footer alpha"))
+        .otherwise(F.lit("footer beta")),
+    )
+    return d.select("doc_id", t.alias("text"))
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-unit cross-doc dedup: strip paragraphs appearing in >= 2
+    distinct docs, canonical '\\n\\n' rebuild (functions/dedup.py
+    strip_duplicate_paragraphs)."""
+    from jsonschemaparse_spark.functions.dedup import (
+        strip_duplicate_paragraphs,
+    )
+
+    return strip_duplicate_paragraphs(
+        _paragraph_docs(spark, sf_dir), "doc_id").select("doc_id", "text")
+
+
 def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric shingle containment (quote/partial-copy detection):
     clone fragments of real docs so small-in-big pairs exist, then find
@@ -1169,6 +1199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mixture": q_temperature_mixture,
         "ngram_containment": q_ngram_containment,
         "group_samples": q_group_samples,
+        "paragraph_dedup": q_paragraph_dedup,
     }
 
 
@@ -2641,6 +2672,38 @@ SELECT lang, source,
   CAST(sum(CASE WHEN gopher_keep AND c4_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
   ROUND(avg(n_words), 6) AS avg_words
 FROM r GROUP BY lang, source
+""",
+        # paragraph dedup: same constructed corpus; hot = trimmed
+        # paragraphs in >= 2 distinct docs; rebuild = in-order kept
+        # trimmed blocks joined by the canonical blank line
+        "paragraph_dedup": """
+WITH c AS (
+  SELECT doc_id,
+         'shared intro paragraph' || chr(10) || chr(10) || text
+         || chr(10) || chr(10) || substr(text, 1, 25)
+         || chr(10) || chr(10)
+         || CASE WHEN doc_id % 2 = 0 THEN 'footer alpha'
+                 ELSE 'footer beta' END AS text
+  FROM documents WHERE doc_id < 300
+),
+p AS (
+  SELECT doc_id,
+         trim(unnest(regexp_split_to_array(text, '\\n\\n+'))) AS para
+  FROM c
+),
+hot AS (
+  SELECT para FROM p WHERE para <> ''
+  GROUP BY para HAVING count(DISTINCT doc_id) >= 2
+),
+h AS (SELECT coalesce(list(para), []) AS hot_list FROM hot)
+SELECT c.doc_id,
+       array_to_string(
+         list_filter(
+           list_transform(regexp_split_to_array(c.text, '\\n\\n+'),
+                          x -> trim(x)),
+           x -> x <> '' AND NOT list_contains(h.hot_list, x)),
+         chr(10) || chr(10)) AS text
+FROM c, h
 """,
         # containment: same corpus synthesis (first-12-raw-token
         # fragments of docs < 40 cloned at +100000), distinct-3-shingle

@@ -907,6 +907,102 @@ def strip_boilerplate_lines(
     )
 
 
+def duplicate_paragraph_groups(
+    df: DataFrame, id_col: str, text_col: str = "text", min_docs: int = 2
+) -> DataFrame:
+    """(paragraph, n_docs, n_occurrences) for trimmed paragraphs
+    (blank-line-delimited blocks, the `\\n\\n+` convention the quality
+    gates use) appearing in >= min_docs DISTINCT documents — the CCNet
+    dedup unit (its pipeline hashes and drops repeated PARAGRAPHS, one
+    level up from the C4 line rule). Same shape as
+    duplicate_line_groups: paragraph-keyed shuffle, map-side combine,
+    per-doc repeats counted once for n_docs."""
+    paras = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), r"\n\n+")
+            ).alias("raw"),
+        )
+        .select("doc", F.trim(F.col("raw")).alias("paragraph"))
+        .filter(F.col("paragraph") != "")
+    )
+    return (
+        paras.groupBy("paragraph")
+        .agg(
+            F.countDistinct("doc").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def strip_duplicate_paragraphs(
+    df: DataFrame, id_col: str, text_col: str = "text", min_docs: int = 2,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Remove paragraphs occurring in >= min_docs documents, preserving
+    the survivors' order — strip_boilerplate_lines one unit up
+    (CCNet's dedup granularity). Matching is on TRIMMED paragraph
+    content; kept paragraphs are emitted TRIMMED (single-newline line
+    breaks INSIDE a block survive untouched) and re-joined with the
+    CANONICAL '\\n\\n' separator. Unlike the line variant (whose '\\n'
+    split/join pair is lossless), paragraph rebuild canonicalizes the
+    blank-line runs between paragraphs and outer block whitespace — an
+    untouched doc round-trips byte-identically only when it is already
+    in canonical form (documented contract, pinned both ways in tests;
+    run it after normalize_text, which already collapses separator
+    noise).
+
+    Scale shape: identical to the line variant — the hot set IS the
+    boilerplate (tiny), anti-join broadcast-shrinks under AQE, rebuild
+    shuffles one (doc, pos, paragraph) row per KEPT paragraph.
+
+    NULL convention: rewriting op — NULL text stays NULL; NULL-id docs
+    pass through untouched."""
+    out_col = out_col or text_col
+    hot = duplicate_paragraph_groups(
+        df, id_col, text_col, min_docs).select("paragraph")
+    exploded = (
+        df.select(
+            F.col(id_col).alias("_jsp_doc"),
+            F.posexplode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), r"\n\n+")
+            ).alias("_jsp_pos", "_jsp_raw"),
+        )
+        .withColumn("paragraph", F.trim(F.col("_jsp_raw")))
+        # blank blocks (leading/trailing separator runs) are never
+        # keyed and never rebuilt — the canonical join re-creates the
+        # separators
+        .filter(F.col("paragraph") != "")
+    )
+    kept = exploded.join(hot, "paragraph", "left_anti")
+    rebuilt = (
+        kept.groupBy("_jsp_doc")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("_jsp_pos", "_jsp_raw"))),
+                    lambda s: F.trim(s.getField("_jsp_raw")),
+                ),
+                "\n\n",
+            ).alias("_jsp_rebuilt")
+        )
+    )
+    return (
+        df.join(rebuilt, df[id_col] == rebuilt["_jsp_doc"], "left")
+        .drop("_jsp_doc")
+        .withColumn(
+            out_col,
+            F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+            .when(F.col(id_col).isNull(), F.col(text_col))
+            .otherwise(F.coalesce(F.col("_jsp_rebuilt"), F.lit(""))),
+        )
+        .drop("_jsp_rebuilt")
+    )
+
+
 def dedupe_lines_within_doc(
     df: DataFrame, id_col: str, text_col: str = "text",
     out_col: str | None = None,

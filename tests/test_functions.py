@@ -1711,3 +1711,62 @@ def test_ngram_containment_respects_posting_cap(spark):
     assert ngram_containment_pairs(df, "doc_id", threshold=0.1,
                                    max_posting_len=3).count() == 0
     assert ngram_containment_pairs(df, "doc_id", threshold=0.1).count() == 6
+
+
+def test_duplicate_paragraph_groups_counts(spark):
+    from jsonschemaparse_spark.functions.dedup import duplicate_paragraph_groups
+
+    footer = "subscribe to our newsletter\nall rights reserved"
+    df = spark.createDataFrame(
+        [(1, f"unique one\n\n{footer}"),
+         (2, f"unique two\n\n{footer}\n\n{footer}"),   # twice in one doc
+         (3, "unique three"),
+         (4, None)],
+        "doc_id long, text string")
+    rows = duplicate_paragraph_groups(df, "doc_id").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # multi-line paragraph is ONE unit; per-doc repeat counts docs once
+    assert r["paragraph"] == footer
+    assert r["n_docs"] == 2 and r["n_occurrences"] == 3
+
+
+def test_strip_duplicate_paragraphs_order_and_canonical_form(spark):
+    from jsonschemaparse_spark.functions.dedup import strip_duplicate_paragraphs
+
+    footer = "footer text"
+    df = spark.createDataFrame(
+        [(1, f"alpha\n\n{footer}\n\nbeta"),
+         (2, f"{footer}\n\ngamma"),
+         (3, "solo doc"),
+         (4, None),
+         (None, f"{footer}\n\nkept-for-null-id")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["text"] for r in
+           strip_duplicate_paragraphs(df, "doc_id").collect()}
+    assert got[1] == "alpha\n\nbeta"          # order kept, hot block gone
+    assert got[2] == "gamma"
+    assert got[3] == "solo doc"               # canonical doc untouched
+    assert got[4] is None                     # NULL text stays NULL
+    assert got[None] == f"{footer}\n\nkept-for-null-id"  # NULL id bypass
+
+
+def test_strip_duplicate_paragraphs_canonicalizes_separators(spark):
+    from jsonschemaparse_spark.functions.dedup import strip_duplicate_paragraphs
+
+    # \n\n\n separators and outer whitespace collapse to canonical form
+    df = spark.createDataFrame(
+        [(1, "a b\nc d\n\n\n  e f  "), (2, "unrelated here")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["text"] for r in
+           strip_duplicate_paragraphs(df, "doc_id").collect()}
+    # nothing is hot, but the rebuild canonicalizes: trimmed blocks,
+    # single blank-line separators, in-block \n preserved
+    assert got[1] == "a b\nc d\n\ne f"
+    # all paragraphs hot -> doc collapses to '' (non-null convention)
+    df2 = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, "same\n\nsame")],
+        "doc_id long, text string")
+    got2 = {r["doc_id"]: r["text"] for r in
+            strip_duplicate_paragraphs(df2, "doc_id").collect()}
+    assert got2 == {1: "", 2: "", 3: ""}
