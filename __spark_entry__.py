@@ -980,6 +980,21 @@ def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_report(_docs(spark, sf_dir))
 
 
+def q_keep_rate_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang gate pass-rate drift between two corpus versions
+    (integrity.keep_rate_drift): old = n_chars >= 300, new = every
+    third doc removed and a tighter n_chars >= 350 gate — deterministic
+    rate shifts per lang; 2x2 chi2 vs the constant alpha=0.01 cut, all
+    arithmetic exact-integer-derived so the twin matches bit-for-bit."""
+    from jsonschemaparse_spark.functions.integrity import keep_rate_drift
+
+    d = _docs(spark, sf_dir)
+    old = d.withColumn("keep", F.col("n_chars") >= 300)
+    new = d.filter(F.col("doc_id") % 3 != 0).withColumn(
+        "keep", F.col("n_chars") >= 350)
+    return keep_rate_drift(old, new, "keep", ("lang",))
+
+
 def _paragraph_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic paragraph corpus (the shipped documents are
     single-line): shared intro (hot in every doc), the unique body, a
@@ -1200,6 +1215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_containment": q_ngram_containment,
         "group_samples": q_group_samples,
         "paragraph_dedup": q_paragraph_dedup,
+        "keep_rate_drift": q_keep_rate_drift,
     }
 
 
@@ -2672,6 +2688,52 @@ SELECT lang, source,
   CAST(sum(CASE WHEN gopher_keep AND c4_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
   ROUND(avg(n_words), 6) AS avg_words
 FROM r GROUP BY lang, source
+""",
+        # keep-rate drift: 2x2 chi2 N(ad-bc)^2/margins with the explicit
+        # square (no pow), drift flag = constant 6.634897 compare
+        "keep_rate_drift": """
+WITH o AS (
+  SELECT lang, count(*) AS n_old,
+         sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS keep_old
+  FROM documents GROUP BY lang
+),
+nn AS (
+  SELECT lang, count(*) AS n_new,
+         sum(CASE WHEN n_chars >= 350 THEN 1 ELSE 0 END) AS keep_new
+  FROM documents WHERE doc_id % 3 <> 0 GROUP BY lang
+),
+j AS (
+  SELECT coalesce(o.lang, nn.lang) AS lang,
+         CAST(coalesce(n_old, 0) AS BIGINT) AS n_old,
+         CAST(coalesce(keep_old, 0) AS BIGINT) AS keep_old,
+         CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+         CAST(coalesce(keep_new, 0) AS BIGINT) AS keep_new
+  FROM o FULL OUTER JOIN nn ON o.lang = nn.lang
+),
+m AS (
+  SELECT *,
+         CAST(keep_old AS DOUBLE) AS a,
+         CAST(n_old - keep_old AS DOUBLE) AS b,
+         CAST(keep_new AS DOUBLE) AS c,
+         CAST(n_new - keep_new AS DOUBLE) AS d
+  FROM j
+),
+s AS (
+  SELECT *,
+         CASE WHEN (a+b)*(c+d)*(a+c)*(b+d) > 0
+              THEN (a+b+c+d) * ((a*d - b*c) * (a*d - b*c))
+                   / ((a+b)*(c+d)*(a+c)*(b+d))
+              ELSE 0.0 END AS chi2_raw
+  FROM m
+)
+SELECT lang, n_old, keep_old, n_new, keep_new,
+       round(CASE WHEN n_old > 0 THEN a / (a+b) END, 6) AS rate_old,
+       round(CASE WHEN n_new > 0 THEN c / (c+d) END, 6) AS rate_new,
+       round((CASE WHEN n_new > 0 THEN c / (c+d) END)
+             - (CASE WHEN n_old > 0 THEN a / (a+b) END), 6) AS delta_rate,
+       round(chi2_raw, 6) AS chi2,
+       chi2_raw > 6.634897 AS drifted
+FROM s
 """,
         # paragraph dedup: same constructed corpus; hot = trimmed
         # paragraphs in >= 2 distinct docs; rebuild = in-order kept

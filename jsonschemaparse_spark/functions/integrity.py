@@ -166,6 +166,74 @@ def ks_drift(
     return DriftResult(d, p, n1, n2, p < alpha, "ks")
 
 
+def keep_rate_drift(
+    old: DataFrame,
+    new: DataFrame,
+    keep_col: str,
+    group_cols: "tuple[str, ...]" = ("lang",),
+    *,
+    critical: float = 6.634897,
+) -> DataFrame:
+    """Per-group gate pass-rate drift between two corpus versions — the
+    monitoring view a production cleaning run alarms on ('did the
+    gopher keep-rate for lang=de collapse in this crawl?'). Composable
+    with any boolean gate column (text.quality_flags's gopher_keep /
+    c4_keep / quality_keep, a classifier threshold, a validator
+    verdict): pass the two FLAGGED frames and the flag's name.
+
+    Emits per group: n_old/n_new, keep_old/keep_new (integer counts),
+    rate_old/rate_new/delta_rate (6dp), chi2 (the 2x2 homogeneity
+    statistic N(ad-bc)^2/((a+b)(c+d)(a+c)(b+d)), 6dp), and
+    drifted = chi2 > critical (default = the dof-1 alpha=0.01 cut
+    6.634897 — a CONSTANT comparison, so the DuckDB twin is fully
+    algorithmic; integrity.chi2_drift is the p-value path when a
+    scipy-grade tail is wanted).
+
+    Scale shape: one map-side-combined count aggregate per side
+    (shuffle bounded by group cardinality), one group-keyed outer join
+    of two group-sized frames, pure arithmetic after. Groups absent on
+    one side count 0 there (full outer join, the drift you most want
+    to see). NULL keep flags count as not-kept."""
+    def _agg(df: DataFrame, n_name: str, k_name: str) -> DataFrame:
+        return df.groupBy(*[F.col(c) for c in group_cols]).agg(
+            F.count(F.lit(1)).alias(n_name),
+            F.coalesce(
+                F.sum(F.when(F.col(keep_col), 1)), F.lit(0)
+            ).cast("long").alias(k_name),
+        )
+
+    lo = _agg(old, "n_old", "keep_old")
+    ro = _agg(new, "n_new", "keep_new")
+    j = lo.join(ro, list(group_cols), "full_outer").select(
+        *group_cols,
+        F.coalesce("n_old", F.lit(0)).cast("long").alias("n_old"),
+        F.coalesce("keep_old", F.lit(0)).cast("long").alias("keep_old"),
+        F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+        F.coalesce("keep_new", F.lit(0)).cast("long").alias("keep_new"),
+    )
+    a = F.col("keep_old").cast("double")
+    b = (F.col("n_old") - F.col("keep_old")).cast("double")
+    c = F.col("keep_new").cast("double")
+    d = (F.col("n_new") - F.col("keep_new")).cast("double")
+    n = a + b + c + d
+    denom = (a + b) * (c + d) * (a + c) * (b + d)
+    # explicit square, not pow(x, 2): libm pow is not correctly rounded
+    # everywhere, multiplication is — the twin must match bit-for-bit
+    diff = a * d - b * c
+    chi2 = F.when(denom > 0, n * (diff * diff) / denom) \
+        .otherwise(F.lit(0.0))
+    rate_old = F.when(F.col("n_old") > 0, a / (a + b))
+    rate_new = F.when(F.col("n_new") > 0, c / (c + d))
+    return j.select(
+        *group_cols, "n_old", "keep_old", "n_new", "keep_new",
+        F.round(rate_old, 6).alias("rate_old"),
+        F.round(rate_new, 6).alias("rate_new"),
+        F.round(rate_new - rate_old, 6).alias("delta_rate"),
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > critical).alias("drifted"),
+    )
+
+
 def chi2_drift(
     left: DataFrame,
     right: DataFrame,

@@ -1770,3 +1770,44 @@ def test_strip_duplicate_paragraphs_canonicalizes_separators(spark):
     got2 = {r["doc_id"]: r["text"] for r in
             strip_duplicate_paragraphs(df2, "doc_id").collect()}
     assert got2 == {1: "", 2: "", 3: ""}
+
+
+def test_keep_rate_drift_hand_computed(spark):
+    from pyspark.sql import functions as F
+    from jsonschemaparse_spark.functions.integrity import keep_rate_drift
+
+    old = spark.createDataFrame(
+        [("en", True)] * 90 + [("en", False)] * 10
+        + [("de", True)] * 50 + [("de", False)] * 50,
+        "lang string, keep boolean")
+    # en collapses 0.9 -> 0.5; de unchanged
+    new = spark.createDataFrame(
+        [("en", True)] * 50 + [("en", False)] * 50
+        + [("de", True)] * 50 + [("de", False)] * 50,
+        "lang string, keep boolean")
+    rows = {r["lang"]: r for r in
+            keep_rate_drift(old, new, "keep", ("lang",)).collect()}
+    en = rows["en"]
+    assert (en["rate_old"], en["rate_new"], en["delta_rate"]) == (0.9, 0.5, -0.4)
+    # chi2 = 200*(90*50-10*50)^2/(100*100*140*60) = 200*4000^2/84e6
+    assert en["chi2"] == round(200 * 4000**2 / (100 * 100 * 140 * 60), 6)
+    assert en["drifted"] is True
+    de = rows["de"]
+    assert de["chi2"] == 0.0 and de["drifted"] is False
+
+
+def test_keep_rate_drift_one_sided_groups_and_null_flags(spark):
+    from jsonschemaparse_spark.functions.integrity import keep_rate_drift
+
+    old = spark.createDataFrame(
+        [("en", True), ("en", None), ("fr", True)],
+        "lang string, keep boolean")
+    new = spark.createDataFrame(
+        [("en", True), ("zh", False)], "lang string, keep boolean")
+    rows = {r["lang"]: r for r in
+            keep_rate_drift(old, new, "keep", ("lang",)).collect()}
+    # NULL keep counts as not-kept
+    assert rows["en"]["keep_old"] == 1 and rows["en"]["n_old"] == 2
+    # fr only in old, zh only in new: present with zero opposite side
+    assert rows["fr"]["n_new"] == 0 and rows["fr"]["rate_new"] is None
+    assert rows["zh"]["n_old"] == 0 and rows["zh"]["chi2"] == 0.0
