@@ -980,6 +980,15 @@ def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_report(_docs(spark, sf_dir))
 
 
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram over n_chars (stats.value_histogram): the
+    KS-drift bucket formula reused as a user-facing table, zero-count
+    bins included via the bin spine."""
+    from jsonschemaparse_spark.functions.stats import value_histogram
+
+    return value_histogram(_docs(spark, sf_dir), "n_chars", n_bins=32)
+
+
 def q_keep_rate_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-lang gate pass-rate drift between two corpus versions
     (integrity.keep_rate_drift): old = n_chars >= 300, new = every
@@ -1216,6 +1225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_samples": q_group_samples,
         "paragraph_dedup": q_paragraph_dedup,
         "keep_rate_drift": q_keep_rate_drift,
+        "value_histogram": q_value_histogram,
     }
 
 
@@ -2688,6 +2698,31 @@ SELECT lang, source,
   CAST(sum(CASE WHEN gopher_keep AND c4_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
   ROUND(avg(n_words), 6) AS avg_words
 FROM r GROUP BY lang, source
+""",
+        # histogram: the ks_drift bucket formula (same IEEE op order),
+        # zero-count bins from a generate_series spine
+        "value_histogram": """
+WITH b AS (
+  SELECT CAST(min(n_chars) AS DOUBLE) AS lo,
+         CAST(max(n_chars) AS DOUBLE) AS hi
+  FROM documents
+),
+c AS (
+  SELECT greatest(least(CAST(floor(((CAST(n_chars AS DOUBLE) - b.lo) * 32.0)
+                                   / (b.hi - b.lo)) AS BIGINT), 31), 0)
+           AS bucket,
+         count(*) AS n
+  FROM documents, b
+  WHERE n_chars IS NOT NULL
+    AND CAST(n_chars AS DOUBLE) >= b.lo AND CAST(n_chars AS DOUBLE) <= b.hi
+  GROUP BY 1
+),
+spine AS (SELECT unnest(generate_series(0, 31)) AS bucket)
+SELECT CAST(s.bucket AS BIGINT) AS bucket,
+       round(b.lo + s.bucket * ((b.hi - b.lo) / 32.0), 6) AS lo,
+       round(b.lo + (s.bucket + 1) * ((b.hi - b.lo) / 32.0), 6) AS hi,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n
+FROM spine s LEFT JOIN c ON s.bucket = c.bucket, b
 """,
         # keep-rate drift: 2x2 chi2 N(ad-bc)^2/margins with the explicit
         # square (no pow), drift flag = constant 6.634897 compare

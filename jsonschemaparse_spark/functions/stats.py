@@ -90,6 +90,58 @@ def column_profile(
     return spark.createDataFrame(out, schema)
 
 
+def value_histogram(
+    df: DataFrame, column: str, n_bins: int = 32,
+    bounds: "tuple[float, float] | None" = None,
+) -> DataFrame:
+    """Equal-width histogram table: (bucket, lo, hi, n) with every
+    bucket present (zero-count bins included — a dashboard consumer
+    should not have to outer-join a bin spine). The bucket formula is
+    integrity._bucket_expr — the same spelled-out IEEE op order the
+    KS drift test uses, so an external SQL engine reproduces the table
+    bit-for-bit. One min/max agg (skipped when `bounds` is passed — the
+    re-run/production path, same contract as ks_drift) + one
+    map-side-combined count agg whose shuffle is n_bins rows per task.
+    NULLs and NaNs are excluded (they have no bin; column_profile's
+    null_count reports them)."""
+    from .integrity import _bucket_expr
+
+    x = F.col(column).cast("double")
+    if bounds is None:
+        # NaN sorts ABOVE every double in Spark aggregates — max() over
+        # a column containing NaN returns NaN and poisons every bin
+        # edge; bound over the binnable rows only
+        b = df.filter(x.isNotNull() & ~F.isnan(x)).agg(
+            F.min(x).alias("lo"), F.max(x).alias("hi")).first()
+        lo, hi = b["lo"], b["hi"]
+        if lo is None:  # all-null column: empty spine with NULL edges
+            lo, hi = 0.0, 1.0
+    else:
+        lo, hi = bounds
+    lo, hi = float(lo), float(hi)
+    if lo == hi:
+        hi = lo + 1.0
+    counts = (
+        df.filter(x.isNotNull() & ~F.isnan(x))
+        .filter((x >= lo) & (x <= hi))
+        .groupBy(_bucket_expr(x, lo, hi, n_bins).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    width = (hi - lo) / n_bins
+    spine = df.sparkSession.range(n_bins).select(
+        F.col("id").cast("long").alias("bucket"))
+    return (
+        spine.join(counts, "bucket", "left")
+        .select(
+            "bucket",
+            F.round(F.lit(lo) + F.col("bucket") * F.lit(width), 6).alias("lo"),
+            F.round(F.lit(lo) + (F.col("bucket") + 1) * F.lit(width), 6)
+            .alias("hi"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        )
+    )
+
+
 def top_k(df: DataFrame, column: str, k: int = 20) -> DataFrame:
     """Exact heavy hitters. Partial aggregation combines map-side, so the
     shuffle carries one row per distinct key per partition, not per input

@@ -1811,3 +1811,38 @@ def test_keep_rate_drift_one_sided_groups_and_null_flags(spark):
     # fr only in old, zh only in new: present with zero opposite side
     assert rows["fr"]["n_new"] == 0 and rows["fr"]["rate_new"] is None
     assert rows["zh"]["n_old"] == 0 and rows["zh"]["chi2"] == 0.0
+
+
+def test_value_histogram_hand_computed(spark):
+    from jsonschemaparse_spark.functions.stats import value_histogram
+
+    df = spark.createDataFrame(
+        [(0.0,), (1.0,), (2.5,), (10.0,), (None,), (float("nan"),)],
+        "x double")
+    rows = value_histogram(df, "x", n_bins=4).orderBy("bucket").collect()
+    assert [r["bucket"] for r in rows] == [0, 1, 2, 3]
+    assert [(r["lo"], r["hi"]) for r in rows] == [
+        (0.0, 2.5), (2.5, 5.0), (5.0, 7.5), (7.5, 10.0)]
+    # 0,1 -> bin 0; 2.5 -> bin 1; 10 (the max) clamps into the last bin;
+    # NULL and NaN excluded entirely
+    assert [r["n"] for r in rows] == [2, 1, 0, 1]
+    assert sum(r["n"] for r in rows) == 4
+
+
+def test_value_histogram_bounds_and_degenerate(spark):
+    from jsonschemaparse_spark.functions.stats import value_histogram
+
+    df = spark.createDataFrame([(5.0,), (5.0,)], "x double")
+    # constant column: hi widens to lo+1, everything in bin 0
+    rows = value_histogram(df, "x", n_bins=2).orderBy("bucket").collect()
+    assert [r["n"] for r in rows] == [2, 0]
+    # explicit bounds skip the min/max job and CLIP out-of-range rows;
+    # 0.5 sits exactly on the bin edge -> upper bin (floor semantics)
+    df2 = spark.createDataFrame([(-1.0,), (0.5,), (99.0,)], "x double")
+    rows = value_histogram(df2, "x", n_bins=2, bounds=(0.0, 1.0)) \
+        .orderBy("bucket").collect()
+    assert [r["n"] for r in rows] == [0, 1]
+    # all-null column: empty spine, zero counts, no crash
+    dfn = spark.createDataFrame([(None,), (None,)], "x double")
+    rows = value_histogram(dfn, "x", n_bins=2).collect()
+    assert sum(r["n"] for r in rows) == 0
