@@ -2743,7 +2743,7 @@ j AS (
          CAST(coalesce(keep_old, 0) AS BIGINT) AS keep_old,
          CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
          CAST(coalesce(keep_new, 0) AS BIGINT) AS keep_new
-  FROM o FULL OUTER JOIN nn ON o.lang = nn.lang
+  FROM o FULL OUTER JOIN nn ON o.lang IS NOT DISTINCT FROM nn.lang
 ),
 m AS (
   SELECT *,

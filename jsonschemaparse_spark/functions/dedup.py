@@ -861,45 +861,63 @@ def strip_boilerplate_lines(
     the anti-join broadcast-shrinks under AQE; the reassembly shuffles one
     (doc, pos, line) row per KEPT line — strictly smaller than the input."""
     out_col = out_col or text_col
-    hot = duplicate_line_groups(df, id_col, text_col, min_docs).select("line")
+    hot = duplicate_line_groups(df, id_col, text_col, min_docs) \
+        .select(F.col("line").alias("_jsp_block"))
     # matching is on TRIMMED content (the hot set's form); kept lines are
     # emitted VERBATIM — blank lines and indentation survive, so
     # paragraph segmentation downstream is untouched (r4 fourth-review
-    # #3). The internal columns are _jsp_-prefixed so no caller column
-    # name can collide (#2: drop("doc") used to eat an id column named
-    # 'doc').
+    # #3).
+    return _strip_duplicate_blocks(
+        df, id_col, text_col, out_col, hot, split_pat="\n",
+        join_sep="\n", emit_trimmed=False, drop_blank=False)
+
+
+def _strip_duplicate_blocks(
+    df: DataFrame, id_col: str, text_col: str, out_col: str,
+    hot: DataFrame, *, split_pat: str, join_sep: str,
+    emit_trimmed: bool, drop_blank: bool,
+) -> DataFrame:
+    """Shared strip-and-rebuild core of the line and paragraph variants
+    (r6 second review #4 — they were 70-line near-copies): posexplode
+    the `split_pat` blocks, anti-join the `hot` set (one `_jsp_block`
+    column, trimmed form) on trimmed content, reassemble in order via
+    sort_array(collect_list(struct)), re-join by doc id. All internal
+    columns are _jsp_-prefixed so no caller column name can collide
+    (the r4 drop("doc") lesson). NULL text stays NULL; NULL-id docs
+    never match the rebuild join and pass through untouched (r6 review
+    #2); non-null docs whose every block was hot collapse to ''."""
     exploded = (
         df.select(
             F.col(id_col).alias("_jsp_doc"),
             F.posexplode(
-                F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+                F.split(F.coalesce(F.col(text_col), F.lit("")), split_pat)
             ).alias("_jsp_pos", "_jsp_raw"),
         )
-        .withColumn("line", F.trim(F.col("_jsp_raw")))
+        .withColumn("_jsp_block", F.trim(F.col("_jsp_raw")))
     )
-    kept = exploded.join(hot, "line", "left_anti")
+    if drop_blank:
+        exploded = exploded.filter(F.col("_jsp_block") != "")
+    kept = exploded.join(hot, "_jsp_block", "left_anti")
+    emit = ((lambda s: F.trim(s.getField("_jsp_raw"))) if emit_trimmed
+            else (lambda s: s.getField("_jsp_raw")))
     rebuilt = (
         kept.groupBy("_jsp_doc")
         .agg(
             F.array_join(
                 F.transform(
                     F.sort_array(F.collect_list(F.struct("_jsp_pos", "_jsp_raw"))),
-                    lambda s: s.getField("_jsp_raw"),
+                    emit,
                 ),
-                "\n",
+                join_sep,
             ).alias("_jsp_rebuilt")
         )
     )
     return (
         df.join(rebuilt, df[id_col] == rebuilt["_jsp_doc"], "left")
         .drop("_jsp_doc")
-        # NULL-text convention (module header): NULL in -> NULL out; only
-        # genuinely non-null docs whose every line was hot collapse to ''
         .withColumn(
             out_col,
             F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
-            # NULL-id docs never match the rebuild join — untouched,
-            # not wiped to '' (r6 review finding #2)
             .when(F.col(id_col).isNull(), F.col(text_col))
             .otherwise(F.coalesce(F.col("_jsp_rebuilt"), F.lit(""))),
         )
@@ -961,46 +979,13 @@ def strip_duplicate_paragraphs(
     NULL convention: rewriting op — NULL text stays NULL; NULL-id docs
     pass through untouched."""
     out_col = out_col or text_col
-    hot = duplicate_paragraph_groups(
-        df, id_col, text_col, min_docs).select("paragraph")
-    exploded = (
-        df.select(
-            F.col(id_col).alias("_jsp_doc"),
-            F.posexplode(
-                F.split(F.coalesce(F.col(text_col), F.lit("")), r"\n\n+")
-            ).alias("_jsp_pos", "_jsp_raw"),
-        )
-        .withColumn("paragraph", F.trim(F.col("_jsp_raw")))
-        # blank blocks (leading/trailing separator runs) are never
-        # keyed and never rebuilt — the canonical join re-creates the
-        # separators
-        .filter(F.col("paragraph") != "")
-    )
-    kept = exploded.join(hot, "paragraph", "left_anti")
-    rebuilt = (
-        kept.groupBy("_jsp_doc")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.sort_array(
-                        F.collect_list(F.struct("_jsp_pos", "_jsp_raw"))),
-                    lambda s: F.trim(s.getField("_jsp_raw")),
-                ),
-                "\n\n",
-            ).alias("_jsp_rebuilt")
-        )
-    )
-    return (
-        df.join(rebuilt, df[id_col] == rebuilt["_jsp_doc"], "left")
-        .drop("_jsp_doc")
-        .withColumn(
-            out_col,
-            F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
-            .when(F.col(id_col).isNull(), F.col(text_col))
-            .otherwise(F.coalesce(F.col("_jsp_rebuilt"), F.lit(""))),
-        )
-        .drop("_jsp_rebuilt")
-    )
+    hot = duplicate_paragraph_groups(df, id_col, text_col, min_docs) \
+        .select(F.col("paragraph").alias("_jsp_block"))
+    # blank blocks (leading/trailing separator runs) are never keyed and
+    # never rebuilt — the canonical join re-creates the separators
+    return _strip_duplicate_blocks(
+        df, id_col, text_col, out_col, hot, split_pat=r"\n\n+",
+        join_sep="\n\n", emit_trimmed=True, drop_blank=True)
 
 
 def dedupe_lines_within_doc(

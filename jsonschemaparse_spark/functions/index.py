@@ -137,10 +137,21 @@ def materialize_index(index: InvertedIndex, table: str, *,
     from ..plans.bucketing import drop_table_and_location, write_bucketed
 
     spark = index.postings.sparkSession
-    write_bucketed(index.postings, table, "token", n_buckets)
     overflow_table = f"{table}_overflow"
+    # STAGE-THEN-SWAP: the index being re-materialized may already READ
+    # from the target table (the refresh/rebucket call); dropping the
+    # target first would rmtree the very files the write scans (r6
+    # second review #1 — confirmed FILE_NOT_EXIST + data loss). Write
+    # to a temp table, then swap via catalog rename (metadata + managed
+    # location move, no data rewrite).
+    tmp_p, tmp_o = f"{table}__jsp_stage", f"{overflow_table}__jsp_stage"
+    write_bucketed(index.postings, tmp_p, "token", n_buckets)
+    drop_table_and_location(spark, tmp_o)
+    index.overflow.write.mode("overwrite").saveAsTable(tmp_o)
+    drop_table_and_location(spark, table)
     drop_table_and_location(spark, overflow_table)
-    index.overflow.write.mode("overwrite").saveAsTable(overflow_table)
+    spark.sql(f"ALTER TABLE {tmp_p} RENAME TO {table}")
+    spark.sql(f"ALTER TABLE {tmp_o} RENAME TO {overflow_table}")
     return InvertedIndex(postings=spark.table(table),
                          overflow=spark.table(overflow_table))
 

@@ -202,10 +202,22 @@ def keep_rate_drift(
             ).cast("long").alias(k_name),
         )
 
-    lo = _agg(old, "n_old", "keep_old")
-    ro = _agg(new, "n_new", "keep_new")
-    j = lo.join(ro, list(group_cols), "full_outer").select(
-        *group_cols,
+    # eqNullSafe join keys: a NULL group (lang-ID failures are a real
+    # production slice) must line up across versions — a plain equality
+    # join splits it into two half-rows that each see the other side as
+    # 0 and can never flag drift (r6 second review #2). Explicit
+    # aliases because old and new are usually derived from the SAME
+    # scan (version filters on one table) — unqualified lineage refs
+    # would be ambiguous in that self-join.
+    lo = _agg(old, "n_old", "keep_old").alias("_jsp_l")
+    ro = _agg(new, "n_new", "keep_new").alias("_jsp_r")
+    cond = None
+    for c in group_cols:
+        piece = F.col(f"_jsp_l.{c}").eqNullSafe(F.col(f"_jsp_r.{c}"))
+        cond = piece if cond is None else (cond & piece)
+    j = lo.join(ro, cond, "full_outer").select(
+        *[F.coalesce(F.col(f"_jsp_l.{c}"), F.col(f"_jsp_r.{c}")).alias(c)
+          for c in group_cols],
         F.coalesce("n_old", F.lit(0)).cast("long").alias("n_old"),
         F.coalesce("keep_old", F.lit(0)).cast("long").alias("keep_old"),
         F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),

@@ -56,10 +56,14 @@ from .text import _c4_flag_columns, _gopher_flag_columns, quality_flags
 class CleanCorpusResult:
     cleaned: DataFrame            # surviving rows of the input schema
     stages: list[str]             # stage names in applied order
-    # the persisted intermediate backing the near-dup stage, exposed so
-    # callers can release it (r5 ADVICE: unpersisting `cleaned` does NOT
-    # release a cache on an upstream frame). None when near-dup is off.
+    # the FIRST persisted intermediate (near-dup input, or the mixture
+    # stage's pre-rates frame when near-dup is off), exposed so callers
+    # can release it (r5 ADVICE: unpersisting `cleaned` does NOT
+    # release a cache on an upstream frame). None when no stage
+    # persisted. `caches` holds EVERY persisted intermediate (near-dup
+    # AND mixture can each persist one); unpersist() releases them all.
     cached: "DataFrame | None" = None
+    caches: "list[DataFrame]" = field(default_factory=list)
     # stage-name -> Observation; populated when observe_funnel=True.
     # Metrics become readable (obs.get) after the first action on
     # `cleaned` — the funnel rides the SAME job, no re-count.
@@ -81,8 +85,9 @@ class CleanCorpusResult:
         return out
 
     def unpersist(self) -> None:
-        if self.cached is not None:
-            self.cached.unpersist()
+        for c in (self.caches or
+                  ([self.cached] if self.cached is not None else [])):
+            c.unpersist()
 
 
 def clean_corpus(
@@ -290,7 +295,7 @@ def clean_corpus(
     if span_dedup:
         stages.append("span_dedup")
         out = remove_duplicate_spans(out, id_col, text_col).select(*cols)
-    cached = None
+    caches: list[DataFrame] = []
     if near_dup_threshold is not None:
         stages.append("near_dup")
         # the pair stage reads `out` three times (signature scan, text
@@ -301,7 +306,7 @@ def clean_corpus(
         # ADVICE: it is exposed as result.cached because unpersisting
         # the RETURNED frame would not release this intermediate).
         out = out.persist()
-        cached = out
+        caches.append(out)
         overflow_obs = None
         if observe_funnel:
             overflow_obs = Observation()
@@ -335,12 +340,14 @@ def clean_corpus(
 
         stages.append("mixture")
         # rate derivation is an ACTION over the cleaned survivors;
-        # persist so the cleaning prefix computes once (rates job) and
-        # is reused by the final filter. Reuse the near-dup cache slot
-        # when that stage already persisted upstream.
-        if cached is None:
-            out = out.persist()
-            cached = out
+        # persist the CURRENT frame so the rates job and the final
+        # filter share one computation. This must happen even when
+        # near-dup already persisted upstream — that cache covers only
+        # the near-dup INPUT, and the expensive pair-gen/verify/
+        # anti-join after it would otherwise run twice (r6 second
+        # review #3).
+        out = out.persist()
+        caches.append(out)
         out = temperature_mixture(
             out, mixture_strata, id_col, alpha=mixture_alpha,
             target_fraction=mixture_target_fraction, seed=mixture_seed)
@@ -349,8 +356,9 @@ def clean_corpus(
             funnel["mixture"] = obs_m
             out = out.observe(
                 obs_m, F.count(F.lit(1)).alias("n_after_mixture"))
-    return CleanCorpusResult(cleaned=out, stages=stages, cached=cached,
-                             funnel=funnel)
+    return CleanCorpusResult(cleaned=out, stages=stages,
+                             cached=caches[0] if caches else None,
+                             caches=caches, funnel=funnel)
 
 
 def clean_corpus_stats(

@@ -167,6 +167,13 @@ def group_samples(df: DataFrame, strata_col: str, key_col: str, *,
     rows come back on every run, every cluster size, every layout (the
     module's hash-sampling contract, extended to per-group top-k).
 
+    PRECONDITION: key_col must be unique per row (the table's key —
+    the same requirement pack_sequences imposes). Rows sharing a key
+    (or multiple NULL keys, which all hash like '') produce EQUAL
+    ordering tuples, and row_number breaks that tie by arrival order —
+    layout-dependent, which silently voids the determinism contract
+    for exactly those rows (r6 second review #6).
+
     Cost shape: one window per stratum (rank over the group's rows).
     For corpus-scale strata, pre-thin first — the composition
     group_samples(deterministic_sample(df, f, key), ...) keeps the SAME

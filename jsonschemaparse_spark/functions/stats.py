@@ -114,7 +114,10 @@ def value_histogram(
         b = df.filter(x.isNotNull() & ~F.isnan(x)).agg(
             F.min(x).alias("lo"), F.max(x).alias("hi")).first()
         lo, hi = b["lo"], b["hi"]
-        if lo is None:  # all-null column: empty spine with NULL edges
+        if lo is None:
+            # all-null/all-NaN column: emit a numeric 0..1 spine with
+            # zero counts everywhere (NOT NULL edges — a dashboard
+            # consumer gets a well-formed empty histogram)
             lo, hi = 0.0, 1.0
     else:
         lo, hi = bounds

@@ -1846,3 +1846,22 @@ def test_value_histogram_bounds_and_degenerate(spark):
     dfn = spark.createDataFrame([(None,), (None,)], "x double")
     rows = value_histogram(dfn, "x", n_bins=2).collect()
     assert sum(r["n"] for r in rows) == 0
+
+
+def test_keep_rate_drift_null_group_lines_up(spark):
+    """r6 second review #2: a NULL group key present in BOTH versions
+    must join into ONE row (eqNullSafe), not two half-rows that can
+    never flag drift."""
+    from jsonschemaparse_spark.functions.integrity import keep_rate_drift
+
+    old = spark.createDataFrame(
+        [(None, True)] * 90 + [(None, False)] * 10,
+        "lang string, keep boolean")
+    new = spark.createDataFrame(
+        [(None, True)] * 50 + [(None, False)] * 50,
+        "lang string, keep boolean")
+    rows = keep_rate_drift(old, new, "keep", ("lang",)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["lang"] is None and r["n_old"] == 100 and r["n_new"] == 100
+    assert r["drifted"] is True

@@ -471,3 +471,21 @@ def test_clean_corpus_mixture_requires_strata(spark, documents):
 
     with _pytest.raises(ValueError, match="mixture_strata"):
         clean_corpus(documents, mixture_target_fraction=0.5)
+
+
+def test_clean_corpus_mixture_with_near_dup_persists_both(spark, documents):
+    """r6 second review #3: with near-dup AND mixture on, the frame the
+    rates job reads must itself be persisted — the near-dup cache only
+    covers that stage's INPUT, and pair-gen/verify/anti-join would run
+    twice otherwise."""
+    from jsonschemaparse_spark.functions.pipeline import clean_corpus
+
+    res = clean_corpus(documents.limit(200), gopher=False, c4=False,
+                       near_dup_threshold=0.9,
+                       mixture_strata="lang",
+                       mixture_target_fraction=0.5)
+    assert len(res.caches) == 2
+    assert res.cached is res.caches[0]
+    assert res.cleaned.count() > 0
+    res.unpersist()
+    assert all(not c.is_cached for c in res.caches)

@@ -132,30 +132,38 @@ def test_materialize_index_bucket_pruned_lookup(spark):
     from jsonschemaparse_spark.functions.index import materialize_index
 
     base = build_inverted_index(_corpus(spark, [
-        "the cat sat", "dog ran far", "cat naps"]), max_postings=2)
+        "the cat sat", "dog ran far", "cat naps"]), max_postings=1)
     mat = materialize_index(base, "jsp_test_posting_idx", n_buckets=8)
-    # same results through the materialized table
-    assert {r["doc"] for r in search_term(mat, "cat").collect()} == {0, 2}
-    # overflow survives materialization and still rejects loudly
-    assert {r["token"] for r in mat.overflow.collect()} == \
-        {r["token"] for r in base.overflow.collect()}
+    # 'cat' (2 docs > cap 1) is overflow; other terms still served
+    assert {r["doc"] for r in search_term(mat, "sat").collect()} == {0}
+    # overflow survives materialization NON-vacuously and still rejects
+    # loudly through the materialized tables (r6 second review #5)
+    assert {r["token"] for r in mat.overflow.collect()} == {"cat"}
+    with pytest.raises(ValueError, match="cat"):
+        search_term(mat, "cat")
     # bucket pruning PITFALL: with autoBucketedScan (default on) the
     # planner un-buckets a pure filter scan and reads every bucket...
     conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    plan = (search_term(mat, "cat")
+    plan = (search_term(mat, "sat")
             ._jdf.queryExecution().executedPlan().toString())
     assert "Bucketed: false (disabled by query planner)" in plan
     old = spark.conf.get(conf)
     try:
         # ...with it off, the term lookup reads ONE bucket of 8
         spark.conf.set(conf, "false")
-        plan = (search_term(mat, "cat")
+        plan = (search_term(mat, "sat")
                 ._jdf.queryExecution().executedPlan().toString())
         assert "SelectedBucketsCount: 1 out of 8" in plan
     finally:
         spark.conf.set(conf, old)
-    # re-materializing over the same name is idempotent
+    # re-materializing over the same name is idempotent — INCLUDING the
+    # self-refresh case where the index already reads from the target
+    # (stage-then-swap; the drop-first shape destroyed its own source,
+    # r6 second review #1)
     mat2 = materialize_index(base, "jsp_test_posting_idx", n_buckets=8)
-    assert search_term(mat2, "cat").count() == 2
+    assert search_term(mat2, "sat").count() == 1
+    mat3 = materialize_index(mat2, "jsp_test_posting_idx", n_buckets=4)
+    assert search_term(mat3, "naps").count() == 1
+    assert {r["token"] for r in mat3.overflow.collect()} == {"cat"}
     spark.sql("DROP TABLE IF EXISTS jsp_test_posting_idx")
     spark.sql("DROP TABLE IF EXISTS jsp_test_posting_idx_overflow")
