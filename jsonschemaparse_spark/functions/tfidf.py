@@ -63,7 +63,16 @@ def tf_idf(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     boundary for the single ln()."""
     n_docs = df.count()
     tc = term_counts(df, id_col, text_col)
-    dfreq = tc.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # df(t) counts tc's rows per token — but written as count(*), the
+    # optimizer collapses this branch's per-doc aggregate to a DISTINCT
+    # (the tf value is unused), its (doc, token) Exchange then differs
+    # from tc's own, ReuseExchange no longer fires, and the corpus is
+    # TOKENIZED TWICE (plan-audited: 2 Scans + 2 Generates; with the
+    # reuse, the second branch reads the shuffle). Referencing tf keeps
+    # the partial-count in the branch, making the exchange subtrees
+    # identical — tf >= 1 always, so the value is unchanged.
+    dfreq = tc.groupBy("token").agg(
+        F.count(F.when(F.col("tf") >= 1, 1)).alias("df"))
     if min_df > 1:
         dfreq = dfreq.filter(F.col("df") >= min_df)
     idf = F.log((1.0 + float(n_docs)) / (1.0 + F.col("df"))) + F.lit(1.0)
