@@ -113,6 +113,7 @@ def clean_corpus(
     normalize_kw: "dict | None" = None,
     lm=None,
     lm_max_log2_ppl: "float | None" = None,
+    compress_min_ratio: "float | None" = None,
     mixture_strata: "str | None" = None,
     mixture_target_fraction: "float | None" = None,
     mixture_alpha: float = 0.5,
@@ -158,6 +159,13 @@ def clean_corpus(
                       gate ABSTAINS on unscoreable (<2-token) docs.
                       Batch-only (per-doc agg), unlike the stateless
                       projection gates
+      3d. compress    compressibility gate (compress_min_ratio set):
+                      drop docs whose zlib deflate ratio falls below
+                      the floor (extreme redundancy — boilerplate
+                      farms, generated spam; functions/compress.py).
+                      A stateless Arrow projection like the heuristic
+                      gates (streaming-prefix-safe); abstains on
+                      NULL/empty text
       4. span_dedup   remove_duplicate_spans (C4 3-sentence rule) — text
                       REWRITTEN, then re-gated docs are NOT re-filtered
                       (C4 order: span dedup happens after the doc gates)
@@ -292,6 +300,20 @@ def clean_corpus(
             ppl = ppl.observe(obs_l, F.coalesce(
                 F.sum(F.when(keep, 1)), F.lit(0)).alias("n_after_lm"))
         out = ppl.filter(keep).select(*cols)
+    if compress_min_ratio is not None:
+        from .compress import compressibility_gate
+
+        stages.append("compress")
+        gated = compressibility_gate(out, text_col,
+                                     min_ratio=compress_min_ratio,
+                                     out_col="_jsp_ck")
+        if observe_funnel:
+            obs_z = Observation()
+            funnel["compress"] = obs_z
+            gated = gated.observe(obs_z, F.coalesce(
+                F.sum(F.when(F.col("_jsp_ck"), 1)),
+                F.lit(0)).alias("n_after_compress"))
+        out = gated.filter(F.col("_jsp_ck")).select(*cols)
     if span_dedup:
         stages.append("span_dedup")
         out = remove_duplicate_spans(out, id_col, text_col).select(*cols)

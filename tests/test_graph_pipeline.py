@@ -489,3 +489,23 @@ def test_clean_corpus_mixture_with_near_dup_persists_both(spark, documents):
     assert res.cleaned.count() > 0
     res.unpersist()
     assert all(not c.is_cached for c in res.caches)
+
+
+def test_clean_corpus_compress_stage(spark):
+    """Stage 3d: the compressibility gate drops extreme-redundancy docs
+    and abstains on unscoreable ones; n_after_compress rides the
+    funnel."""
+    from jsonschemaparse_spark.functions.pipeline import clean_corpus
+
+    prose = ("A reasonably varied sentence with different words "
+             "each time it appears, number %d. ")
+    rows = [(i, prose % i + "Closing words here.") for i in range(4)]
+    rows.append((10, "spam " * 300))        # deflates to ~2%
+    rows.append((11, None))                  # unscoreable -> abstain
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    res = clean_corpus(df, gopher=False, c4=False,
+                       compress_min_ratio=0.25, observe_funnel=True)
+    kept = {r["doc_id"] for r in res.cleaned.select("doc_id").collect()}
+    assert 10 not in kept and {0, 1, 2, 3, 11} <= kept
+    assert res.funnel_counts()["n_after_compress"] == len(kept)
+    assert "compress" in res.stages

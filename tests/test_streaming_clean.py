@@ -369,3 +369,38 @@ def test_streaming_bpe_encode_matches_batch(spark, tmp_path):
     want = {r["doc_id"]: list(r["bpe_tokens"]) for r in
             bpe_encode(all_rows, model).collect()}
     assert got == want and set(got) == {0, 1, 2}
+
+
+def test_streaming_compress_gate_matches_batch(spark, tmp_path):
+    """The compressibility gate is a stateless Arrow projection, so it
+    extends the streaming stateless prefix: streamed keep set equals
+    the batch gate on the same corpus."""
+    from jsonschemaparse_spark.functions.compress import compressibility_gate
+
+    t0 = datetime.datetime(2026, 8, 18, 10, 0, 0)
+    prose = "Distinct words arranged without repetition patterns here. " * 4
+    batch1 = [(0, t0, prose), (1, t0, "spam " * 300)]
+    batch2 = [(2, t0 + datetime.timedelta(minutes=1), prose + " More.")]
+
+    src = str(tmp_path / "src_compress")
+    _mk_batch(spark, batch1).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, warc_ts timestamp, text string").parquet(src)
+    q = (compressibility_gate(stream, min_ratio=0.25)
+         .filter(F.col("compress_keep")).select("doc_id")
+         .writeStream.format("memory")
+         .queryName("compress_sink").outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        _mk_batch(spark, batch2).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = sorted(r["doc_id"] for r in
+                     spark.sql("select * from compress_sink").collect())
+    finally:
+        q.stop()
+    want = sorted(
+        r["doc_id"] for r in
+        compressibility_gate(_mk_batch(spark, batch1 + batch2),
+                             min_ratio=0.25)
+        .filter(F.col("compress_keep")).select("doc_id").collect())
+    assert got == want == [0, 2]
