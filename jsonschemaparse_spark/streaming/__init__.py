@@ -1,5 +1,6 @@
 from .validate_stream import (
     foreach_batch_sink,
+    streaming_quality_report,
     stateful_validation_monitor,
     validate_json_stream,
     streaming_dedup,
@@ -10,6 +11,7 @@ from .validate_stream import (
 
 __all__ = [
     "foreach_batch_sink",
+    "streaming_quality_report",
     "stateful_validation_monitor",
     "validate_json_stream",
     "streaming_dedup",

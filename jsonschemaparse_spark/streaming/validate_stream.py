@@ -207,3 +207,44 @@ def validate_json_stream(
             extensions=extensions, engine="arrow",
         ).annotated
     raise ValueError(f"engine must be 'typed' or 'arrow'; got {engine!r}")
+
+
+def streaming_quality_report(
+    stream: DataFrame,
+    ts_col: str = "warc_ts",
+    group_cols=("lang",),
+    text_col: str = "text",
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+    badwords=None,
+) -> DataFrame:
+    """The corpus quality_report as a live monitoring view: per
+    (window, *group_cols) gate pass rates + size stats over a tumbling
+    event-time window with a late-data bound — what a production ingest
+    writes to its metrics table so a collapsing keep-rate pages someone
+    DURING the crawl, not after (the batch twin is
+    text.quality_report; keep_rate_drift is the crawl-over-crawl
+    comparison on the same counts).
+
+    Same execution shape as the batch view: the fused quality_flags
+    projection is stateless (streaming-prefix-safe, pinned for the
+    gates in tests/test_streaming_clean.py), so the only streaming
+    state is the windowed aggregate — one row per (window, group) with
+    map-side partial aggregation, bounded by group cardinality per
+    window."""
+    from ..functions.text import quality_flags
+
+    flagged = quality_flags(stream, text_col, gopher=True, c4=True,
+                            badwords=badwords)
+    return (
+        flagged.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("window"),
+                 *[F.col(c) for c in group_cols])
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("gopher_keep").cast("long")).alias("n_gopher_keep"),
+            F.sum(F.col("c4_keep").cast("long")).alias("n_c4_keep"),
+            F.sum(F.col("quality_keep").cast("long")).alias("n_keep"),
+            F.sum(F.col("n_words").cast("long")).alias("n_words_total"),
+        )
+    )

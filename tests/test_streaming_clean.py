@@ -404,3 +404,48 @@ def test_streaming_compress_gate_matches_batch(spark, tmp_path):
                              min_ratio=0.25)
         .filter(F.col("compress_keep")).select("doc_id").collect())
     assert got == want == [0, 2]
+
+
+def test_streaming_quality_report_matches_batch(spark, tmp_path):
+    """The windowed quality report's counts equal the batch
+    quality_report on the same corpus, per (window, lang) — the gates
+    are stateless, so only the window key is new."""
+    from jsonschemaparse_spark.functions.text import quality_report
+    from jsonschemaparse_spark.streaming import streaming_quality_report
+
+    t0 = datetime.datetime(2026, 8, 18, 11, 0, 0)
+    good = ("A long and varied sentence with plenty of distinct words "
+            "to pass the gopher gate comfortably. " * 6
+            + "It ends with several proper sentences. Another one. Done!")
+    rows = [(i, t0, good + f" Marker {i}.", "en") for i in range(4)]
+    rows += [(10, t0, "- bullets\n- only", "de"),
+             (11, t0 + datetime.timedelta(minutes=30),
+              good + " Later window.", "en")]
+    df = spark.createDataFrame(
+        rows, "doc_id long, warc_ts timestamp, text string, lang string")
+
+    src = str(tmp_path / "src_qr")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, warc_ts timestamp, text string, lang string"
+    ).parquet(src)
+    q = (streaming_quality_report(stream, window="10 minutes",
+                                  watermark="1 hour")
+         .writeStream.format("memory").queryName("qr_sink")
+         .outputMode("complete").start())
+    try:
+        q.processAllAvailable()
+        got = {(r["window"]["start"].minute, r["lang"]):
+               (r["n_docs"], r["n_gopher_keep"], r["n_c4_keep"], r["n_keep"])
+               for r in spark.sql("select * from qr_sink").collect()}
+    finally:
+        q.stop()
+
+    # two windows (t0 and t0+30min), per-lang groups
+    assert got[(0, "en")] == (4, 4, 4, 4)
+    assert got[(0, "de")][0] == 1 and got[(0, "de")][3] == 0
+    assert got[(30, "en")] == (1, 1, 1, 1)
+    # batch twin agrees on the totals per lang
+    batch = {r["lang"]: (r["n_docs"], r["n_keep"]) for r in
+             quality_report(df, group_cols=("lang",)).collect()}
+    assert batch["en"] == (5, 5) and batch["de"] == (1, 0)
