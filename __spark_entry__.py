@@ -980,6 +980,27 @@ def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_report(_docs(spark, sf_dir))
 
 
+def q_script_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Script-mix fractions over a constructed mixed-script corpus (the
+    shipped docs are ASCII): vowels transliterated to Cyrillic for
+    doc_id%3==1 and to CJK for %3==2 via translate() — identical
+    single-char codepoint mapping on both engines."""
+    from jsonschemaparse_spark.functions.text import script_fractions
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    mixed = d.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 3 == 1,
+               F.translate(F.col("text"), "aeiou", "аеіоу"))
+        .when(F.col("doc_id") % 3 == 2,
+              F.translate(F.col("text"), "aeiou", "一二三四五"))
+        .otherwise(F.col("text")),
+    )
+    out = script_fractions(mixed)
+    return out.select("doc_id", "latin_frac", "cyrillic_frac",
+                      "cjk_frac", "arabic_frac", "digit_frac")
+
+
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-width histogram over n_chars (stats.value_histogram): the
     KS-drift bucket formula reused as a user-facing table, zero-count
@@ -1226,6 +1247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "keep_rate_drift": q_keep_rate_drift,
         "value_histogram": q_value_histogram,
+        "script_fractions": q_script_fractions,
     }
 
 
@@ -1270,6 +1292,29 @@ def oracle_sql() -> dict[str, str]:
     from jsonschemaparse_spark.functions.web import HOST_RE as _WEB_HOST_RE
 
     pii_counts_sql, pii_redacted_sql = pii_oracle_sql("t")
+    # script fractions: the twin's char classes come from the ENGINE's
+    # SCRIPT_RANGES constants (bracket ranges with literal codepoint
+    # endpoints parse identically under Java regex and RE2)
+    from jsonschemaparse_spark.functions.text import SCRIPT_RANGES as _SR
+
+    _script_frac_cols = ",\n".join(
+        f"  round(CASE WHEN total > 0 THEN len(regexp_extract_all(text, "
+        f"'{pat}')) * 1.0 / total ELSE 0.0 END, 6) AS {name}_frac"
+        for name, pat in _SR.items())
+    _script_fractions_sql = (
+        "\nWITH m AS (\n"
+        "  SELECT doc_id,\n"
+        "         CASE WHEN doc_id % 3 = 1 THEN translate(text, 'aeiou', 'аеіоу')\n"
+        "              WHEN doc_id % 3 = 2 THEN translate(text, 'aeiou', '一二三四五')\n"
+        "              ELSE text END AS text\n"
+        "  FROM documents WHERE doc_id < 300\n"
+        "),\n"
+        "t AS (\n"
+        "  SELECT doc_id, text,\n"
+        "         length(regexp_replace(text, '\\s+', '', 'g')) AS total\n"
+        "  FROM m\n"
+        ")\n"
+        "SELECT doc_id,\n" + _script_frac_cols + "\nFROM t\n")
     mix_case = " ".join(
         f"WHEN '{lang}' THEN '{threshold_hex(frac) or 'ffffffff~'}'"
         for lang, frac in sorted(MIXTURE_FRACTIONS.items()))
@@ -2699,6 +2744,7 @@ SELECT lang, source,
   ROUND(avg(n_words), 6) AS avg_words
 FROM r GROUP BY lang, source
 """,
+        "script_fractions": _script_fractions_sql,
         # histogram: the ks_drift bucket formula (same IEEE op order),
         # zero-count bins from a generate_series spine
         "value_histogram": """

@@ -634,6 +634,37 @@ def c4_line_filter(df: DataFrame, text_col: str = "text",
     )
 
 
+SCRIPT_RANGES: "dict[str, str]" = {
+    # literal-codepoint char classes (NOT \p{script=...} names: Java
+    # and RE2 spell those differently; bracket ranges with literal
+    # endpoints parse identically in both, so the DuckDB twin uses the
+    # same pattern strings verbatim)
+    "latin": "[A-Za-zÀ-ɏ]",
+    "cyrillic": "[Ѐ-ӿ]",
+    "cjk": "[一-鿿぀-ヿ]",
+    "arabic": "[؀-ۿ]",
+    "digit": "[0-9]",
+}
+
+
+def script_fractions(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc script-mix fractions (the CCNet/ROOTS script filter: a
+    'de' page that is 70% Cyrillic is mislabeled or spam): adds
+    `<script>_frac` for each SCRIPT_RANGES entry = matching chars /
+    non-whitespace chars, 6dp, 0.0 for empty/NULL docs. One codegen
+    projection (regexp_count chain), zero shuffle, stacks into the
+    same corpus scan as the quality gates."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    total = F.length(F.regexp_replace(t, r"\s+", ""))
+    cols = {}
+    for name, pat in SCRIPT_RANGES.items():
+        n = F.coalesce(F.regexp_count(t, F.lit(pat)), F.lit(0))
+        cols[f"{name}_frac"] = F.round(
+            F.when(total > 0, n / total).otherwise(F.lit(0.0)), 6
+        ).cast("double")
+    return df.withColumns(cols)
+
+
 def word_counts(df: DataFrame, text_col: str = "text",
                 lowercase: bool = True, min_count: int = 1) -> DataFrame:
     """Corpus-wide word frequencies — the tokenizer-training prerequisite:

@@ -1865,3 +1865,32 @@ def test_keep_rate_drift_null_group_lines_up(spark):
     r = rows[0]
     assert r["lang"] is None and r["n_old"] == 100 and r["n_new"] == 100
     assert r["drifted"] is True
+
+
+def test_script_fractions_hand_computed(spark):
+    from jsonschemaparse_spark.functions.text import script_fractions
+
+    df = spark.createDataFrame(
+        [(0, "abc где 12"),        # 3 latin, 3 cyrillic, 2 digit / 8
+         (1, "日本語 test"),        # 3 cjk, 4 latin / 7
+         (2, None), (3, "   ")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in script_fractions(df).collect()}
+    r0 = rows[0]
+    assert r0["latin_frac"] == round(3 / 8, 6)
+    assert r0["cyrillic_frac"] == round(3 / 8, 6)
+    assert r0["digit_frac"] == round(2 / 8, 6)
+    r1 = rows[1]
+    assert r1["cjk_frac"] == round(3 / 7, 6)
+    assert r1["latin_frac"] == round(4 / 7, 6)
+    # NULL/blank docs: all fractions 0.0 (no chars to judge)
+    for i in (2, 3):
+        assert rows[i]["latin_frac"] == 0.0 and rows[i]["cjk_frac"] == 0.0
+
+
+def test_script_fractions_accented_latin_counts_as_latin(spark):
+    from jsonschemaparse_spark.functions.text import script_fractions
+
+    row = script_fractions(spark.createDataFrame(
+        [(0, "café naïve")], "doc_id long, text string")).first()
+    assert row["latin_frac"] == 1.0
