@@ -151,6 +151,38 @@ def export_shards(packed: DataFrame, path: str, n_shards: int,
     writer.parquet(path)
 
 
+def shard_manifest(spark, path: str, id_col: str = "doc_id",
+                   count_col: str = "n_tokens") -> DataFrame:
+    """Per-shard-file manifest for an export_shards directory — the
+    artifact a training loader (and an auditor) reads instead of
+    trusting the directory listing: one row per physical file with
+    (shard_file, n_docs, n_tokens, first_token, last_token_excl,
+    content_hash). content_hash is an ORDER-INSENSITIVE checksum — the
+    decimal(38) SUM of per-row xxhash64 over the id + token-range
+    columns (sum, not xor: xor is blind to even-multiplicity
+    duplicates; decimal because a long sum overflows under ANSI) — so
+    re-writing the same rows in any order verifies equal, while any
+    lost/duplicated/altered row changes it.
+
+    Shape: one scan of the written shards grouped by input file — the
+    shuffle carries one partial row per (task, file). Run it right
+    after export_shards; publish next to the shards."""
+    df = spark.read.parquet(path)
+    row_hash = F.xxhash64(F.col(id_col), F.col("start_token"),
+                          F.col(count_col))
+    return (
+        df.groupBy(F.input_file_name().alias("shard_file"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(count_col).cast("long").alias("n_tokens"),
+            F.min("start_token").cast("long").alias("first_token"),
+            (F.max(F.col("start_token") + F.col(count_col)))
+            .cast("long").alias("last_token_excl"),
+            F.sum(row_hash.cast("decimal(38,0)")).alias("content_hash"),
+        )
+    )
+
+
 def pack_stats(packed: DataFrame, count_col: str, seq_len: int) -> DataFrame:
     """One-row summary of a pack_sequences result: docs, total tokens,
     number of `seq_len` sequences, and how many docs straddle a

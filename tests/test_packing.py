@@ -109,3 +109,41 @@ def test_export_shards_contiguous_ranges(spark, tmp_path):
     ranges.sort()
     for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
         assert a_hi < b_lo                 # disjoint contiguous ranges
+
+
+def test_shard_manifest_totals_and_checksum(spark, tmp_path):
+    import glob
+
+    from jsonschemaparse_spark.functions.packing import (
+        export_shards,
+        shard_manifest,
+    )
+
+    rows = [(i, (i * 7) % 9 + 1) for i in range(200)]
+    packed = pack_sequences(_mk(spark, rows), "doc_id", "n_tokens", 16)
+    out = str(tmp_path / "shards_m")
+    export_shards(packed, out, n_shards=3)
+
+    man = shard_manifest(spark, out).collect()
+    files = sorted(glob.glob(out + "/part-*.parquet"))
+    assert len(man) == len(files)
+    assert sum(r["n_docs"] for r in man) == 200
+    assert sum(r["n_tokens"] for r in man) == sum(n for _, n in rows)
+    # shard token ranges tile the stream [0, total)
+    spans = sorted((r["first_token"], r["last_token_excl"]) for r in man)
+    assert spans[0][0] == 0
+    assert spans[-1][1] == sum(n for _, n in rows)
+    # order-insensitive checksum: identical re-export verifies equal
+    out2 = str(tmp_path / "shards_m2")
+    export_shards(packed.repartition(7), out2, n_shards=3)
+    man2 = shard_manifest(spark, out2).collect()
+    assert (sorted(r["content_hash"] for r in man)
+            != [] and sum(r["content_hash"] for r in man)
+            == sum(r["content_hash"] for r in man2))
+    # a dropped row changes the aggregate checksum
+    broken = packed.filter(F.col("doc_id") != 7)
+    out3 = str(tmp_path / "shards_m3")
+    export_shards(broken, out3, n_shards=3)
+    man3 = shard_manifest(spark, out3).collect()
+    assert (sum(r["content_hash"] for r in man3)
+            != sum(r["content_hash"] for r in man))
