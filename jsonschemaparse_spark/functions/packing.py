@@ -168,15 +168,21 @@ def shard_manifest(spark, path: str, id_col: str = "doc_id",
     shuffle carries one partial row per (task, file). Run it right
     after export_shards; publish next to the shards."""
     df = spark.read.parquet(path)
-    row_hash = F.xxhash64(F.col(id_col), F.col("start_token"),
-                          F.col(count_col))
+    # the module's NULL/negative-count convention (clamp to 0), exactly
+    # as pack_stats applies it — a raw sum here would make the audit
+    # artifact disagree with pack_stats on the same data (r6 third
+    # review #5); the clamped value also feeds the row hash so a NULL
+    # count hashes as the 0 tokens it occupies, not as a missing column
+    cnt = F.greatest(F.coalesce(F.col(count_col).cast("long"), F.lit(0)),
+                     F.lit(0))
+    row_hash = F.xxhash64(F.col(id_col), F.col("start_token"), cnt)
     return (
         df.groupBy(F.input_file_name().alias("shard_file"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(count_col).cast("long").alias("n_tokens"),
+            F.sum(cnt).cast("long").alias("n_tokens"),
             F.min("start_token").cast("long").alias("first_token"),
-            (F.max(F.col("start_token") + F.col(count_col)))
+            F.max(F.col("start_token") + cnt)
             .cast("long").alias("last_token_excl"),
             F.sum(row_hash.cast("decimal(38,0)")).alias("content_hash"),
         )

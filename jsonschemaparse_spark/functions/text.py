@@ -639,7 +639,10 @@ SCRIPT_RANGES: "dict[str, str]" = {
     # and RE2 spell those differently; bracket ranges with literal
     # endpoints parse identically in both, so the DuckDB twin uses the
     # same pattern strings verbatim)
-    "latin": "[A-Za-zÀ-ɏ]",
+    # À-ɏ minus U+00D7 (×) and U+00F7 (÷): the two Sm math symbols
+    # embedded in the Latin-1 letter block are NOT Latin-script letters
+    # (r6 third review #6)
+    "latin": "[A-Za-zÀ-ÖØ-öø-ɏ]",
     "cyrillic": "[Ѐ-ӿ]",
     "cjk": "[一-鿿぀-ヿ]",
     "arabic": "[؀-ۿ]",
@@ -735,10 +738,20 @@ def quality_report(df: DataFrame, group_cols=("lang", "source"),
     return (
         flagged.groupBy(*[F.col(c) for c in group_cols])
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.col("gopher_keep").cast("long")).alias("n_gopher_keep"),
-            F.sum(F.col("c4_keep").cast("long")).alias("n_c4_keep"),
-            F.sum(F.col("quality_keep").cast("long")).alias("n_keep"),
+            *quality_report_aggs(),
             F.round(F.avg("n_words"), 6).alias("avg_words"),
         )
     )
+
+
+def quality_report_aggs() -> "list[Column]":
+    """The gate-count aggregate expressions quality_report groups over
+    — ONE definition shared with streaming_quality_report so the
+    batch == stream counts invariant cannot silently drift (r6 third
+    review #7)."""
+    return [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("gopher_keep").cast("long")).alias("n_gopher_keep"),
+        F.sum(F.col("c4_keep").cast("long")).alias("n_c4_keep"),
+        F.sum(F.col("quality_keep").cast("long")).alias("n_keep"),
+    ]

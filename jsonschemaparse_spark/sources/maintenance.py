@@ -30,7 +30,16 @@ from pyspark.sql import SparkSession
 
 
 def _local_path(path: str) -> Path:
-    return Path(path.removeprefix("file:"))
+    # only local paths are supported: the rename-based swap below is a
+    # posix-filesystem operation. Remote stores (s3/hdfs/abfs) need the
+    # Hadoop FileSystem API — raising here beats the silent
+    # "0 files found, success" no-op (r6 third review #4)
+    if "://" in path and not path.startswith("file://"):
+        raise NotImplementedError(
+            f"compact_parquet supports local paths only, got {path!r}; "
+            "the remote-store variant is the Hadoop FileSystem swap "
+            "point (same contract: stage, verify, swap)")
+    return Path(path.removeprefix("file://").removeprefix("file:"))
 
 
 def _parquet_files(p: Path) -> "list[Path]":
@@ -45,8 +54,36 @@ def compact_parquet(
     """Rewrite the parquet directory at `path` into
     ceil(total_bytes / target_bytes) files. No-op (returns unchanged
     counts) when the directory already has fewer than `min_files`
-    files. Returns (n_files_before, n_files_after, n_rows)."""
+    files. Returns (n_files_before, n_files_after, n_rows).
+
+    Guards (r6 third review — each refused loudly, never silently):
+    - streaming file-sink dirs (`_spark_metadata` present) are REJECTED:
+      spark.read resolves them through the sink log, so untracked files
+      would be excluded from the rewrite yet deleted with the old dir,
+      and the running query's log would be destroyed;
+    - hive-partitioned roots (any `k=v` subdirectory) are REJECTED:
+      a flat rewrite would silently destroy the partition layout —
+      compact each leaf partition directory instead (the staging/old
+      siblings are dot-prefixed, which partition discovery ignores, so
+      per-leaf compaction never surfaces bogus partition values);
+    - files appended CONCURRENTLY by another writer are detected after
+      the swap (the old dir holds files not in the original listing):
+      the swap is rolled back and the call raises — quiesce writers or
+      re-run; the alternative was silently deleting their rows."""
     p = _local_path(path)
+    if (p / "_spark_metadata").exists():
+        raise ValueError(
+            f"{path} is a streaming file-sink directory (_spark_metadata "
+            "present); compacting it would drop sink-untracked files and "
+            "destroy the sink log — stop the query and migrate the data "
+            "instead")
+    part_dirs = [d.name for d in p.iterdir()
+                 if d.is_dir() and "=" in d.name]
+    if part_dirs:
+        raise ValueError(
+            f"{path} looks hive-partitioned (e.g. {part_dirs[0]!r}); "
+            "compact each leaf partition directory instead — a flat "
+            "rewrite would destroy the partition layout")
     files = _parquet_files(p)
     n_before = len(files)
     if n_before < min_files:
@@ -60,7 +97,10 @@ def compact_parquet(
 
     df = spark.read.parquet(path)
     n_rows = df.count()
-    staging = p.with_name(p.name + ".__jsp_compact__")
+    original_names = {f.relative_to(p) for f in files}
+    # dot-prefixed siblings: invisible to Spark/Hive directory listings
+    # while they exist next to live data
+    staging = p.with_name("." + p.name + ".__jsp_compact__")
     shutil.rmtree(staging, ignore_errors=True)
     df.repartition(n_out).write.mode("overwrite").parquet(str(staging))
 
@@ -71,7 +111,7 @@ def compact_parquet(
             f"compaction row-count mismatch: {n_rows} -> {new_rows}; "
             "staging discarded, original untouched")
 
-    old = p.with_name(p.name + ".__jsp_old__")
+    old = p.with_name("." + p.name + ".__jsp_old__")
     shutil.rmtree(old, ignore_errors=True)
     p.rename(old)
     try:
@@ -79,6 +119,19 @@ def compact_parquet(
     except OSError:
         old.rename(p)  # roll back: restore the original listing
         raise
+    # concurrent-append detection: files that landed between the
+    # original listing and the swap ride along into `old`; deleting
+    # them would silently lose their rows (review #2)
+    appended = {f.relative_to(old)
+                for f in _parquet_files(old)} - original_names
+    if appended:
+        shutil.rmtree(p, ignore_errors=True)
+        old.rename(p)
+        raise RuntimeError(
+            f"concurrent append detected during compaction "
+            f"({len(appended)} new file(s), e.g. "
+            f"{sorted(map(str, appended))[0]!r}); rolled back — quiesce "
+            "writers and re-run")
     # verify the swapped-in listing before dropping the original
     if spark.read.parquet(path).count() != n_rows:
         shutil.rmtree(p, ignore_errors=True)

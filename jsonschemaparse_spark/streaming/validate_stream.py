@@ -217,6 +217,7 @@ def streaming_quality_report(
     window: str = "10 minutes",
     watermark: str = "30 minutes",
     badwords=None,
+    char_fraction_max_items: int = 10_000,
 ) -> DataFrame:
     """The corpus quality_report as a live monitoring view: per
     (window, *group_cols) gate pass rates + size stats over a tumbling
@@ -232,19 +233,22 @@ def streaming_quality_report(
     state is the windowed aggregate — one row per (window, group) with
     map-side partial aggregation, bounded by group cardinality per
     window."""
-    from ..functions.text import quality_flags
+    from ..functions.text import quality_flags, quality_report_aggs
 
     flagged = quality_flags(stream, text_col, gopher=True, c4=True,
-                            badwords=badwords)
+                            badwords=badwords,
+                            char_fraction_max_items=char_fraction_max_items)
     return (
         flagged.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window).alias("window"),
                  *[F.col(c) for c in group_cols])
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.col("gopher_keep").cast("long")).alias("n_gopher_keep"),
-            F.sum(F.col("c4_keep").cast("long")).alias("n_c4_keep"),
-            F.sum(F.col("quality_keep").cast("long")).alias("n_keep"),
+            # the SAME gate-count expressions as the batch
+            # quality_report (text.quality_report_aggs — one
+            # definition, so batch == stream cannot drift); avg is not
+            # streamable incrementally across updates, so the windowed
+            # view sums words instead
+            *quality_report_aggs(),
             F.sum(F.col("n_words").cast("long")).alias("n_words_total"),
         )
     )
