@@ -449,3 +449,47 @@ def test_streaming_quality_report_matches_batch(spark, tmp_path):
     batch = {r["lang"]: (r["n_docs"], r["n_keep"]) for r in
              quality_report(df, group_cols=("lang",)).collect()}
     assert batch["en"] == (5, 5) and batch["de"] == (1, 0)
+
+
+def test_streaming_quality_report_append_drops_late_rows(spark, tmp_path):
+    """Append mode + watermark: a window's row is emitted once the
+    watermark passes its end, and a document arriving AFTER the
+    watermark has moved past its window is dropped — late data is
+    bounded, the 100-TB monitoring contract."""
+    from jsonschemaparse_spark.streaming import streaming_quality_report
+
+    t0 = datetime.datetime(2026, 8, 18, 12, 0, 0)
+    good = ("Plenty of distinct words fill this sentence so the gate "
+            "passes without trouble. " * 6
+            + "Proper sentences close it. Another. Done!")
+    mk = lambda rows: spark.createDataFrame(
+        rows, "doc_id long, warc_ts timestamp, text string, lang string")
+
+    src = str(tmp_path / "src_qr_late")
+    mk([(0, t0, good, "en"), (1, t0, good + " Two.", "en")]) \
+        .coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, warc_ts timestamp, text string, lang string"
+    ).parquet(src)
+    q = (streaming_quality_report(stream, window="10 minutes",
+                                  watermark="10 minutes")
+         .writeStream.format("memory").queryName("qr_late_sink")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        # advance event time far past t0's window + watermark
+        mk([(2, t0 + datetime.timedelta(hours=2), good + " Later.", "en")]) \
+            .coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        # a LATE arrival for the long-closed t0 window: dropped
+        mk([(3, t0, good + " Late.", "en")]) \
+            .coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        rows = spark.sql("select * from qr_late_sink").collect()
+    finally:
+        q.stop()
+    emitted = {(r["window"]["start"].hour, r["window"]["start"].minute):
+               r["n_docs"] for r in rows}
+    # the t0 window was finalized with exactly the 2 on-time docs; the
+    # late doc 3 did not reopen or recount it
+    assert emitted.get((12, 0)) == 2
