@@ -980,6 +980,26 @@ def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_report(_docs(spark, sf_dir))
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (functions/graph.py) over a
+    deterministic link graph derived from documents (each doc links to
+    (id*7+3)%500 and to its id%10 hub). 8 power-iteration rounds from
+    the uniform start; the twin unrolls the same rounds as chained
+    CTEs; 6dp rounding absorbs reduction-order ulps."""
+    from jsonschemaparse_spark.functions.graph import pagerank
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 500)
+    edges = d.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 500).alias("dst"),
+    ).unionByName(d.select(
+        F.col("doc_id").alias("src"),
+        (F.col("doc_id") % 10).alias("dst"),
+    ))
+    pr = pagerank(edges, n_iters=8)
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
 def q_script_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Script-mix fractions over a constructed mixed-script corpus (the
     shipped docs are ASCII): vowels transliterated to Cyrillic for
@@ -1248,6 +1268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keep_rate_drift": q_keep_rate_drift,
         "value_histogram": q_value_histogram,
         "script_fractions": q_script_fractions,
+        "pagerank": q_pagerank,
     }
 
 
@@ -1301,6 +1322,46 @@ def oracle_sql() -> dict[str, str]:
         f"  round(CASE WHEN total > 0 THEN len(regexp_extract_all(text, "
         f"'{pat}')) * 1.0 / total ELSE 0.0 END, 6) AS {name}_frac"
         for name, pat in _SR.items())
+    # pagerank: 8 unrolled power-iteration CTE rounds (a recursive CTE
+    # cannot aggregate in its recursive member); arithmetic written in
+    # the ENGINE's exact op order — note (1.0 - 0.85), not 0.15: the
+    # engine computes base from Python's 1.0-d, which is
+    # 0.15000000000000002 in IEEE
+    _pr_iters, _pr_d = 8, "0.85"
+    _pr_parts = [
+        """edges AS (
+  SELECT doc_id AS src, (doc_id * 7 + 3) % 500 AS dst
+  FROM documents WHERE doc_id < 500
+  UNION ALL
+  SELECT doc_id, doc_id % 10 FROM documents WHERE doc_id < 500
+),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT node, (SELECT 1.0 / n FROM nn) AS rank FROM nodes)"""]
+    for _k in range(1, _pr_iters + 1):
+        _pr_parts.append(f"""d{_k} AS (
+  SELECT coalesce(sum(rank), 0.0) AS m FROM r{_k - 1}
+  WHERE node NOT IN (SELECT src FROM outdeg)
+),
+c{_k} AS (
+  SELECT e.dst AS node, sum(r.rank / o.deg) AS s
+  FROM edges e JOIN outdeg o ON e.src = o.src
+  JOIN r{_k - 1} r ON r.node = e.src
+  GROUP BY e.dst
+),
+r{_k} AS (
+  SELECT n.node,
+         (((1.0 - {_pr_d}) / nn.n) + (({_pr_d} * d{_k}.m) / nn.n))
+         + {_pr_d} * coalesce(c.s, 0.0) AS rank
+  FROM nodes n LEFT JOIN c{_k} c ON n.node = c.node, nn, d{_k}
+)""")
+    _pagerank_sql = ("WITH " + ",\n".join(_pr_parts)
+                     + f"\nSELECT node, round(rank, 6) AS rank FROM r{_pr_iters}\n")
+
     _script_fractions_sql = (
         "\nWITH m AS (\n"
         "  SELECT doc_id,\n"
@@ -2745,6 +2806,7 @@ SELECT lang, source,
 FROM r GROUP BY lang, source
 """,
         "script_fractions": _script_fractions_sql,
+        "pagerank": _pagerank_sql,
         # histogram: the ks_drift bucket formula (same IEEE op order),
         # zero-count bins from a generate_series spine
         "value_histogram": """

@@ -392,6 +392,26 @@ def main() -> None:
 
     bench("doc_keywords", keywords_bench)
 
+    # fixed-iteration PageRank over a deterministic 50k-node link graph
+    def pagerank_bench():
+        from jsonschemaparse_spark.functions.graph import pagerank
+
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        n = d.count()
+        edges = d.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 7 + 3) % n).alias("dst"),
+        ).unionByName(d.select(
+            F.col("doc_id").alias("src"),
+            (F.col("doc_id") % 100).alias("dst")))
+        # 4 rounds in the bench: per-round cost is flat (each round is
+        # the same join+agg+checkpoint), so 4 prices the per-round
+        # shape without doubling the suite's wall on an 8-round run
+        pr = pagerank(edges, n_iters=4)
+        pr.select(F.sum("rank"), F.max("rank")).collect()
+
+    bench("pagerank", pagerank_bench)
+
     # positional inverted index build (the corpus-scan-bound op; a
     # production run materializes this bucketed by token, searches are
     # then partition-pruned ms-scale lookups)

@@ -81,6 +81,92 @@ def connected_components(
         "raise max_iters (component diameter exceeds it)")
 
 
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    n_iters: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list — the domain-
+    authority signal web curation recipes weight sampling by (an
+    authority-ish prior next to the per-domain caps in functions/web).
+    Returns (node, rank) for every node appearing as src or dst after
+    exactly `n_iters` power-iteration rounds from the uniform 1/N
+    start: rank = (1-d)/N + d * (sum of in-neighbor rank/out_degree +
+    dangling mass/N). Ranks sum to 1 every round (dangling nodes'
+    mass is redistributed uniformly — the standard stochastic fix).
+
+    FIXED iteration count on purpose: the result is a deterministic
+    function of (edges, n_iters, damping) up to float summation order,
+    so a SQL twin can replay the same rounds and a 6dp rounding absorbs
+    the reduction-order ulps (the lm_perplexity convention). A
+    tolerance-based stop would make the round count data-dependent and
+    the twin unreproducible.
+
+    Scale shape: per round, one join ranks->edges + one groupBy(dst)
+    sum — both shuffles keyed by node id, map-side combined; the
+    out-degree table is computed ONCE and localCheckpoint'ed with the
+    edge list; ranks are localCheckpoint'ed eagerly every round (the
+    connected_components lineage-truncation lesson); the dangling-mass
+    scalar rides an `.observe()` on the SAME job that materializes the
+    new ranks — no extra pass per round."""
+    e = edges.select(F.col(src_col).alias("src"),
+                     F.col(dst_col).alias("dst"))
+    e = e.localCheckpoint(eager=False)
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint(eager=True))
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    outdeg = (e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+              .localCheckpoint(eager=True))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    d = float(damping)
+    dangling_mass = 0.0  # round 0: computed from the uniform start below
+    first = True
+    for _ in range(n_iters):
+        contrib = (
+            e.join(outdeg, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("_in"))
+        )
+        if first:
+            # dangling mass of the CURRENT ranks (nodes with no
+            # out-edges): one small anti-join agg, only needed once —
+            # later rounds read it from the previous job's observation
+            row = (ranks.join(outdeg.withColumnRenamed("src", "node"),
+                              "node", "left_anti")
+                   .agg(F.coalesce(F.sum("rank"), F.lit(0.0))).first())
+            dangling_mass = float(row[0])
+            first = False
+        base = (1.0 - d) / n + d * dangling_mass / n
+        # dangling mass for the NEXT round rides the same job
+        obs = Observation()
+        new_ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .join(outdeg.withColumnRenamed("src", "node")
+                  .withColumnRenamed("deg", "_deg"), "node", "left")
+            .select(
+                "node", F.col("_deg"),
+                (F.lit(base)
+                 + F.lit(d) * F.coalesce(F.col("_in"), F.lit(0.0))
+                 ).alias("rank"),
+            )
+            .observe(obs, F.coalesce(
+                F.sum(F.when(F.col("_deg").isNull(), F.col("rank"))),
+                F.lit(0.0)).alias("dangling"))
+            .drop("_deg")
+        )
+        new_ranks = new_ranks.localCheckpoint(eager=True)
+        ranks = new_ranks
+        dangling_mass = float(obs.get["dangling"])
+    return ranks
+
+
 def component_drop_ids(
     edges: DataFrame,
     src_col: str = "id_a",

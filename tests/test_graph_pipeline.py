@@ -509,3 +509,46 @@ def test_clean_corpus_compress_stage(spark):
     assert 10 not in kept and {0, 1, 2, 3, 11} <= kept
     assert res.funnel_counts()["n_after_compress"] == len(kept)
     assert "compress" in res.stages
+
+
+def test_pagerank_matches_reference_power_iteration(spark):
+    from jsonschemaparse_spark.functions.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 1), (2, 4)], "src long, dst long")
+    pr = {r["node"]: r["rank"] for r in
+          pagerank(edges, n_iters=10).collect()}
+    out = {1: [2, 3], 2: [3, 4], 3: [1]}
+    nodes, n, d = [1, 2, 3, 4], 4, 0.85
+    ref = {x: 1 / n for x in nodes}
+    for _ in range(10):
+        dang = sum(v for k, v in ref.items() if k not in out)
+        base = (1 - d) / n + d * dang / n
+        new = {x: base for x in nodes}
+        for s, ds in out.items():
+            for t in ds:
+                new[t] += d * ref[s] / len(ds)
+        ref = new
+    for k in nodes:
+        assert abs(pr[k] - ref[k]) < 1e-12
+    assert abs(sum(pr.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_hub_outranks_leaf_and_layout_invariant(spark):
+    from jsonschemaparse_spark.functions.graph import pagerank
+
+    # star: everyone links to 0
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 20)], "src long, dst long")
+    pr = {r["node"]: r["rank"] for r in pagerank(edges, n_iters=6).collect()}
+    assert pr[0] > 10 * pr[1]
+    pr2 = {r["node"]: round(r["rank"], 6) for r in
+           pagerank(edges.repartition(7), n_iters=6).collect()}
+    assert pr2 == {k: round(v, 6) for k, v in pr.items()}
+
+
+def test_pagerank_empty_graph(spark):
+    from jsonschemaparse_spark.functions.graph import pagerank
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(empty, n_iters=3).count() == 0
