@@ -38,19 +38,28 @@ def word_ngrams(text: Column, n: int = 13) -> Column:
     """Distinct word n-gram array of `text` (space-joined windows over
     normalized tokens). Empty array when the text has fewer than n words
     (no whole-doc fallback — see module docstring). Pure HOF expression,
-    stays in the one corpus-scan Project."""
+    stays in the one corpus-scan Project.
+
+    The token array is bound ONCE as a lambda variable (the repo's
+    element_at(transform(array(words), ...), 1) idiom — chunking.py,
+    dedup._substring_rows): referencing `words` free inside the window
+    transform would re-evaluate the split+filter per emitted n-gram,
+    O(words^2) per doc (ADVICE r6, ~100x on 4k-word docs)."""
     words = F.filter(F.split(normalized_text(text), " "),
                      lambda w: w != F.lit(""))
-    m = F.size(words)
-    return F.array_distinct(
-        F.when(
+
+    def _grams(w: Column) -> Column:
+        m = F.size(w)
+        return F.when(
             m >= n,
             F.transform(
                 F.sequence(F.lit(1), m - (n - 1)),
-                lambda j: F.array_join(F.slice(words, j, n), " "),
+                lambda j: F.array_join(F.slice(w, j, n), " "),
             ),
         ).otherwise(F.array().cast("array<string>"))
-    )
+
+    return F.array_distinct(
+        F.element_at(F.transform(F.array(words), _grams), 1))
 
 
 def eval_ngram_set(eval_df: DataFrame, text_col: str = "text",

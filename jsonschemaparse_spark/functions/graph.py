@@ -54,7 +54,12 @@ def connected_components(
     und = und.localCheckpoint(eager=False)
     labels = und.select(F.col("src").alias("node")).distinct() \
         .withColumn("label", F.col("node"))
-    for _ in range(max_iters):
+    # max_iters + 1 loop iterations: convergence is only OBSERVED on the
+    # quiescent round after the last propagating one, so a component whose
+    # propagation takes exactly max_iters rounds needs one extra pass to
+    # read changed==0 (ADVICE r6 — diameter-3 path with max_iters=3 used
+    # to raise despite having converged).
+    for _ in range(max_iters + 1):
         neigh = (
             und.join(labels, und["dst"] == labels["node"])
             .groupBy("src").agg(F.min("label").alias("_nl"))

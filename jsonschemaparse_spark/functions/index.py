@@ -148,10 +148,23 @@ def materialize_index(index: InvertedIndex, table: str, *,
     write_bucketed(index.postings, tmp_p, "token", n_buckets)
     drop_table_and_location(spark, tmp_o)
     index.overflow.write.mode("overwrite").saveAsTable(tmp_o)
-    drop_table_and_location(spark, table)
-    drop_table_and_location(spark, overflow_table)
+    # Crash-safe swap (ADVICE r6): rename the LIVE tables aside first,
+    # rename the stage in, THEN drop the old copies — every crash window
+    # leaves a recoverable published table (stage, __jsp_old, or live),
+    # matching maintenance.compact_parquet's 'original or both, never
+    # neither' guarantee. The old drop-then-rename order had a window
+    # with no published table at all.
+    old_p, old_o = f"{table}__jsp_old", f"{overflow_table}__jsp_old"
+    drop_table_and_location(spark, old_p)
+    drop_table_and_location(spark, old_o)
+    if spark.catalog.tableExists(table):
+        spark.sql(f"ALTER TABLE {table} RENAME TO {old_p}")
+    if spark.catalog.tableExists(overflow_table):
+        spark.sql(f"ALTER TABLE {overflow_table} RENAME TO {old_o}")
     spark.sql(f"ALTER TABLE {tmp_p} RENAME TO {table}")
     spark.sql(f"ALTER TABLE {tmp_o} RENAME TO {overflow_table}")
+    drop_table_and_location(spark, old_p)
+    drop_table_and_location(spark, old_o)
     return InvertedIndex(postings=spark.table(table),
                          overflow=spark.table(overflow_table))
 

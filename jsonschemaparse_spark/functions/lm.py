@@ -93,6 +93,14 @@ class BigramLM:
     alpha: float
     n_dropped: int
 
+    def unpersist(self) -> "BigramLM":
+        """Release the model's cached executor storage (the
+        CleanCorpusResult convention — ADVICE r6: long-lived sessions
+        that retrain repeatedly otherwise accumulate storage)."""
+        self.bigrams.unpersist()
+        self.unigrams.unpersist()
+        return self
+
 
 def train_bigram_lm(
     df: DataFrame, text_col: str = "text", *, alpha: float = 0.5,
@@ -128,6 +136,13 @@ def train_bigram_lm(
         # exactly like unseen ones
         bigrams = bg_counts.orderBy(
             F.col("n").desc(), "w1", "w2").limit(max_bigrams).persist()
+        # materialize the superseding tables (model-sized actions over
+        # the cached counts), then release bg_counts — it is otherwise
+        # pinned in executor storage for the model's lifetime with no
+        # release handle (ADVICE r6)
+        bigrams.count()
+        unigrams.count()
+        bg_counts.unpersist()
     vocab = src.select(
         F.explode(_tokens(F.col(text_col))).alias("t")
     ).distinct().count()  # corpus scan #2
