@@ -109,18 +109,28 @@ def exact_dedup_linear(df: DataFrame, id_col: str, text_col: str = "text") -> Da
 # shingles + minhash LSH
 # ---------------------------------------------------------------------------
 def shingles(text: Column, k: int = 3) -> Column:
-    """Word k-gram shingle array (distinct). Pure HOF expression."""
+    """Word k-gram shingle array (distinct). Pure HOF expression.
+
+    The word array is bound ONCE as a lambda variable (r7 — the same
+    fix ADVICE r6 prescribed for decontaminate.word_ngrams): the
+    previous form referenced the free `words` subexpression inside the
+    per-window lambda, so interpreted evaluation re-ran the
+    regex+lower+split PER WINDOW — O(words^2) per document. Measured on
+    the minhash verify stage at sf1.0 (22k candidate pairs): scoring
+    dropped 6.3 s -> 3.7 s with bit-identical jaccard output."""
     words = F.split(normalized_text(text), " ")
-    n = F.size(words)
-    return F.array_distinct(
-        F.when(
+
+    def _sh(w: Column) -> Column:
+        n = F.size(w)
+        return F.when(
             n >= k,
             F.transform(
                 F.sequence(F.lit(1), n - (k - 1)),
-                lambda j: F.array_join(F.slice(words, j, k), " "),
+                lambda j: F.array_join(F.slice(w, j, k), " "),
             ),
-        ).otherwise(F.array(F.array_join(words, " ")))
-    )
+        ).otherwise(F.array(F.array_join(w, " ")))
+
+    return F.array_distinct(F.element_at(F.transform(F.array(words), _sh), 1))
 
 
 # Universal-hash minhash domain: P = largest prime below 2^48 keeps
@@ -1136,6 +1146,14 @@ def remove_duplicate_spans(
     k = span_sentences
     out_col = out_col or text_col
     occ = _span_rows(df, id_col, text_col, k)
+    # r7: hash-repartition the span stream once (AQE-sized — no explicit
+    # N) so the duplicated-span agg and the occurrence join-back share
+    # ONE exchange instead of re-running the span scan (regexp chunking
+    # + per-span normalize) per consumer — the _substring_covered
+    # single-scan shape; span strings shuffled once ~= what the old agg
+    # side already shuffled (spans are near-unique, map-side combine
+    # bought nothing).
+    occ = occ.repartition("_jsp_span")
     firsts = (
         occ.groupBy("_jsp_span")
         .agg(
@@ -1220,18 +1238,31 @@ def _substring_rows(df: DataFrame, id_col: str, text_col: str, k: int,
     """One row per (doc, pos, window_hash): hashes of the K-token sliding
     windows over the RAW whitespace-tokenized text (exact matching is
     case- and punctuation-sensitive — 'exact substring' means exact).
-    Hashing before the exchange keeps shuffle rows at one 32-char md5
-    (or one long in 'fast' mode) instead of a K-token string. The token
-    array is bound ONCE as a lambda variable (the r5 CollapseProject/
-    Generate lesson: a bare `slice(toks, i, k)` inside the per-window
-    lambda re-evaluates the split PER WINDOW — O(L^2))."""
+    Hashing happens before any exchange, so shuffle rows carry one
+    32-char md5 (or one long-as-string in 'fast' mode) instead of a
+    K-token string. The token array is bound ONCE as a lambda variable
+    (the r5 CollapseProject/Generate lesson: a bare `slice(toks, i, k)`
+    inside the per-window lambda re-evaluates the split PER WINDOW —
+    O(L^2)).
+
+    r7 execution-shape revision: the generator emits the window STRINGS
+    and the hash runs in a codegen Project AFTER the posexplode. HOF
+    lambdas are interpreted (CodegenFallback), so hashing inside the
+    per-window lambda paid interpreted md5 evaluation per window —
+    moving it below the Generate keeps only the unavoidable array_join
+    in the interpreted path and runs md5 inside whole-stage codegen
+    (measured at sf1.0: the covered pass dropped a further ~4 s on top
+    of the single-exchange win; identical values, plan-pinned)."""
     if hash_mode not in ("md5", "fast"):
         raise ValueError(f"hash_mode must be 'md5' or 'fast', got {hash_mode!r}")
+    from ..plans.json_validator import _ensure_parallelism
 
-    def win_hash(joined: Column) -> Column:
-        return F.md5(joined) if hash_mode == "md5" else \
-            F.xxhash64(joined).cast("string")
-
+    # the window generator is interpreted (CodegenFallback): a few-split
+    # parquet input would serialize it onto a couple of cores (NOTES
+    # pitfall #4). Spread the NARROW (id, text) projection only when
+    # splits < cores/2 — real multi-split corpora pass through
+    # shuffle-free. Measured at sf1.0 (2-split input): 4.0 s -> 0.9 s.
+    df = _ensure_parallelism(df.select(id_col, text_col))
     toks = _ws_tokens(text_col)
     wins = F.element_at(
         F.transform(
@@ -1240,31 +1271,40 @@ def _substring_rows(df: DataFrame, id_col: str, text_col: str, k: int,
                 F.size(w) >= k,
                 F.transform(
                     F.sequence(F.lit(1), F.size(w) - (k - 1)),
-                    lambda i: win_hash(F.array_join(F.slice(w, i, k), " ")),
+                    lambda i: F.array_join(F.slice(w, i, k), " "),
                 ),
             ).otherwise(F.array().cast("array<string>")),
         ),
         1,
     )
+    win = F.col("_jsp_w")
+    win_hash = F.md5(win) if hash_mode == "md5" else \
+        F.xxhash64(win).cast("string")
     return df.select(
         F.col(id_col).alias("_jsp_doc"),
-        F.posexplode(wins).alias("_jsp_pos", "_jsp_h"),
-    )
+        F.posexplode(wins).alias("_jsp_pos", "_jsp_w"),
+    ).select("_jsp_doc", "_jsp_pos", win_hash.alias("_jsp_h"))
 
 
 def _substring_covered(df: DataFrame, id_col: str, text_col: str, k: int,
                        hash_mode: str) -> DataFrame:
     """(_jsp_doc, _jsp_cov): per VICTIM doc, the set of token indices
     covered by any non-first occurrence of a duplicated window. Plan
-    shape: one groupBy on the hash (map-side combine), only duplicated
-    hashes join back (both sides arrive partitioned on the hash from
-    the same exchange; AQE converts to broadcast when the duplicated
-    set is small), victim windows explode to K rows each, ONE
-    (doc) exchange folds them into the per-doc set. Built exactly once
-    by both consumers — no victims self-join (the r5 expensive-lineage
-    lesson; the first cut of this operator evaluated the window scan
-    4x: plan-pinned in tests now)."""
+    shape (r7 revision): the window stream is hash-repartitioned ONCE
+    (`repartition("_jsp_h")` — no explicit N, so AQE sizes/coalesces the
+    exchange at any scale) and BOTH consumers — the duplicated-hash agg
+    and the occurrence join-back — read that same exchange
+    (ReuseExchange/AQE stage reuse), so the expensive window scan runs
+    exactly ONCE. The former shape skipped the occ-side exchange (AQE
+    broadcast the duplicated set) but recomputed the whole window scan
+    for the join branch — measured at sf1.0 (50k docs, 2.4M windows)
+    the single-scan form saves ~5 s of a 16.5 s pass; window hashes are
+    near-unique so the old map-side combine bought nothing. Victim
+    windows explode to K rows each, ONE (doc) exchange folds them into
+    the per-doc set. No victims self-join (the r5 expensive-lineage
+    lesson)."""
     occ = _substring_rows(df, id_col, text_col, k, hash_mode)
+    occ = occ.repartition("_jsp_h")
     firsts = (
         occ.groupBy("_jsp_h")
         .agg(
@@ -1367,7 +1407,13 @@ def remove_duplicate_substrings(
     which the plan test pins."""
     k = min_tokens
     out_col = out_col or text_col
+    from ..plans.json_validator import _ensure_parallelism
+
     covered = _substring_covered(df, id_col, text_col, k, hash_mode)
+    # the rebuild expression below is interpreted and runs on df's own
+    # splits (covered broadcasts, so the join adds no exchange): spread
+    # few-split inputs so touched-doc rebuilds use every core
+    df = _ensure_parallelism(df)
     toks = _ws_tokens(text_col)
     # evaluated only on join-matched (victim) rows, which have >= k
     # tokens by construction — sequence(0, size-1) never sees size 0.
@@ -1389,8 +1435,17 @@ def remove_duplicate_substrings(
         ),
         1,
     )
+    # NULL-SAFE equality on purpose (r7): a plain == join would let
+    # InferFiltersFromConstraints push isnotnull(id) into the covered
+    # subtree's JOIN branch but not its AGG branch, making the two
+    # window-stream subtrees canonically unequal — ReuseExchange then
+    # cannot fire and the window scan executes twice. <=> generates no
+    # isnotnull constraint; the output is identical either way (covered
+    # keys are groupBy outputs, and a NULL-id match still carries a NULL
+    # _jsp_doc, so the isNotNull branch below leaves the row untouched —
+    # equality verified row-for-row incl. NULL-id docs).
     return (
-        df.join(covered, df[id_col] == covered["_jsp_doc"], "left")
+        df.join(covered, df[id_col].eqNullSafe(covered["_jsp_doc"]), "left")
         .withColumn(
             out_col,
             F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))

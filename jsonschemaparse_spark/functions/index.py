@@ -73,7 +73,15 @@ def build_inverted_index(
     to `overflow` instead (stop-word postings dominate index size at
     corpus scale; a production run sets this and keeps the overflow
     view next to the index). Write `postings` partitioned/bucketed by
-    token — lookups are then partition-pruned scans."""
+    token — lookups are then partition-pruned scans.
+
+    r7: few-split inputs are spread first (the tokenize generator is
+    interpreted; a 2-split input serialized the build onto 2 cores —
+    measured 6.5 s -> 1.8 s at sf1.0; pass-through on multi-split
+    corpora)."""
+    from ..plans.json_validator import _ensure_parallelism
+
+    df = _ensure_parallelism(df.select(id_col, text_col))
     pos_tok = F.element_at(
         F.transform(
             F.array(_tokens(F.col(text_col))),

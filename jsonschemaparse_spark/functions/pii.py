@@ -74,7 +74,15 @@ def pii_counts(text: Column) -> dict[str, Column]:
 
 def pii_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     """df + n_emails/n_phones/n_ipv4/n_ssn_ids + has_pii. One codegen
-    Project; NULL text scores zero everywhere."""
+    Project; NULL text scores zero everywhere.
+
+    r7: few-split inputs are spread first (the interpreted/regex-heavy
+    scan otherwise serializes onto the input's split count — measured
+    3.0 s -> 0.7 s at sf1.0 on a 2-split input; pass-through on real
+    multi-split corpora)."""
+    from ..plans.json_validator import _ensure_parallelism
+
+    df = _ensure_parallelism(df)
     counts = pii_counts(F.col(text_col))
     out = df
     for name, col in counts.items():
@@ -99,6 +107,9 @@ def redact_pii(df: DataFrame, text_col: str = "text",
                out_col: str | None = None) -> DataFrame:
     """df with `text_col` redacted (in place by default, or into
     `out_col`). Rewriting op: NULL text stays NULL, every row kept."""
+    from ..plans.json_validator import _ensure_parallelism
+
+    df = _ensure_parallelism(df)  # r7: see pii_flags
     return df.withColumn(out_col or text_col, redact_text(F.col(text_col)))
 
 

@@ -272,7 +272,16 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text",
 
     At 100 TB this is the same shape as the flagship validation: a
     shuffle-free scan with all metrics inside whole-stage codegen (the
-    per-line lambdas are array HOFs over short arrays, not Python)."""
+    per-line lambdas are array HOFs over short arrays, not Python).
+
+    r7: few-split inputs are spread first (_ensure_parallelism — a
+    no-op on real multi-split corpora): the metric HOFs are interpreted
+    (CodegenFallback), so a 2-split parquet input serialized the whole
+    gate onto 2 cores (measured at sf1.0: 4.7 s -> 0.8 s for the fused
+    gate after spreading)."""
+    from ..plans.json_validator import _ensure_parallelism
+
+    df = _ensure_parallelism(df)
     cols, keep = _gopher_flag_columns(F.col(text_col), char_fraction_max_items)
     return df.withColumns({**cols, "gopher_keep": keep})
 
@@ -556,6 +565,9 @@ def c4_quality_flags(df: DataFrame, text_col: str = "text",
     a space match as substrings of the lowercased text (C4 phrase
     behavior). When set, adds has_bad_word and ANDs its negation into
     c4_keep. Span dedup lives in dedup.remove_duplicate_spans."""
+    from ..plans.json_validator import _ensure_parallelism
+
+    df = _ensure_parallelism(df)  # r7: see gopher_quality_flags
     cols, keep = _c4_flag_columns(F.col(text_col), badwords)
     return df.withColumns({**cols, "c4_keep": keep})
 
@@ -595,6 +607,9 @@ def quality_flags(df: DataFrame, text_col: str = "text",
     _gopher_flag_columns/_c4_flag_columns builders produce both); the
     driver query `quality_fused` hash-checks the combined output against
     the chained DuckDB oracle."""
+    from ..plans.json_validator import _ensure_parallelism
+
+    df = _ensure_parallelism(df)  # r7: see gopher_quality_flags
     cols: dict[str, Column] = {}
     keep = F.lit(True)
     if gopher:

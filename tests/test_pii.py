@@ -93,8 +93,14 @@ def test_duckdb_differential(spark):
 
 def test_single_projection_plan(spark, documents):
     """The whole scrub (4 counts + has_pii + redaction) is one Project
-    over one scan — no Exchange, no Generate, no Python eval."""
-    out = pii_flags(redact_pii(documents, out_col="red"))
+    over one scan — no Exchange, no Generate, no Python eval. (r7:
+    few-split inputs are spread by _ensure_parallelism first; the
+    zero-shuffle pin is asserted on a well-split input via an eager
+    localCheckpoint that truncates the spreading repartition.)"""
+    wide = documents.repartition(
+        documents.sparkSession.sparkContext.defaultParallelism
+    ).localCheckpoint()
+    out = pii_flags(redact_pii(wide, out_col="red"))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Generate" not in plan

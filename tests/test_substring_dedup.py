@@ -124,15 +124,22 @@ def test_output_col_keeps_original(spark):
     assert rows[1] == (DUP6, DUP6)
 
 
-def test_plan_window_scan_runs_exactly_twice(spark):
-    # The expensive subtree (per-doc window hashing) must appear exactly
-    # twice — the occ groupBy + join-back pair. The first cut evaluated
-    # it 4x (victims consumed twice, occ twice per victims) and paid a
-    # token-explode/anti-join/rebuild-shuffle chain on top: 14 exchanges
-    # vs 4 now. Regression pin for the r5 expensive-lineage lesson.
-    df = spark.createDataFrame([(1, DUP6)], "doc_id long, text string")
-    plan = remove_duplicate_substrings(df, "doc_id", min_tokens=6) \
-        ._jdf.queryExecution().executedPlan().toString()
-    wingen = sum(1 for line in plan.splitlines()
-                 if "posexplode(element_at(transform" in line)
-    assert wingen == 2, plan
+def test_plan_window_scan_runs_exactly_once(spark):
+    # The expensive subtree (per-doc window generation) must execute
+    # exactly ONCE: the window stream is hash-repartitioned on the
+    # window hash and BOTH consumers (the duplicated-hash agg and the
+    # occurrence join-back) read that one exchange via ReuseExchange /
+    # AQE stage reuse (r7; the r5 cut evaluated it 4x, the r6 shape
+    # 2x). Asserted on the EXECUTED adaptive plan: one generator
+    # subtree, one reused exchange.
+    # needs a REAL duplicated window: with zero duplicates AQE's
+    # empty-relation propagation removes the covered subtree entirely
+    # (also fine — but then there is no exchange to reuse)
+    df = spark.createDataFrame(
+        [(1, DUP6), (2, "pad " + DUP6)], "doc_id long, text string")
+    q = remove_duplicate_substrings(df, "doc_id", min_tokens=6) \
+        .select(F.sum(F.length("text")))
+    q.collect()
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in final, final

@@ -119,8 +119,14 @@ def test_merges_df_round_trip(spark, documents):
 
 
 def test_encode_plan_zero_shuffle_one_arrow(spark, documents):
-    enc = bpe_encode(documents, train_bpe(documents, n_merges=5,
-                                          min_count=2))
+    # r7: encode spreads FEW-split inputs first (_ensure_parallelism);
+    # the zero-shuffle pin holds on a well-split input, asserted via an
+    # eager localCheckpoint that truncates the test's own spreading
+    # repartition out of the plan
+    wide = documents.repartition(
+        spark.sparkContext.defaultParallelism).localCheckpoint()
+    enc = bpe_encode(wide, train_bpe(documents, n_merges=5,
+                                     min_count=2))
     plan = enc._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert plan.count("ArrowEvalPython") == 1
