@@ -416,8 +416,14 @@ def minhash_candidates(
     # agg over ~8 rows/doc became a serial 33 s task at 100k docs. An
     # explicit partition count is respected by AQE; the agg reuses the
     # distribution so no second exchange appears.
+    # r7: one partition per core (was x4) — the multiplier bought nothing
+    # locally (measured 2.2 s -> 1.8 s for the candidate pass at sf1.0:
+    # 128 near-empty ObjectHashAggregate tasks cost more scheduling than
+    # they saved in skew headroom) and the count still scales with the
+    # cluster via defaultParallelism; pass num_partitions to override at
+    # corpus scale.
     bucket_parts = (num_partitions
-                    or df.sparkSession.sparkContext.defaultParallelism * 4)
+                    or df.sparkSession.sparkContext.defaultParallelism)
     buckets = banded.repartition(
         bucket_parts, "band_id", "band_hash"
     ).groupBy("band_id", "band_hash").agg(

@@ -55,7 +55,16 @@ def _bigram_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One row per (doc, w1, w2) bigram occurrence. The token array is
     bound once as a lambda variable; the pair array is built inside the
     generator so CollapseProject cannot re-evaluate the split per
-    element."""
+    element.
+
+    r7: few-split inputs are spread first (interpreted generator — the
+    engine-wide NOTES pitfall #4; pass-through on real corpora). A doc's
+    bigram rows stay within one task either way — the generator emits
+    them from one input row — so per-doc float aggregation order in
+    scoring is unchanged."""
+    from ..plans.json_validator import _ensure_parallelism
+
+    df = _ensure_parallelism(df.select(id_col, text_col))
     pairs = F.element_at(
         F.transform(
             F.array(_tokens(F.col(text_col))),

@@ -645,6 +645,10 @@ def validate_json_typed(
         spark_schema = schema_for_rules(cs)  # inferred from the rules
     if isinstance(spark_schema, str):
         spark_schema = T._parse_datatype_string(spark_schema)
+    # r7: JsonToStructs is CodegenFallback (interpreted), so a few-split
+    # input serializes the parse onto the split count — spread it like
+    # the Arrow path does (pass-through on multi-split inputs)
+    df = _ensure_parallelism(df)
     # PERMISSIVE from_json yields an all-null struct for corrupt input; the
     # corrupt-record side channel makes malformed docs detectable without
     # FAILFAST (never fail the job — parseInfo contract)

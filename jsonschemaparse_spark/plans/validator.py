@@ -304,6 +304,11 @@ def validate_dataframe(
         key_cols = [df.columns[0]]
     key_cols = list(key_cols)
 
+    from .json_validator import _ensure_parallelism
+
+    # r7: spread few-split inputs so the validation projection uses every
+    # core (pass-through on multi-split inputs and streaming frames)
+    df = _ensure_parallelism(df)
     data_cols = data_columns(df)
     data_schema = T.StructType([df.schema[c] for c in data_cols])
     row_struct = F.struct(*[F.col(c) for c in data_cols])
