@@ -304,11 +304,12 @@ def validate_dataframe(
         key_cols = [df.columns[0]]
     key_cols = list(key_cols)
 
-    from .json_validator import _ensure_parallelism
-
-    # r7: spread few-split inputs so the validation projection uses every
-    # core (pass-through on multi-split inputs and streaming frames)
-    df = _ensure_parallelism(df)
+    # r7 note: deliberately NO _ensure_parallelism here — the validation
+    # projection is whole-stage codegen (not interpreted), so the
+    # spreading shuffle costs more than it saves on small inputs
+    # (paired A/B at sf0.1: 0.64 s with vs 0.49 s without; at sf1.0 the
+    # guard bought only ~0.1 s). The interpreted paths (json_typed,
+    # Arrow json, gates, classifier, ...) keep their guards.
     data_cols = data_columns(df)
     data_schema = T.StructType([df.schema[c] for c in data_cols])
     row_struct = F.struct(*[F.col(c) for c in data_cols])

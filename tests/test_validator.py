@@ -31,15 +31,7 @@ DOC_RULES = {
 
 @pytest.fixture(scope="module")
 def result(documents):
-    # r7: validate_dataframe spreads FEW-split inputs (the sf0.001
-    # parquet is one split) via _ensure_parallelism; the codegen plan
-    # pin below asserts the steady-state multi-split shape, so feed it
-    # a well-split input with the spreading repartition truncated out
-    # of the plan by an eager localCheckpoint.
-    wide = documents.repartition(
-        documents.sparkSession.sparkContext.defaultParallelism
-    ).localCheckpoint()
-    return validate_dataframe(wide, DOC_RULES, key_cols=["doc_id"])
+    return validate_dataframe(documents, DOC_RULES, key_cols=["doc_id"])
 
 
 def test_annotated_has_flags(result, documents):
