@@ -564,10 +564,12 @@ def c4_quality_flags(df: DataFrame, text_col: str = "text",
     literal array — whole-stage codegen, no shuffle); entries containing
     a space match as substrings of the lowercased text (C4 phrase
     behavior). When set, adds has_bad_word and ANDs its negation into
-    c4_keep. Span dedup lives in dedup.remove_duplicate_spans."""
-    from ..plans.json_validator import _ensure_parallelism
+    c4_keep. Span dedup lives in dedup.remove_duplicate_spans.
 
-    df = _ensure_parallelism(df)  # r7: see gopher_quality_flags
+    r7 note: deliberately NO input spreading here (unlike the Gopher and
+    fused gates) — the C4 signals are light regexp work, and the
+    spreading shuffle measured net-negative at sf1.0 (0.33 s -> 0.43 s);
+    the fused gate carries the guard for the combined projection."""
     cols, keep = _c4_flag_columns(F.col(text_col), badwords)
     return df.withColumns({**cols, "c4_keep": keep})
 
