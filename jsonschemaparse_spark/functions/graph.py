@@ -128,14 +128,19 @@ def pagerank(
         return nodes.withColumn("rank", F.lit(0.0))
     outdeg = (e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
               .localCheckpoint(eager=True))
+    # r7: the edges->out-degree join is loop-INVARIANT — materialize it
+    # once instead of rebuilding the broadcast relation every round
+    # (measured 2.31 s -> 2.04 s for 4 rounds at 100k edges; ranks are
+    # 6dp-round-identical — the per-dst sum still reduces the same
+    # (src, rank/deg) multiset)
+    ed = e.join(outdeg, "src").localCheckpoint(eager=True)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     d = float(damping)
     dangling_mass = 0.0  # round 0: computed from the uniform start below
     first = True
     for _ in range(n_iters):
         contrib = (
-            e.join(outdeg, "src")
-            .join(ranks.withColumnRenamed("node", "src"), "src")
+            ed.join(ranks.withColumnRenamed("node", "src"), "src")
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("_in"))
         )
