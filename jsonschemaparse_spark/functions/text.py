@@ -197,15 +197,25 @@ def _gopher_flag_columns(
     ).otherwise(F.lit(0.0))
 
     def _dup_char_fraction(arr):
-        total = F.aggregate(arr, F.lit(0).cast("long"),
-                            lambda acc, x: acc + F.length(x))
-        dup_chars = F.aggregate(
-            arr, F.lit(0).cast("long"),
-            lambda acc, x: acc + F.when(
-                F.size(F.filter(arr, lambda y: y == x)) > 1, F.length(x)
-            ).otherwise(F.lit(0)),
-        )
-        return F.when(total > 0, dup_chars / total).otherwise(F.lit(0.0))
+        # r7: bind the (sliced) line/paragraph array ONCE as a lambda
+        # variable — the previous form referenced `arr` free inside the
+        # per-element occurrence filter, re-evaluating the split+slice
+        # per element on the interpreted path (the shingles()/word_ngrams
+        # bug class; fused gate 1.40 s -> 1.02 s at sf1.0, values
+        # unchanged). The O(L^2) per-element comparison itself is the
+        # documented, capped design.
+        def _frac(a):
+            total = F.aggregate(a, F.lit(0).cast("long"),
+                                lambda acc, x: acc + F.length(x))
+            dup_chars = F.aggregate(
+                a, F.lit(0).cast("long"),
+                lambda acc, x: acc + F.when(
+                    F.size(F.filter(a, lambda y: y == x)) > 1, F.length(x)
+                ).otherwise(F.lit(0)),
+            )
+            return F.when(total > 0, dup_chars / total).otherwise(F.lit(0.0))
+
+        return F.element_at(F.transform(F.array(arr), _frac), 1)
 
     cap = char_fraction_max_items
     dup_line_chars = _dup_char_fraction(F.slice(lines, 1, cap))
@@ -350,16 +360,22 @@ def gopher_top_ngram_fractions(
         # NB: the lambda must stay single-arg — pyspark passes (element,
         # index) to two-arg HOF lambdas, so a `n=n` default would silently
         # receive the array index.
-        return F.when(
-            F.size("_w") >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size("_w") - (n - 1)),
-                lambda i: F.struct(
-                    F.lit(n).alias("n"),
-                    F.array_join(F.slice("_w", i, n), " ").alias("gram"),
+        # r7: `_w` bound once as a lambda variable + concat_ws/element_at
+        # windows (see gopher_dup_ngram_fractions._gram_array).
+        def _g(w: Column) -> Column:
+            return F.when(
+                F.size(w) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                    lambda i: F.struct(
+                        F.lit(n).alias("n"),
+                        F.concat_ws(" ", *[F.element_at(w, i + F.lit(j))
+                                           for j in range(n)]).alias("gram"),
+                    ),
                 ),
-            ),
-        ).otherwise(F.array().cast("array<struct<n:int,gram:string>>"))
+            ).otherwise(F.array().cast("array<struct<n:int,gram:string>>"))
+
+        return F.element_at(F.transform(F.array(F.col("_w")), _g), 1)
 
     gram_arrays = [_gram_array(n) for n in ns]
     grams = base.select(
@@ -420,17 +436,27 @@ def gopher_dup_ngram_fractions(
     )
 
     def _gram_array(n: int) -> Column:
-        return F.when(
-            F.size("_w") >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size("_w") - (n - 1)),
-                lambda i: F.struct(
-                    F.lit(n).alias("n"),
-                    i.alias("pos"),
-                    F.array_join(F.slice("_w", i, n), " ").alias("gram"),
+        # r7: `_w` bound once as a lambda variable (CollapseProject can
+        # inline the `_w` projection into the generator, after which a
+        # free `_w` inside the per-window lambda re-evaluates the split
+        # per window — the shingles() bug class); window via concat_ws
+        # over element_at reads (same values, no per-window sub-array).
+        def _g(w: Column) -> Column:
+            return F.when(
+                F.size(w) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                    lambda i: F.struct(
+                        F.lit(n).alias("n"),
+                        i.alias("pos"),
+                        F.concat_ws(" ", *[F.element_at(w, i + F.lit(j))
+                                           for j in range(n)]).alias("gram"),
+                    ),
                 ),
-            ),
-        ).otherwise(F.array().cast("array<struct<n:int,pos:int,gram:string>>"))
+            ).otherwise(
+                F.array().cast("array<struct<n:int,pos:int,gram:string>>"))
+
+        return F.element_at(F.transform(F.array(F.col("_w")), _g), 1)
 
     grams = base.select(
         id_col, F.explode(F.concat(*[_gram_array(n) for n in ns])).alias("g")
