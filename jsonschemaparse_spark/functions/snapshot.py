@@ -272,6 +272,15 @@ def incremental_dedup(
     #    got simplified away by the optimizer).
     pk = probe_key(F.col(text_col))
     if bloom is None:
+        if expected_items is None:
+            # r7: size by ROW count, not approx_count_distinct —
+            # build_key_bloom's default sizing pass is a FULL
+            # normalize+hash scan of the snapshot before the build pass.
+            # count() is metadata-cheap on parquet; duplicate texts only
+            # OVER-size the bitmap (lower fpp, capped by max_bits), and
+            # the downstream exact anti-join keeps the result identical
+            # either way (measured 3.6 s -> 2.9 s at sf1.0).
+            expected_items = seen_df.count()
         bloom = build_key_bloom(seen_df.select(pk.alias("_pk")), "_pk",
                                 expected_items=expected_items,
                                 fpp=fpp, max_bits=max_bits)
