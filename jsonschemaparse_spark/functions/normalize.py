@@ -106,11 +106,15 @@ def normalize_text(
     collapse_whitespace: runs of [ \\t] -> one space (default off — it
     rewrites prose spacing, which some gates measure).
     """
-    from ..plans.json_validator import _ensure_parallelism
-
     # r7: spread few-split inputs so the Arrow normalize batches use
-    # every core (pass-through on multi-split corpora)
-    df = _ensure_parallelism(df)
+    # every core (pass-through on multi-split corpora). Only when the
+    # Python step actually runs: form=None is a pure-codegen regexp
+    # chain where the spreading shuffle costs more than it saves (the
+    # c4_quality_flags / validate_dataframe measurement).
+    if form is not None:
+        from ..plans.json_validator import _ensure_parallelism
+
+        df = _ensure_parallelism(df)
     out_col = output_col or text_col
     col: Column = F.col(text_col)
     if form is not None:

@@ -635,9 +635,14 @@ def quality_flags(df: DataFrame, text_col: str = "text",
     _gopher_flag_columns/_c4_flag_columns builders produce both); the
     driver query `quality_fused` hash-checks the combined output against
     the chained DuckDB oracle."""
-    from ..plans.json_validator import _ensure_parallelism
+    # r7: spread few-split inputs — but only when the Gopher metrics
+    # (the heavy interpreted HOFs) are enabled; a c4-only projection is
+    # light regexp work where the shuffle is net-negative (see the
+    # c4_quality_flags note)
+    if gopher:
+        from ..plans.json_validator import _ensure_parallelism
 
-    df = _ensure_parallelism(df)  # r7: see gopher_quality_flags
+        df = _ensure_parallelism(df)
     cols: dict[str, Column] = {}
     keep = F.lit(True)
     if gopher:
